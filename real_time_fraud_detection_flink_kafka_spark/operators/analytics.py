@@ -1,0 +1,212 @@
+"""General analytics operators (SURVEY §2 #15-25): TPC-H-shaped
+queries over the star schema plus event-stream analytics
+(sessionization, tumbling windows, funnels).
+
+Scale notes:
+- Double sums are made engine-deterministic with fixed-point
+  aggregation: ``sum(cast(round(x * 1e6) as bigint)) / 1e6`` — exact
+  integer addition is associative, so Spark's partial/final
+  aggregation and DuckDB's single-node sum agree bitwise. Plain
+  double sums would drift in the last ulps between engines and
+  across partition counts.
+- Date filters use TIMESTAMP_NTZ literals against the stored
+  millis-timestamp columns so predicates push into the parquet scan
+  (PushedFilters); filtering a derived/recast column would not.
+- Dim tables (region/nation/customer/supplier) are broadcast —
+  fact-side shuffles only where an aggregation key requires it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SCALE = 1_000_000  # fixed-point 6dp
+
+
+def fsum(col: Column) -> Column:
+    """Engine-deterministic 6dp fixed-point sum (see module doc)."""
+    return F.sum(F.round(col * SCALE).cast("bigint")) / F.lit(float(SCALE))
+
+
+def favg(col: Column) -> Column:
+    return fsum(col) / F.count(F.lit(1))
+
+
+def ntz(date_str: str) -> Column:
+    """'YYYY-MM-DD' → TIMESTAMP_NTZ literal (orders/lineitem store
+    naive millis timestamps; an NTZ literal keeps the comparison
+    pushable into the parquet scan)."""
+    return F.expr(f"TIMESTAMP_NTZ '{date_str} 00:00:00'")
+
+
+# --- TPC-H-shaped -----------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: big scan + filter + groupBy agg; the shipdate
+    predicate pushes into the parquet scan."""
+    li = lineitem.where(F.col("l_shipdate") <= ntz(Q1_CUTOFF))
+    disc_price = li["l_extendedprice"] * (1 - li["l_discount"])
+    charge = disc_price * (1 + li["l_tax"])
+    return (li.groupBy("l_returnflag", "l_linestatus")
+              .agg(fsum(li["l_quantity"]).alias("sum_qty"),
+                   fsum(li["l_extendedprice"]).alias("sum_base_price"),
+                   fsum(disc_price).alias("sum_disc_price"),
+                   fsum(charge).alias("sum_charge"),
+                   favg(li["l_quantity"]).alias("avg_qty"),
+                   favg(li["l_extendedprice"]).alias("avg_price"),
+                   favg(li["l_discount"]).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into two fact
+    joins + agg + deterministic top-10."""
+    cust = customer.where(F.col("c_mktsegment") == Q3_SEGMENT).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < ntz(Q3_DATE))
+    li = lineitem.where(F.col("l_shipdate") > ntz(Q3_DATE))
+    j = (li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+           .join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]))
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    return (j.groupBy("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                      "o_orderpriority")
+             .agg(fsum(rev).alias("revenue"))
+             .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+             .limit(10))
+
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1998-01-01"
+
+
+def q5_local_supplier(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; every dim side broadcast, facts
+    shuffle only on the join keys; revenue by nation."""
+    r = region.where(F.col("r_name") == Q5_REGION)
+    n = nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]).select("n_nationkey", "n_name")
+    o = orders.where((F.col("o_orderdate") >= ntz(Q5_FROM))
+                     & (F.col("o_orderdate") < ntz(Q5_TO)))
+    j = (lineitem
+         .join(o, F.col("l_orderkey") == o["o_orderkey"])
+         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+         .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"]))
+    # local-supplier condition: customer and supplier share the nation
+    j = j.where(j["c_nationkey"] == j["s_nationkey"])
+    j = j.join(F.broadcast(n), j["s_nationkey"] == n["n_nationkey"])
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    return (j.groupBy("n_name").agg(fsum(rev).alias("revenue"))
+             .orderBy(F.desc("revenue"), "n_name"))
+
+
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-level filters + single agg.
+    Every predicate pushes to the parquet scan."""
+    li = lineitem.where(
+        (F.col("l_shipdate") >= ntz(Q6_FROM))
+        & (F.col("l_shipdate") < ntz(Q6_TO))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(fsum(li["l_extendedprice"] * li["l_discount"]).alias("revenue"))
+
+
+def top_customers(customer: DataFrame, orders: DataFrame, k: int = 20) -> DataFrame:
+    """Window rank over an aggregate (top-k pattern)."""
+    spend = (orders.groupBy("o_custkey")
+                   .agg(fsum(F.col("o_totalprice")).alias("total_spend"),
+                        F.count(F.lit(1)).alias("n_orders")))
+    j = spend.join(F.broadcast(customer), spend["o_custkey"] == customer["c_custkey"])
+    w = Window.orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (j.select("c_custkey", "c_name", "c_mktsegment", "total_spend", "n_orders",
+                     F.row_number().over(w).alias("rnk"))
+             .where(F.col("rnk") <= k)
+             .orderBy("rnk"))
+
+
+# --- event analytics --------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessionization: lag + cumulative sum of new-session
+    flags — one shuffle on user_id, all codegen."""
+    ts_us = F.unix_micros(F.col("ts"))
+    df = events.select("user_id", "event_id", "value", ts_us.alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_s = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us, 1
+    ).otherwise(F.when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0))
+    df = df.withColumn("session_idx",
+                       F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (df.groupBy("user_id", "session_idx")
+              .agg(F.min("ts_us").alias("session_start_us"),
+                   F.max("ts_us").alias("session_end_us"),
+                   F.count(F.lit(1)).alias("n_events"),
+                   fsum(F.col("value")).alias("total_value")))
+
+
+WINDOW_US = 3600 * 1_000_000  # 1 h tumbling
+
+
+def windowed_counts(events: DataFrame, window_us: int = WINDOW_US) -> DataFrame:
+    """Tumbling-window counts per event_type (batch analog of the
+    streaming windowed aggregation)."""
+    ts_us = F.unix_micros(F.col("ts"))
+    # integer arithmetic (not double division) so bucket edges are exact
+    bucket = ts_us - (ts_us % F.lit(window_us))
+    return (events.groupBy(bucket.alias("window_start_us"), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       fsum(F.col("value")).alias("total_value")))
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Event-type transition matrix per user (lag over event time)."""
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    df = events.withColumn("prev_type", F.lag("event_type").over(w))
+    return (df.where(df["prev_type"].isNotNull())
+              .groupBy("prev_type", F.col("event_type").alias("next_type"))
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events(events: DataFrame) -> DataFrame:
+    """Pivot event_type counts into columns per user."""
+    p = (events.groupBy("user_id")
+               .pivot("event_type", EVENT_TYPES)
+               .agg(F.count(F.lit(1))))
+    cols = [F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+    return p.select("user_id", *cols)
+
+
+def rollup_orders(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): multi-level totals in one pass."""
+    return (orders.rollup("o_orderstatus", "o_orderpriority")
+                  .agg(F.count(F.lit(1)).alias("n_orders"),
+                       fsum(F.col("o_totalprice")).alias("total_price")))
+
+
+def distinct_users_daily(events: DataFrame) -> DataFrame:
+    """Per-day exact distinct users. Day as ISO string: date-typed
+    outputs hit datetime-resolution mismatches between engines."""
+    return (events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+                  .agg(F.count_distinct(F.col("user_id")).alias("n_users"),
+                       F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,131 @@
+"""DuckDB oracles for the general-analytics operators
+(operators/analytics.py). Fixed-point sums mirror ``fsum``:
+sum(cast(round(x*1e6) as bigint)) / 1e6 — associative integer
+addition, so Spark partial aggregation and DuckDB agree exactly.
+"""
+
+from __future__ import annotations
+
+from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+    EVENT_TYPES,
+    Q1_CUTOFF,
+    Q3_DATE,
+    Q3_SEGMENT,
+    Q5_FROM,
+    Q5_REGION,
+    Q5_TO,
+    Q6_FROM,
+    Q6_TO,
+    SCALE,
+    SESSION_GAP_US,
+    WINDOW_US,
+)
+
+
+def _fsum(expr: str) -> str:
+    return f"(sum(CAST(round(({expr}) * {SCALE}) AS BIGINT)) / {float(SCALE)!r})"
+
+
+def _favg(expr: str) -> str:
+    return f"({_fsum(expr)} / count(*))"
+
+
+def analytics_oracles() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       {_fsum('l_quantity')} AS sum_qty,
+       {_fsum('l_extendedprice')} AS sum_base_price,
+       {_fsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_fsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_favg('l_quantity')} AS avg_qty,
+       {_favg('l_extendedprice')} AS avg_price,
+       {_favg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q3_shipping_priority": f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10""",
+        "q5_local_supplier": f"""
+SELECT n_name, {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q5_TO}'
+GROUP BY 1 ORDER BY revenue DESC, n_name""",
+        "q6_forecast_revenue": f"""
+SELECT {_fsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO}'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "top_customers": f"""
+WITH spend AS (
+  SELECT o_custkey, {_fsum('o_totalprice')} AS total_spend, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT c_custkey, c_name, c_mktsegment, total_spend, n_orders,
+         CAST(row_number() OVER (ORDER BY total_spend DESC, c_custkey) AS INTEGER) AS rnk
+  FROM spend JOIN customer ON o_custkey = c_custkey
+)
+SELECT * FROM ranked WHERE rnk <= 20 ORDER BY rnk""",
+        "sessionize": f"""
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN (ts_us - lag(ts_us) OVER w) > {SESSION_GAP_US} THEN 1
+                 WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       count(*) AS n_events, {_fsum('value')} AS total_value
+FROM sess GROUP BY 1, 2""",
+        "windowed_counts": f"""
+SELECT epoch_us(ts) - (epoch_us(ts) % {WINDOW_US}) AS window_start_us,
+       event_type, count(*) AS n_events, {_fsum('value')} AS total_value
+FROM events GROUP BY 1, 2""",
+        "event_funnel": """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+        "pivot_events": "SELECT user_id, "
+        + ", ".join(
+            f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1",
+        "rollup_orders": f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {_fsum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "distinct_users_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1""",
+    }

@@ -48,3 +48,30 @@ for _name, _op in [
     ("merchant_risk", fraud.merchant_risk),
 ]:
     register(_name, _events_query(_op), _FRAUD_ORACLES[_name])
+
+
+from real_time_fraud_detection_flink_kafka_spark.operators import analytics
+from real_time_fraud_detection_flink_kafka_spark.oracles_analytics import analytics_oracles
+
+_ANALYTICS_ORACLES = analytics_oracles()
+
+_ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(load_table(s, d, "lineitem")),
+    "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+    "q5_local_supplier": lambda s, d: analytics.q5_local_supplier(
+        load_table(s, d, "region"), load_table(s, d, "nation"),
+        load_table(s, d, "customer"), load_table(s, d, "supplier"),
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+    "q6_forecast_revenue": lambda s, d: analytics.q6_forecast_revenue(load_table(s, d, "lineitem")),
+    "top_customers": lambda s, d: analytics.top_customers(
+        load_table(s, d, "customer"), load_table(s, d, "orders")),
+    "sessionize": lambda s, d: analytics.sessionize(load_table(s, d, "events")),
+    "windowed_counts": lambda s, d: analytics.windowed_counts(load_table(s, d, "events")),
+    "event_funnel": lambda s, d: analytics.event_funnel(load_table(s, d, "events")),
+    "pivot_events": lambda s, d: analytics.pivot_events(load_table(s, d, "events")),
+    "rollup_orders": lambda s, d: analytics.rollup_orders(load_table(s, d, "orders")),
+    "distinct_users_daily": lambda s, d: analytics.distinct_users_daily(load_table(s, d, "events")),
+}
+for _name, _fn in _ANALYTICS_BUILDERS.items():
+    register(_name, _fn, _ANALYTICS_ORACLES[_name])
