@@ -1,0 +1,222 @@
+"""Deduplication operators over the `documents` table (SURVEY §2
+#26-29): the training-data-pipeline dedup family.
+
+Scale design:
+- `dedup_exact` — one hash-groupBy on md5(text): the only full-data
+  shuffle is on a 32-byte key, never the document body.
+- `dedup_ngram_jaccard` — EXACT pairwise Jaccard via a shingle
+  self-join. This is the correctness baseline/oracle; its candidate
+  blow-up is quadratic in shingle document-frequency, so at 100 TB it
+  is only run on candidate pairs produced by LSH.
+- `dedup_minhash_lsh` — the scale path: shingle → 16 portable minhash
+  permutations → 8 banded buckets (r=2) → candidate pairs from bucket
+  joins → exact-Jaccard verification of candidates only. Shuffle
+  volume is O(docs × bands), independent of pair count. At a 0.8
+  threshold the r=2/b=8 curve catches j≥0.8 pairs with
+  P ≈ 1-(1-0.64)^8 ≈ 0.9997 (and ≈1 for the near-identical dups this
+  pipeline hunts), so verified LSH output equals the exact baseline —
+  which is exactly what the oracle checks.
+- `dedup_simhash` — 60-bit SimHash with 4×15-bit band buckets and
+  hamming≤3 verification. Deterministic (no sampling), so the oracle
+  mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits each
+HAMMING_MAX = 3
+
+
+def _words(text):
+    return F.split(F.trim(text), " ")
+
+
+def shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh_set) — DISTINCT word n-gram array per document.
+    Computed row-local (no explode/shuffle)."""
+    ws = _words(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.array_distinct(grams).alias("sh_set"))
+
+
+def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct n-grams (for self-joins)."""
+    return shingle_sets(documents, n).select(
+        "doc_id", F.explode("sh_set").alias("shingle"))
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: canonical doc per identical text + copy count."""
+    return (documents.groupBy(F.md5("text").alias("text_md5"))
+                     .agg(F.min("doc_id").alias("canonical_doc_id"),
+                          F.count(F.lit(1)).alias("n_copies"))
+                     .select("canonical_doc_id", "n_copies", "text_md5"))
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """Jaccard for all co-shingled pairs from a (doc_id, shingle) frame."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+               .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+               .agg(F.count(F.lit(1)).alias("n_common")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = common.join(na, "doc_a").join(nb, "doc_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def dedup_ngram_jaccard(documents: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs (baseline path)."""
+    pairs = _pair_jaccard(shingles(documents))
+    return pairs.where(pairs["jaccard"] >= threshold)
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """doc_id + sh_set + m0..m{N_PERM-1} minhash columns (portable
+    md5-based). Entirely row-local and single-pass: one fused fold
+    computes the md5 base per shingle ONCE and element-wise-mins all
+    permutations (see hashing.minhash_sig_array) — separate per-perm
+    expressions would get their md5 subtrees re-inlined by Catalyst's
+    projection collapse and cost N_PERM× the hashing."""
+    sets = shingle_sets(documents).withColumn(
+        "sig", H.minhash_sig_array(F.col("sh_set")))
+    return sets.select("doc_id", "sh_set",
+                       *[F.col("sig")[i].alias(f"m{i}") for i in range(H.N_PERM)])
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH: distinct candidate pairs sharing any band bucket."""
+    r = H.N_PERM // H.N_BANDS
+    assert r == 2
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("band_idx"),
+                 (F.col(f"m{2 * j}") * H.P + F.col(f"m{2 * j + 1}")).alias("band_key"))
+        for j in range(H.N_BANDS)
+    ])
+    e = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def dedup_minhash_lsh(documents: DataFrame,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash-LSH candidates, verified with exact Jaccard (scale path).
+
+    Verification is per candidate PAIR via set-array intersection —
+    O(candidate_pairs × shingles/doc) — never a shingle self-join
+    over candidate docs (which degenerates to the exact quadratic
+    path when the corpus is duplicate-heavy: every doc is then a
+    candidate).
+
+    Exact duplicates are collapsed FIRST (md5 groupBy): shingling,
+    minhashing and verification run only on unique texts, and results
+    expand back to all member pairs — identical texts have Jaccard
+    exactly 1.0 (intra-cluster) or their representatives' Jaccard
+    (inter-cluster). On duplicate-heavy corpora (the norm in web
+    crawls) this shrinks the LSH input by the duplication factor.
+
+    Output schema/content matches `dedup_ngram_jaccard` whenever the
+    band curve catches every pair above threshold (see module doc)."""
+    members = documents.select(
+        "doc_id", F.md5("text").alias("text_md5"))
+    reps = (members.groupBy("text_md5")
+                   .agg(F.min("doc_id").alias("rep_id")))
+    members = members.join(F.broadcast(reps), "text_md5")
+    rep_docs = documents.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("doc_id"))), "doc_id")
+
+    # LSH + per-pair set-intersection verification on unique texts only
+    sig = minhash_signatures(rep_docs)
+    cand = lsh_candidates(sig)
+    sets = sig.select("doc_id", "sh_set")
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = inter / (F.size("set_a") + F.size("set_b") - inter)
+    rep_pairs = (j.select(F.col("doc_a").alias("rep_a"), F.col("doc_b").alias("rep_b"),
+                          F.round(jac, 6).alias("jaccard"))
+                  .where(F.round(jac, 6) >= threshold))
+
+    # expand: intra-cluster pairs (jaccard exactly 1.0) ...
+    ma = members.select(F.col("rep_id").alias("r"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep_id").alias("r"), F.col("doc_id").alias("db"))
+    intra = (ma.join(mb, "r")
+               .where(F.col("da") < F.col("db"))
+               .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                       F.lit(1.0).alias("jaccard")))
+    # ... and inter-cluster pairs at their representatives' jaccard
+    mra = members.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da"))
+    mrb = members.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db"))
+    inter_pairs = (rep_pairs.join(mra, "rep_a").join(mrb, "rep_b")
+                   .select(F.least("da", "db").alias("doc_a"),
+                           F.greatest("da", "db").alias("doc_b"),
+                           "jaccard"))
+    return intra.unionByName(inter_pairs)
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per doc over word tokens (term-frequency weighted).
+
+    Fully distributed: explode tokens → token hash + tf → explode 60
+    bit positions → per-(doc, bit) weighted sums → recombine."""
+    toks = (documents.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+                     .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+                     .withColumn("h", H.md5_int60(F.col("tok"))))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h", "tf")
+    contrib = F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1,
+                     F.col("tf")).otherwise(-F.col("tf"))
+    per_bit = (bits.groupBy("doc_id", "bit")
+                   .agg(F.sum(contrib).alias("s")))
+    bit_val = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+    return per_bit.groupBy("doc_id").agg(F.sum(bit_val).cast("bigint").alias("simhash"))
+
+
+def dedup_simhash(documents: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= hamming_max,
+    candidates from 4×15-bit band buckets (deterministic, oracle-exact)."""
+    sig = simhash_signatures(documents)
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("band_idx"),
+                 F.shiftright(F.col("simhash"), 15 * j).bitwiseAND((1 << 15) - 1).alias("band_key"))
+        for j in range(SIMHASH_BANDS)
+    ])
+    e = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+                .where(F.col("hamming") <= hamming_max))

@@ -1,0 +1,120 @@
+"""Similarity search over the `embeddings` table (SURVEY §2 #30-32).
+
+- `ann_topk` — brute-force cosine top-k: broadcast the (small) query
+  set against a single scan of the corpus; no shuffle except the
+  final per-query top-k. Linear in corpus size — the exact baseline.
+- `ann_lsh` — random-hyperplane LSH: 8 deterministic hyperplanes →
+  256 buckets → candidate pairs only within a bucket. Shuffle is
+  O(n) on an 8-bit key; the quadratic blow-up is bounded by bucket
+  occupancy. The scale path for all-pairs similarity at 100 TB.
+- `dedup_embedding_cosine` — near-dup pairs by cosine ≥ τ. Brute
+  force all-pairs as the correctness baseline (quadratic — bounded
+  to a slice here; at scale you run `ann_lsh` and verify its
+  candidates instead, same pattern as MinHash→Jaccard).
+
+All dot products are JVM-side higher-order folds over
+``array<double>`` (left-to-right, mirroring DuckDB's list_dot_product
+accumulation order so oracle doubles match bitwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_QUERIES = 10
+TOP_K = 5
+COS_THRESHOLD = 0.45
+N_HYPERPLANES = 8
+BRUTE_MAX_ID = 1500  # baseline slice bound for the quadratic path
+
+
+def _lcg_floats(n: int, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random floats in [-1, 1] (shared with the
+    oracle as literals)."""
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(((state >> 11) % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+DIM = 64
+HYPERPLANES: list[list[float]] = [
+    _lcg_floats(DIM, seed=7 + i) for i in range(N_HYPERPLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _vecs(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+
+def ann_topk(embeddings: DataFrame, k: int = TOP_K,
+             n_queries: int = N_QUERIES) -> DataFrame:
+    """Exact cosine top-k for the first `n_queries` vectors: broadcast
+    queries × corpus scan, per-query top-k."""
+    e = _vecs(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"), "v")
+    j = cand.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine(F.col("qv"), F.col("v"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k)
+             .select("query_id", "neighbor_id",
+                     F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
+
+
+def lsh_signature(v: Column) -> Column:
+    """8-bit random-hyperplane signature (sign bits)."""
+    sig = F.lit(0)
+    for i, hp in enumerate(HYPERPLANES):
+        h = F.array(*[F.lit(x) for x in hp])
+        sig = sig + F.when(dot(v, h) > 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
+    """Bucketed all-pairs: candidates share the hyperplane bucket,
+    then exact-cosine verified. Scale path (bounded bucket joins)."""
+    e = _vecs(embeddings).withColumn("bucket", lsh_signature(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (pairs.select(F.col("a.vec_id").alias("vec_a"),
+                         F.col("b.vec_id").alias("vec_b"),
+                         F.col("a.bucket").alias("bucket"),
+                         cos.alias("cos_raw"))
+                 .where(F.col("cos_raw") >= threshold)
+                 .select("vec_a", "vec_b", "bucket",
+                         F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+def dedup_embedding_cosine(embeddings: DataFrame,
+                           threshold: float = COS_THRESHOLD,
+                           max_id: int = BRUTE_MAX_ID) -> DataFrame:
+    """Brute-force near-dup pairs on a bounded slice (baseline for the
+    LSH path; quadratic by construction)."""
+    e = _vecs(embeddings).where(F.col("vec_id") < max_id)
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (pairs.select(F.col("a.vec_id").alias("vec_a"),
+                         F.col("b.vec_id").alias("vec_b"),
+                         cos.alias("cos_raw"))
+                 .where(F.col("cos_raw") >= threshold)
+                 .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")))

@@ -1,0 +1,220 @@
+"""DuckDB oracles for the LLM-data-pipeline operators (dedup,
+similarity, text analysis). Hashes mirror functions/hashing.py's
+md5-based portable scheme exactly; see that module."""
+
+from __future__ import annotations
+
+from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+    N_PERM,
+    P,
+    md5_int60_sql,
+    rolling_hash_sql,
+)
+from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    SHINGLE_N,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import MODALITIES
+from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+    BRUTE_MAX_ID,
+    COS_THRESHOLD,
+    HYPERPLANES,
+    N_QUERIES,
+    TOP_K,
+)
+from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS,
+)
+
+_SHINGLE_CTE = f"""w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SHINGLE_N - 1})) AS i FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+  FROM ex
+)"""
+
+_JACCARD_SQL = f"""WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}"""
+
+
+def llm_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": """
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
+       md5(text) AS text_md5
+FROM documents GROUP BY md5(text)""",
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        # verified-LSH output == exact output at this data's dup
+        # profile (r=2/b=8 band curve; see operators/dedup.py docs)
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS tf, {md5_int60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, b.bit, h, tf
+  FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, simhash, j AS band_idx, (simhash >> (15 * j)) & 32767 AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS j) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
+        **_similarity_oracles(),
+        **_text_oracles(),
+        **_multimodal_oracles(),
+    }
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
+
+
+def _hp_literal(hp: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in hp) + "]"
+
+
+def _similarity_oracles() -> dict[str, str]:
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_hp_literal(hp)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, hp in enumerate(HYPERPLANES)
+    )
+    return {
+        "ann_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+j AS (
+  SELECT query_id, e.vec_id AS neighbor_id, {_cos_sql('qv', 'v')} AS cos_raw
+  FROM q, e WHERE e.vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM j
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOP_K}""",
+        "ann_lsh": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v, ({sig}) AS bucket FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+       round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}""",
+        "dedup_embedding_cosine": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}""",
+    }
+
+
+def _str_list(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+def _text_oracles() -> dict[str, str]:
+    ws = "string_split(trim(text), ' ')"
+    n_words = f"len({ws})"
+    n_stop = f"len(list_filter({ws}, w -> list_contains({_str_list(STOPWORDS)}, w)))"
+    n_uniq = f"len(list_distinct({ws}))"
+    avg_wlen = f"((length(text) - ({n_words} - 1)) / {n_words})"
+    stop_ratio = f"({n_stop} / {n_words})"
+    uniq_ratio = f"({n_uniq} / {n_words})"
+    score = (f"(least({n_words} / 100.0, 1.0) * 0.3"
+             f" + (1 - {stop_ratio}) * 0.2"
+             f" + least({avg_wlen} / 8.0, 1.0) * 0.2"
+             f" + {uniq_ratio} * 0.3)")
+    # fold mirroring textops.lang_id exactly (strict > keeps earlier lang)
+    best_lang, best_score = f"'{LANG_MARKERS[0][0]}'", "-1"
+    for lang, markers in LANG_MARKERS:
+        s = f"len(list_filter({ws}, w -> list_contains({_str_list(markers)}, w)))"
+        best_lang = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+    return {
+        "token_count": f"""
+SELECT doc_id,
+       CAST({n_words} AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents""",
+        "quality_score": f"""
+SELECT doc_id,
+       CAST({n_words} AS INTEGER) AS n_words,
+       round({stop_ratio}, 6) AS stopword_ratio,
+       round({uniq_ratio}, 6) AS uniq_ratio,
+       round({avg_wlen}, 6) AS avg_word_len,
+       round({score}, 6) AS quality
+FROM documents""",
+        "lang_id": f"""
+SELECT doc_id, lang AS lang_declared,
+       {best_lang} AS lang_pred,
+       CAST({best_score} AS INTEGER) AS marker_hits
+FROM documents""",
+        "doc_fingerprint": f"""
+SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
+    }
+
+
+def _multimodal_oracles() -> dict[str, str]:
+    mod_case = "".join(
+        f" WHEN {i} THEN '{m}'" for i, m in enumerate(MODALITIES)
+    )
+    return {
+        "multimodal_meta": f"""
+SELECT doc_id,
+       (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,
+       source,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents""",
+    }

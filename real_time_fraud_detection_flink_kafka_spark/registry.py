@@ -75,3 +75,32 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
+
+
+from real_time_fraud_detection_flink_kafka_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
+from real_time_fraud_detection_flink_kafka_spark.oracles_llm import llm_oracles
+
+_LLM_ORACLES = llm_oracles()
+
+_LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(load_table(s, d, "documents")),
+    "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(load_table(s, d, "documents")),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
+    "ann_topk": lambda s, d: similarity.ann_topk(load_table(s, d, "embeddings")),
+    "ann_lsh": lambda s, d: similarity.ann_lsh(load_table(s, d, "embeddings")),
+    "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
+    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
+    "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
+    "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
+    "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
+    "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
+}
+for _name, _fn in _LLM_BUILDERS.items():
+    register(_name, _fn, _LLM_ORACLES.get(_name))
