@@ -104,3 +104,56 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
+
+
+# --- sources & streaming ----------------------------------------------------
+# The stream_* entries run REAL Structured Streaming jobs (file source
+# → stateful detector / windowed agg → memory or parquet sink) and
+# return the drained result, sharing the batch analogs' oracles: the
+# streaming path is held to the same t2 gate as batch.
+
+from real_time_fraud_detection_flink_kafka_spark.oracles_sources import generator_oracle
+from real_time_fraud_detection_flink_kafka_spark.sources.generator import generate_transactions
+
+
+def _txn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_transactions(spark)
+
+
+register("txn_generator", _txn_generator, generator_oracle())
+
+_STREAM_COUNTER = {"n": 0}
+
+
+def _stream_fraud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.fraud_stream import (
+        run_stream_over_events_dir,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_stream_over_events_dir(
+        spark, sf_dir, CFG, query_name=f"fraud_stream_{_STREAM_COUNTER['n']}")
+
+
+def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
+        run_windowed_counts_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_windowed_counts_stream(
+        spark, sf_dir, query_name=f"windowed_stream_{_STREAM_COUNTER['n']}")
+
+
+def _stream_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from real_time_fraud_detection_flink_kafka_spark.streaming.router import run_alert_router
+
+    out = run_alert_router(spark, sf_dir, CFG, tempfile.mkdtemp(prefix="alert_router_"))
+    return out["fraud_alerts"]
+
+
+register("stream_fraud_detector", _stream_fraud, _FRAUD_ORACLES["fraud_scores"])
+register("stream_windowed_counts", _stream_windowed, _ANALYTICS_ORACLES["windowed_counts"])
+register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])

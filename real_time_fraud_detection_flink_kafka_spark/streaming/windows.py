@@ -1,0 +1,43 @@
+"""Streaming windowed aggregation with event-time watermarks — the
+Structured-Streaming counterpart of the reference's event-time
+processing (watermarks at fraud_detection.py:182-188) applied to
+tumbling-window counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
+                           watermark: str = "5 seconds") -> DataFrame:
+    """Tumbling-window per-type counts. With a watermark + append mode
+    a window emits once it can no longer receive late data."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (events.groupBy(F.window("ts", window), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+                        / 1_000_000.0).alias("total_value"))
+                  .select(F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                          "event_type", "n_events", "total_value"))
+
+
+def run_windowed_counts_stream(spark, sf_dir: str,
+                               query_name: str = "windowed_stream") -> DataFrame:
+    """Bounded run over the events table via a file stream; complete
+    output mode so every window (incl. the last, never-closed one)
+    lands in the memory sink — result equals the batch operator."""
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream = _normalize_ns(stream, ["ts"])
+    out = windowed_counts_stream(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

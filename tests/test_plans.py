@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the scale-critical properties must be
+visible in the executed plan, not just hoped for — pushdown reaches
+the parquet scan, dims broadcast, no Python UDFs in JVM-expressible
+operators, and the fraud pipeline uses exactly one exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_fraud_detection_flink_kafka_spark.config import RuleConfig
+from real_time_fraud_detection_flink_kafka_spark.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in scan_line and "l_discount" in scan_line
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 4 needed columns of 11 are read
+    assert "l_extendedprice" in scan and "l_returnflag" not in scan and "l_orderkey" not in scan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_fraud_scores_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fraud_scores")
+    # one hash partitioning by card_id feeds both window functions
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pythonUDF" not in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["fraud_scores", "q1_pricing_summary",
+                                  "sessionize", "token_count", "doc_fingerprint",
+                                  "dedup_exact", "lang_id"])
+def test_no_python_udf_in_jvm_operators(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_decode_uses_arrow_python(spark, sf_dir):
+    # the ONE operator allowed Python: mapInPandas (Arrow-batched)
+    plan = _plan(spark, sf_dir, "multimodal_decode")
+    assert "MapInPandas" in plan
