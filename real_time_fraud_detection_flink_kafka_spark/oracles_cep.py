@@ -1,0 +1,35 @@
+"""DuckDB oracles for CEP/join-type operators (operators/cep.py)."""
+
+from __future__ import annotations
+
+from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+    LARGE_MIN,
+    MIN_PROBES,
+    SEQ_WINDOW_US,
+    SMALL_MAX,
+)
+from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
+
+
+def cep_oracles() -> dict[str, str]:
+    return {
+        "cep_card_testing": f"""WITH {TX_CTE},
+p AS (
+  SELECT *,
+    CAST(coalesce(sum(CASE WHEN amount < {SMALL_MAX!r} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY card_id ORDER BY ts_us
+               RANGE BETWEEN {SEQ_WINDOW_US} PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_probes
+  FROM tx
+)
+SELECT event_id, card_id, amount, n_probes, ts_us
+FROM p WHERE amount > {LARGE_MIN!r} AND n_probes >= {MIN_PROBES}""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')""",
+        "customers_with_big_orders": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""",
+    }

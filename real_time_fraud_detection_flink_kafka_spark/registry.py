@@ -157,3 +157,26 @@ def _stream_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("stream_fraud_detector", _stream_fraud, _FRAUD_ORACLES["fraud_scores"])
 register("stream_windowed_counts", _stream_windowed, _ANALYTICS_ORACLES["windowed_counts"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
+
+
+# --- CEP & join-type operators ---------------------------------------------
+
+from real_time_fraud_detection_flink_kafka_spark.operators import cep
+from real_time_fraud_detection_flink_kafka_spark.oracles_cep import cep_oracles
+
+_CEP_ORACLES = cep_oracles()
+
+register("cep_card_testing",
+         lambda s, d: cep.cep_card_testing(load_table(s, d, "events")),
+         _CEP_ORACLES["cep_card_testing"])
+register("customers_without_orders",
+         lambda s, d: cep.customers_without_orders(
+             load_table(s, d, "customer"), load_table(s, d, "orders")),
+         _CEP_ORACLES["customers_without_orders"])
+register("customers_with_big_orders",
+         lambda s, d: cep.customers_with_big_orders(
+             load_table(s, d, "customer"), load_table(s, d, "orders")),
+         _CEP_ORACLES["customers_with_big_orders"])
+register("distinct_users_approx",
+         lambda s, d: cep.distinct_users_approx(load_table(s, d, "events")),
+         None)  # HLL sketch values are engine-specific

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+    cep_card_testing,
+    distinct_users_approx,
+)
+from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+SEC_US = 1_000_000
+
+
+def test_cep_pattern_on_known_sequence(spark):
+    # card A: probe, probe, large → match; card B: one probe, large → no
+    rows = [
+        (1, 0, "purchase", 2.0, '{"k": 0}'),
+        (2, 0, "purchase", 3.0, '{"k": 0}'),
+        (3, 0, "purchase", 250.0, '{"k": 0}'),
+        (4, 1, "purchase", 2.0, '{"k": 0}'),
+        (5, 1, "purchase", 250.0, '{"k": 0}'),
+    ]
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(eid, base + datetime.timedelta(seconds=eid * 60), uid, et, v, p)
+            for eid, uid, et, v, p in rows]
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    got = {(r.event_id, r.n_probes) for r in cep_card_testing(events).collect()}
+    assert got == {(3, 2)}
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    df = distinct_users_approx(load_table(spark, sf_dir, "events")).collect()
+    assert len(df) == 5
+    for r in df:
+        assert abs(r.n_users_approx - r.n_users_exact) <= max(2, 0.15 * r.n_users_exact)
