@@ -32,4 +32,24 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""",
+        "asof_event_order": """
+WITH u AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_order, event_id,
+         CAST(NULL AS BIGINT) AS o_orderkey,
+         CAST(NULL AS BIGINT) AS o_ts_us,
+         CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM events
+  UNION ALL
+  SELECT o_custkey, epoch_us(o_orderdate), 1, NULL,
+         o_orderkey, epoch_us(o_orderdate), o_totalprice
+  FROM orders
+)
+SELECT event_id, k AS user_id, t AS ts_us,
+       last_value(o_orderkey IGNORE NULLS) OVER w AS last_orderkey,
+       last_value(o_ts_us IGNORE NULLS) OVER w AS last_order_ts_us,
+       last_value(o_totalprice IGNORE NULLS) OVER w AS last_totalprice
+FROM u
+WINDOW w AS (PARTITION BY k ORDER BY t, is_order DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY is_order = 0""",
     }

@@ -180,3 +180,10 @@ register("customers_with_big_orders",
 register("distinct_users_approx",
          lambda s, d: cep.distinct_users_approx(load_table(s, d, "events")),
          None)  # HLL sketch values are engine-specific
+
+from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
+
+register("asof_event_order",
+         lambda s, d: asof_event_order(load_table(s, d, "events"),
+                                       load_table(s, d, "orders")),
+         _CEP_ORACLES["asof_event_order"])
