@@ -187,3 +187,35 @@ register("asof_event_order",
          lambda s, d: asof_event_order(load_table(s, d, "events"),
                                        load_table(s, d, "orders")),
          _CEP_ORACLES["asof_event_order"])
+
+
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import run_dedup_stream
+
+    _STREAM_COUNTER["n"] += 1
+    return run_dedup_stream(spark, sf_dir, f"dedup_stream_{_STREAM_COUNTER['n']}")
+
+
+def _stream_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_interval_join_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_interval_join_stream(spark, sf_dir, f"ssjoin_stream_{_STREAM_COUNTER['n']}")
+
+
+register("stream_dedup_events", _stream_dedup, """
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+      FROM events) WHERE rn = 1""")
+register("stream_interval_join", _stream_ssjoin, """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+       epoch_us(p.ts) AS purchase_ts_us, epoch_us(e.ts) AS error_ts_us,
+       p.value AS purchase_value
+FROM events p
+JOIN events e
+  ON p.event_type = 'purchase' AND e.event_type = 'error'
+ AND p.user_id = e.user_id
+ AND e.ts > p.ts - INTERVAL 600 SECONDS
+ AND e.ts <= p.ts""")
