@@ -39,6 +39,7 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "multimodal_decode",
+    "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
 ]
 
 
