@@ -162,11 +162,15 @@ def _str_list(xs: list[str]) -> str:
     return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
 
-def _text_oracles() -> dict[str, str]:
-    ws = "string_split(trim(text), ' ')"
-    n_words = f"len({ws})"
-    n_stop = f"len(list_filter({ws}, w -> list_contains({_str_list(STOPWORDS)}, w)))"
-    n_uniq = f"len(list_distinct({ws}))"
+WS = "string_split(trim(text), ' ')"
+
+
+def _quality_parts() -> dict[str, str]:
+    """Quality-score SQL fragments (mirror textops.quality_score);
+    reusable over any relation exposing a `text` column."""
+    n_words = f"len({WS})"
+    n_stop = f"len(list_filter({WS}, w -> list_contains({_str_list(STOPWORDS)}, w)))"
+    n_uniq = f"len(list_distinct({WS}))"
     avg_wlen = f"((length(text) - ({n_words} - 1)) / {n_words})"
     stop_ratio = f"({n_stop} / {n_words})"
     uniq_ratio = f"({n_uniq} / {n_words})"
@@ -174,6 +178,15 @@ def _text_oracles() -> dict[str, str]:
              f" + (1 - {stop_ratio}) * 0.2"
              f" + least({avg_wlen} / 8.0, 1.0) * 0.2"
              f" + {uniq_ratio} * 0.3)")
+    return {"n_words": n_words, "stop_ratio": stop_ratio,
+            "uniq_ratio": uniq_ratio, "avg_wlen": avg_wlen, "score": score}
+
+
+def _text_oracles() -> dict[str, str]:
+    ws = WS
+    p = _quality_parts()
+    n_words, stop_ratio, uniq_ratio = p["n_words"], p["stop_ratio"], p["uniq_ratio"]
+    avg_wlen, score = p["avg_wlen"], p["score"]
     # fold mirroring textops.lang_id exactly (strict > keeps earlier lang)
     best_lang, best_score = f"'{LANG_MARKERS[0][0]}'", "-1"
     for lang, markers in LANG_MARKERS:
@@ -203,6 +216,38 @@ FROM documents""",
         "doc_fingerprint": f"""
 SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
     }
+
+
+def corpus_prep_oracle(min_quality: float) -> str:
+    """Full prep pipeline mirror: exact dedup → near-dup drop →
+    quality gate → stats + fingerprint."""
+    p = _quality_parts()
+    return f"""
+WITH kept1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
+w AS (SELECT doc_id, {WS} AS ws FROM d1),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SHINGLE_N - 1})) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle FROM ex),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_b FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+SELECT doc_id,
+       CAST({p['n_words']} AS INTEGER) AS n_words,
+       round({p['uniq_ratio']}, 6) AS uniq_ratio,
+       round({p['score']}, 6) AS quality,
+       {rolling_hash_sql(WS)} AS fingerprint
+FROM d2
+WHERE round({p['score']}, 6) >= {min_quality!r}"""
 
 
 def _multimodal_oracles() -> dict[str, str]:

@@ -205,6 +205,16 @@ def _stream_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_interval_join_stream(spark, sf_dir, f"ssjoin_stream_{_STREAM_COUNTER['n']}")
 
 
+from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+    MIN_QUALITY,
+    corpus_prep,
+)
+from real_time_fraud_detection_flink_kafka_spark.oracles_llm import corpus_prep_oracle
+
+register("corpus_prep",
+         lambda s, d: corpus_prep(load_table(s, d, "documents")),
+         corpus_prep_oracle(MIN_QUALITY))
+
 register("stream_dedup_events", _stream_dedup, """
 SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
 FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
