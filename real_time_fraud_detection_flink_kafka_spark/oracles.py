@@ -65,11 +65,13 @@ TX_CTE = f"""tx AS (
 )"""
 
 
-def _scored_cte(cfg: RuleConfig) -> str:
+def _scored_cte(cfg: RuleConfig, tx_cte: str | None = None) -> str:
+    """Scoring CTE chain over any tx source CTE exposing
+    (event_id, card_id, amount, location, ts_us)."""
     w_us = cfg.rapid_window_ms * 1000
     t_us = cfg.impossible_travel_ms * 1000
     hav = _haversine("prev_loc", "location")
-    return f"""WITH {TX_CTE},
+    return f"""WITH {tx_cte if tx_cte is not None else TX_CTE},
 win AS (
   SELECT *,
     count(*) OVER (PARTITION BY card_id ORDER BY ts_us

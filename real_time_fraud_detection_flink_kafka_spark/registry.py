@@ -122,6 +122,39 @@ def _txn_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("txn_generator", _txn_generator, generator_oracle())
 
+from real_time_fraud_detection_flink_kafka_spark.oracles_generated import generated_oracles
+from real_time_fraud_detection_flink_kafka_spark.sources.generator import (
+    generate_transactions_chained,
+)
+
+_GEN_ORACLES = generated_oracles()
+
+
+def _txn_generator_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return generate_transactions_chained(spark)
+
+
+def _generated_fraud_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE reference system — producer (chained per-card event
+    times, fraud-pattern mix) through the rule detector with the
+    reference's own constants (200 / 10 s / 3 / 120 s) — as one
+    declarative DAG. VELOCITY bursts and IMPOSSIBLE_TRAVEL jumps in
+    the generated stream trip the same rules they were designed to
+    trip in the Flink job."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.fraud import (
+        OUTPUT_COLS,
+        with_rule_columns,
+    )
+
+    tx = generate_transactions_chained(spark)
+    return with_rule_columns(tx, RuleConfig()).select(*OUTPUT_COLS)
+
+
+register("txn_generator_chained", _txn_generator_chained,
+         _GEN_ORACLES["txn_generator_chained"])
+register("generated_fraud_scores", _generated_fraud_scores,
+         _GEN_ORACLES["generated_fraud_scores"])
+
 _STREAM_COUNTER = {"n": 0}
 
 

@@ -101,6 +101,57 @@ def generate_transactions(spark: SparkSession, n: int = GENERATOR_N) -> DataFram
     return spark.range(n).select(*[c.alias(name) for name, c in cols.items()])
 
 
+def generate_transactions_chained(spark: SparkSession,
+                                  n: int = GENERATOR_N) -> DataFrame:
+    """Producer-faithful variant (batch): per-card CHAINED event times
+    (each card's next event 1-5 s after its previous one; impossible-
+    travel events exactly 90 s after with a forced location change —
+    producer get_event_time/:73-77). Two window functions over one
+    card partition; row-local everywhere else.
+
+    The location change approximates 'differs from the previous
+    event's base pick' (exact previous-final-location recursion isn't
+    expressible without sequential state; rule-firing behavior is
+    preserved)."""
+    from pyspark.sql import Window
+
+    card_i = _h("card") % len(CUSTOMER_CARDS)
+    fraud_pct = _h("fraud") % 100
+    fraud_type = F.lit(FRAUD_TYPES[-1])
+    for ft, cum in zip(reversed(FRAUD_TYPES), reversed(FRAUD_CUM_PCT)):
+        fraud_type = F.when(fraud_pct < cum, F.lit(ft)).otherwise(fraud_type)
+    cents = _h("amt")
+    amount = (
+        F.when(fraud_type == "CARD_TESTING", 100 + cents % 401)
+         .when(fraud_type == "VELOCITY", 8000 + cents % 12001)
+         .otherwise(2000 + cents % 28001)
+    ) / 100.0
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("evt-"), F.col("id").cast("string")).alias("event_id"),
+        _pick(card_i, [k for _, k in CUSTOMER_CARDS]).alias("card_id"),
+        fraud_type.alias("event_type"),
+        amount.alias("amount"),
+        (_h("loc") % len(LOCATIONS)).alias("base_loc_idx"),
+        (_h("locjump") % (len(LOCATIONS) - 1)).alias("loc_jump"),
+        F.when(fraud_type == "IMPOSSIBLE_TRAVEL", 90)
+         .otherwise(1 + _h("gap") % 5).alias("gap_s"),
+    )
+    w = Window.partitionBy("card_id").orderBy("id")
+    off_s = F.sum("gap_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    prev_idx = F.lag("base_loc_idx").over(w)
+    g = base.withColumns({"off_s": off_s, "prev_idx": prev_idx})
+    final_idx = F.when(
+        (g["event_type"] == "IMPOSSIBLE_TRAVEL") & g["prev_idx"].isNotNull(),
+        (g["prev_idx"] + 1 + g["loc_jump"]) % len(LOCATIONS),
+    ).otherwise(g["base_loc_idx"])
+    return g.select(
+        "event_id", "card_id", "event_type", "amount",
+        _pick(final_idx, LOCATIONS).alias("location"),
+        (F.lit(BASE_TS_US) + g["off_s"] * 1_000_000).cast("bigint").alias("ts_us"),
+    )
+
+
 def generate_transactions_stream(spark: SparkSession,
                                  rows_per_second: int = 100) -> DataFrame:
     """Unbounded variant: rate source → same deterministic columns
