@@ -28,10 +28,14 @@ def corpus_prep(documents: DataFrame,
                 jaccard_threshold: float = JACCARD_THRESHOLD,
                 min_quality: float = MIN_QUALITY) -> DataFrame:
     """Kept documents with their stats after the full prep pipeline."""
-    # 1. exact dedup: canonical doc per identical text
-    keep1 = dedup_exact(documents).select(
-        F.col("canonical_doc_id").alias("doc_id"))
-    d1 = documents.join(keep1, "doc_id")
+    # 1. exact dedup: canonical doc per identical text — a window
+    # filter (one shuffle), not a groupBy+self-join
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    d1 = (documents.withColumn("_rn", rn).where(F.col("_rn") == 1)
+                   .drop("_rn"))
     # 2. near-dup removal: drop the larger doc of each verified pair
     pairs = dedup_minhash_lsh(d1, threshold=jaccard_threshold)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
