@@ -74,3 +74,50 @@ def multimodal_decode(documents: DataFrame) -> DataFrame:
     """Decode pipeline: binary payloads → mapInPandas(stub decoder).
     Arrow-batched; partitioning preserved (no shuffle)."""
     return with_payload(documents).mapInPandas(decode_batch, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, modality string, width int, height int, "
+                 "target int, out_width int, out_height int, status string")
+
+
+def resize_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for image resize. Real plumbing (decoded dims
+    in → scaled dims out, aspect preserved); pixel resample STUBBED
+    (PIL not installed) — the arithmetic is the contract."""
+    target = 256
+    for pdf in it:
+        w = pdf["width"].astype("int64")
+        h = pdf["height"].astype("int64")
+        m = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
+        out_w = (w * target // m).clip(lower=1)
+        out_h = (h * target // m).clip(lower=1)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "modality": pdf["modality"],
+            "width": pdf["width"], "height": pdf["height"],
+            "target": pd.Series([target] * len(pdf), dtype="int32"),
+            "out_width": out_w.astype("int32"),
+            "out_height": out_h.astype("int32"),
+            "status": pd.Series(["stub-resized"] * len(pdf), dtype="object"),
+        })
+
+
+def multimodal_resize(documents: DataFrame) -> DataFrame:
+    """decode → resize chained mapInPandas stages (Arrow in between,
+    no shuffle — the standard media-preprocess pipeline shape)."""
+    return multimodal_decode(documents).mapInPandas(resize_batch, RESIZE_SCHEMA)
+
+
+FRAME_INTERVAL = 7
+
+
+def multimodal_frame_sample(documents: DataFrame) -> DataFrame:
+    """Frame sampling for video rows: deterministic frame indices from
+    the payload size (fake 'duration'), exploded one row per sampled
+    frame — pure JVM plumbing (sequence + explode), oracle-checkable;
+    only the per-frame decode (not included) would need Python."""
+    p = multimodal_meta(documents).where(F.col("modality") == "video")
+    n_frames = (F.col("n_bytes") % 120) + 1  # fake duration: 1-120 frames
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(FRAME_INTERVAL))
+    return (p.select("doc_id", "n_bytes",
+                     n_frames.alias("n_frames"),
+                     F.explode(idx).alias("frame_idx")))

@@ -251,15 +251,24 @@ WHERE round({p['score']}, 6) >= {min_quality!r}"""
 
 
 def _multimodal_oracles() -> dict[str, str]:
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import FRAME_INTERVAL
+
     mod_case = "".join(
         f" WHEN {i} THEN '{m}'" for i, m in enumerate(MODALITIES)
     )
+    video_idx = MODALITIES.index("video")
+    nb = "CAST(octet_length(encode(text)) AS INTEGER)"
     return {
         "multimodal_meta": f"""
 SELECT doc_id,
        (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,
        source,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       {nb} AS n_bytes,
        md5(text) AS content_md5
 FROM documents""",
+        "multimodal_frame_sample": f"""
+SELECT doc_id, {nb} AS n_bytes, ({nb} % 120) + 1 AS n_frames,
+       CAST(unnest(generate_series(0, ({nb} % 120), {FRAME_INTERVAL})) AS INTEGER) AS frame_idx
+FROM documents
+WHERE doc_id % {len(MODALITIES)} = {video_idx}""",
     }

@@ -101,6 +101,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
+    "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
+    "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
 }
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
