@@ -1,0 +1,51 @@
+"""transformWithStateInPandas detector — skipped where protobuf is
+absent (this container); the module is the drop-in upgrade path for
+environments that have it."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from real_time_fraud_detection_flink_kafka_spark.config import RuleConfig
+from real_time_fraud_detection_flink_kafka_spark.streaming.tws_detector import tws_available
+
+
+@pytest.mark.skipif(not tws_available(),
+                    reason="google.protobuf not installed (TWS control channel)")
+def test_tws_equals_batch(spark, sf_dir):
+    from real_time_fraud_detection_flink_kafka_spark.operators.fraud import fraud_scores
+    from real_time_fraud_detection_flink_kafka_spark.session import ROCKSDB_PROVIDER
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    from real_time_fraud_detection_flink_kafka_spark.streaming.tws_detector import (
+        run_tws_over_events_dir,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        cfg = RuleConfig.for_events_table()
+        got = run_tws_over_events_dir(spark, sf_dir, cfg).toPandas()
+        want = fraud_scores(load_table(spark, sf_dir, "events"), cfg).toPandas()
+        cols = sorted(got.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            want[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_tws_module_constructs():
+    """The processor and plan builder are importable/constructible even
+    without protobuf (only query START needs it)."""
+    from real_time_fraud_detection_flink_kafka_spark.streaming.tws_detector import (
+        FraudStatefulProcessor,
+    )
+
+    p = FraudStatefulProcessor(RuleConfig())
+    assert p.cfg.max_amount == 200.0
