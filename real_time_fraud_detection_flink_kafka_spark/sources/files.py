@@ -34,9 +34,33 @@ def _normalize_ns(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime confs required to read the testdata parquet on ANY
+    SparkSession, including ones not built by our session.py (e.g. the
+    correctness driver's).
+
+    - ``nanosAsLong``: the testdata stores INT64 TIMESTAMP(NANOS), which
+      the vectorized reader rejects outright without this flag.
+    - UTC session tz: oracles compare epoch-µs values; any
+      ``date_trunc``/``to_date`` path is tz-sensitive under a session
+      whose tz we don't control.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_ns(df, NS_TIMESTAMP_COLS.get(name, []))
+
+
+def raw_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Schema of events.parquet as stored (ts as long ns) — for
+    ``readStream`` schema inference in the streaming runners."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from real_time_fraud_detection_flink_kafka_spark.sources.files import raw_events_schema
 
 
 def dedup_events_stream(events: DataFrame,
@@ -59,7 +60,7 @@ def purchase_error_join_stream(events: DataFrame,
 def run_dedup_stream(spark, sf_dir: str, query_name: str = "dedup_stream") -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     stream = _normalize_ns(stream, ["ts"])
@@ -74,7 +75,7 @@ def run_interval_join_stream(spark, sf_dir: str,
                              query_name: str = "ssjoin_stream") -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     stream = _normalize_ns(stream, ["ts"])

@@ -39,6 +39,7 @@ from real_time_fraud_detection_flink_kafka_spark.config import (
 from real_time_fraud_detection_flink_kafka_spark.functions.transactions import (
     EVENT_TYPE_CATEGORY,
 )
+from real_time_fraud_detection_flink_kafka_spark.sources.files import raw_events_schema
 
 OUTPUT_SCHEMA = ("event_id bigint, card_id string, amount double, "
                  "location string, velocity_cnt bigint, score int, "
@@ -177,7 +178,7 @@ def run_stream_over_events_dir(spark, sf_dir: str, cfg: RuleConfig,
     (Bounded input → the stream drains and stops.)"""
     from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as long ns
+    raw_schema = raw_events_schema(spark, sf_dir)  # ts as long ns
     stream = (spark.readStream.schema(raw_schema)
               .option("maxFilesPerTrigger", "1")
               .option("pathGlobFilter", "events.parquet")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.config import RuleConfig
+from real_time_fraud_detection_flink_kafka_spark.sources.files import raw_events_schema
 
 ALERT_COLS = ["event_id", "card_id", "amount", "location", "score",
               "severity", "reasons", "ts_us"]
@@ -53,7 +54,7 @@ def run_alert_router(spark, sf_dir: str, cfg: RuleConfig, out_dir: str) -> dict[
         tx_stream_from_events,
     )
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))

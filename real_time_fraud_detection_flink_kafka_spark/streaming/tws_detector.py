@@ -31,6 +31,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from real_time_fraud_detection_flink_kafka_spark.config import LOCATION_COORDS, RuleConfig
+from real_time_fraud_detection_flink_kafka_spark.sources.files import raw_events_schema
 from real_time_fraud_detection_flink_kafka_spark.streaming.fraud_stream import (
     OUTPUT_SCHEMA,
     _haversine_km,
@@ -133,7 +134,7 @@ def run_tws_over_events_dir(spark, sf_dir: str, cfg: RuleConfig,
         tx_stream_from_events,
     )
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
     stream = _normalize_ns(stream, ["ts"])

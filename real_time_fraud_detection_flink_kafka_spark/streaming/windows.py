@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from real_time_fraud_detection_flink_kafka_spark.sources.files import raw_events_schema
 
 
 def windowed_counts_stream(events: DataFrame, window: str = "1 hour",
@@ -31,7 +32,7 @@ def run_windowed_counts_stream(spark, sf_dir: str,
     lands in the memory sink — result equals the batch operator."""
     from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = raw_events_schema(spark, sf_dir)
     stream = (spark.readStream.schema(raw_schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
