@@ -169,9 +169,13 @@ def dedup_minhash_lsh(documents: DataFrame,
                   .where(F.round(jac, 6) >= threshold))
 
     # expand: intra-cluster pairs (jaccard exactly 1.0) ...
+    # Docs shorter than SHINGLE_N words have an EMPTY shingle set:
+    # their Jaccard is undefined and the exact baseline emits nothing
+    # for them, so identical short docs must not expand to 1.0 pairs.
+    shingled = sig.where(F.size("sh_set") > 0).select(F.col("doc_id").alias("r"))
     ma = members.select(F.col("rep_id").alias("r"), F.col("doc_id").alias("da"))
     mb = members.select(F.col("rep_id").alias("r"), F.col("doc_id").alias("db"))
-    intra = (ma.join(mb, "r")
+    intra = (ma.join(mb, "r").join(F.broadcast(shingled), "r")
                .where(F.col("da") < F.col("db"))
                .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
                        F.lit(1.0).alias("jaccard")))

@@ -251,10 +251,13 @@ register("corpus_prep",
          lambda s, d: corpus_prep(load_table(s, d, "documents")),
          corpus_prep_oracle(MIN_QUALITY))
 
+# DISTINCT, not a row_number() pick: redelivered duplicates are
+# byte-identical rows, and dropDuplicatesWithinWatermark keeps an
+# ARRIVAL-order winner the oracle can't predict — any order-sensitive
+# tie-break here would hash-mismatch on real duplicate data.
 register("stream_dedup_events", _stream_dedup, """
-SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
-FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
-      FROM events) WHERE rn = 1""")
+SELECT DISTINCT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events""")
 register("stream_interval_join", _stream_ssjoin, """
 SELECT p.user_id AS user_id, p.event_id AS purchase_id, e.event_id AS error_id,
        epoch_us(p.ts) AS purchase_ts_us, epoch_us(e.ts) AS error_ts_us,

@@ -84,6 +84,18 @@ def make_detector(cfg: RuleConfig, with_ttl: bool = True):
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"])  # event-time order
 
+        # Velocity with RANGE-frame tie semantics (matches the batch
+        # oracle's `RANGE BETWEEN w PRECEDING AND CURRENT ROW`): events
+        # sharing a ts_us are peers — each counts ALL of them, not just
+        # the ones that sorted earlier.
+        window_us = cfg.rapid_window_ms * 1000
+        vel_cnt: dict[int, int] = {}
+        for ts_us, n_peers in rows["ts_us"].astype("int64").value_counts().sort_index().items():
+            ts_us = int(ts_us)
+            tx_times = [t for t in tx_times if ts_us - t <= window_us]
+            tx_times.extend([ts_us] * int(n_peers))
+            vel_cnt[ts_us] = len(tx_times)
+
         out: list[dict] = []
         for r in rows.itertuples(index=False):
             ts_us = int(r.ts_us)
@@ -94,10 +106,7 @@ def make_detector(cfg: RuleConfig, with_ttl: bool = True):
                 score += cfg.score_high_amount
                 reasons.append("HIGH_AMOUNT")
 
-            window_us = cfg.rapid_window_ms * 1000
-            tx_times = [t for t in tx_times if ts_us - t <= window_us]
-            tx_times.append(ts_us)
-            if len(tx_times) >= cfg.rapid_tx_count:
+            if vel_cnt[ts_us] >= cfg.rapid_tx_count:
                 score += cfg.score_rapid
                 reasons.append("RAPID_TRANSACTIONS")
 
@@ -117,7 +126,7 @@ def make_detector(cfg: RuleConfig, with_ttl: bool = True):
                 "card_id": card_id,
                 "amount": float(r.amount),
                 "location": r.location,
-                "velocity_cnt": len(tx_times),
+                "velocity_cnt": vel_cnt[ts_us],
                 "score": score,
                 "status": "FRAUD" if score >= cfg.fraud_threshold else "LEGIT",
                 "severity": "HIGH" if score >= cfg.high_severity_threshold else "NONE",

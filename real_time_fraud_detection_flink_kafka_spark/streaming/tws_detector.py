@@ -72,6 +72,16 @@ class FraudStatefulProcessor(StatefulProcessor):
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"])
 
+        # RANGE-frame tie semantics (see fraud_stream.make_detector):
+        # same-ts peers all count toward each other's velocity.
+        window_us = cfg.rapid_window_ms * 1000
+        vel_cnt: dict[int, int] = {}
+        for ts_us, n_peers in pdf["ts_us"].astype("int64").value_counts().sort_index().items():
+            ts_us = int(ts_us)
+            tx_times = [t for t in tx_times if ts_us - t <= window_us]
+            tx_times.extend([ts_us] * int(n_peers))
+            vel_cnt[ts_us] = len(tx_times)
+
         out: list[dict] = []
         for r in pdf.itertuples(index=False):
             ts_us = int(r.ts_us)
@@ -80,9 +90,7 @@ class FraudStatefulProcessor(StatefulProcessor):
             if r.amount > cfg.max_amount:
                 score += cfg.score_high_amount
                 reasons.append("HIGH_AMOUNT")
-            tx_times = [t for t in tx_times if ts_us - t <= cfg.rapid_window_ms * 1000]
-            tx_times.append(ts_us)
-            if len(tx_times) >= cfg.rapid_tx_count:
+            if vel_cnt[ts_us] >= cfg.rapid_tx_count:
                 score += cfg.score_rapid
                 reasons.append("RAPID_TRANSACTIONS")
             if (last_loc is not None and last_time is not None
@@ -97,7 +105,7 @@ class FraudStatefulProcessor(StatefulProcessor):
             out.append({
                 "event_id": int(r.event_id), "card_id": card_id,
                 "amount": float(r.amount), "location": r.location,
-                "velocity_cnt": len(tx_times), "score": score,
+                "velocity_cnt": vel_cnt[ts_us], "score": score,
                 "status": "FRAUD" if score >= cfg.fraud_threshold else "LEGIT",
                 "severity": "HIGH" if score >= cfg.high_severity_threshold else "NONE",
                 "reasons": ",".join(reasons), "ts_us": ts_us,

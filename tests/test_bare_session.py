@@ -24,9 +24,11 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 
 # Representative slice: batch windowed scoring, gap sessionization,
-# date_trunc (tz-sensitive), HLL sketch, and a stateful stream drain.
+# date_trunc (tz-sensitive), HLL sketch, a stateful stream drain, and a
+# mapInPandas op (workers must be able to import the package).
 NAMES = ["fraud_scores", "sessionize", "distinct_users_daily",
-         "distinct_users_approx", "stream_windowed_counts"]
+         "distinct_users_approx", "stream_windowed_counts",
+         "multimodal_decode"]
 
 CHILD = r"""
 import json, sys
@@ -55,10 +57,12 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def test_bare_session_matches_oracles(duck, sf_dir):
+def test_bare_session_matches_oracles(duck, sf_dir, tmp_path):
+    # cwd must be FOREIGN to the repo: the grading driver runs from its
+    # own directory, so workers can't rely on cwd-relative imports.
     proc = subprocess.run(
         [sys.executable, "-c", CHILD, str(REPO), json.dumps(NAMES), sf_dir],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
     )
     assert proc.returncode == 0, f"bare-session run failed:\n{proc.stderr[-4000:]}"
     payload = [l for l in proc.stdout.splitlines() if l.startswith("RESULT::")]

@@ -1,0 +1,126 @@
+"""Targeted regressions for the round-2 ADVICE edge cases:
+
+(a) identical docs shorter than SHINGLE_N words must NOT yield
+    intra-cluster 1.0 pairs from dedup_minhash_lsh (the exact-Jaccard
+    baseline emits nothing for empty shingle sets);
+(b) the streaming detector's velocity count must use RANGE-frame tie
+    semantics — events sharing a ts_us are peers and all count toward
+    each other — matching the batch oracle;
+(c) stream_dedup_events must agree with an order-insensitive DISTINCT
+    oracle when the input carries byte-identical redelivered rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from real_time_fraud_detection_flink_kafka_spark.config import RuleConfig
+from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from real_time_fraud_detection_flink_kafka_spark.operators.fraud import fraud_scores
+from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+    dedup_events_stream,
+)
+from real_time_fraud_detection_flink_kafka_spark.streaming.fraud_stream import (
+    detect_stream,
+    tx_stream_from_events,
+)
+
+CFG = RuleConfig.for_events_table()
+
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_minhash_short_docs_emit_no_pairs(spark):
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"),            # < SHINGLE_N words
+         (3, "a b c d e f"), (4, "a b c d e f"),      # shingled dup pair
+         (5, "totally different words entirely here now")],
+        "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup_minhash_lsh(docs).collect()}
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup_ngram_jaccard(docs).collect()}
+    assert (1, 2) not in got, "short identical docs must not pair"
+    assert got == exact == {(3, 4): 1.0}
+
+
+def _run_detector_stream(spark, pdf: pd.DataFrame, tmp_path, name: str):
+    from pyspark.sql import functions as F
+
+    chunk_dir = str(tmp_path / "events")
+    os.makedirs(chunk_dir, exist_ok=True)
+    pdf.to_parquet(os.path.join(chunk_dir, "chunk_0.parquet"))
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(chunk_dir)
+              .withColumn("ts", F.timestamp_micros(F.col("ts"))))
+    out = detect_stream(tx_stream_from_events(stream), CFG, with_ttl=False)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_detector_equal_ts_velocity_matches_batch(spark, tmp_path):
+    # 3 purchases on one card at the SAME microsecond: the batch RANGE
+    # frame gives every peer velocity_cnt=3 (all flagged RAPID); a
+    # naive sequential count would emit 1, 2, 3.
+    t0 = 1_700_000_000_000_000
+    rows = [
+        (1, t0, 7, "purchase", 10.0, '{"k": 1}'),
+        (2, t0, 7, "purchase", 20.0, '{"k": 1}'),
+        (3, t0, 7, "purchase", 30.0, '{"k": 1}'),
+        (4, t0 + 7 * 3600 * 1_000_000, 7, "purchase", 40.0, '{"k": 1}'),
+        (5, t0 + 1_000_000, 9, "purchase", 15.0, '{"k": 2}'),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    got = _norm(_run_detector_stream(spark, pdf, tmp_path,
+                                     "t_equal_ts").toPandas())
+    from pyspark.sql import functions as F
+    events = (spark.createDataFrame(pdf, EVENTS_SCHEMA)
+              .withColumn("ts", F.timestamp_micros(F.col("ts"))))
+    want = _norm(fraud_scores(events, CFG).toPandas())
+    assert (got.set_index("event_id")["velocity_cnt"].loc[[1, 2, 3]] == 3).all()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_dedup_matches_distinct_on_redelivery(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t0 = 1_700_000_000_000_000
+    row = (1, t0, 5, "click", 1.5, "{}")
+    other = (2, t0 + 1_000_000, 6, "purchase", 9.0, "{}")
+    chunk_dir = str(tmp_path / "dup_events")
+    os.makedirs(chunk_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # identical row redelivered in a LATER file (at-least-once source)
+    pd.DataFrame([row, other], columns=cols).to_parquet(
+        os.path.join(chunk_dir, "a.parquet"))
+    pd.DataFrame([row], columns=cols).to_parquet(
+        os.path.join(chunk_dir, "b.parquet"))
+    os.utime(os.path.join(chunk_dir, "a.parquet"), (1000, 1000))
+    os.utime(os.path.join(chunk_dir, "b.parquet"), (1001, 1001))
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(chunk_dir)
+              .withColumn("ts", F.timestamp_micros(F.col("ts"))))
+    out = dedup_events_stream(stream)
+    q = (out.writeStream.format("memory").queryName("t_dedup_redeliver")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = _norm(spark.table("t_dedup_redeliver").toPandas())
+
+    want = pd.DataFrame(
+        [(1, 5, "click", 1.5, t0), (2, 6, "purchase", 9.0, t0 + 1_000_000)],
+        columns=["event_id", "user_id", "event_type", "value", "ts_us"])
+    pd.testing.assert_frame_equal(got, _norm(want), check_dtype=False)
