@@ -19,10 +19,12 @@ from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import MODALITIES
 from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+    BITS_PER_TABLE,
     BRUTE_MAX_ID,
     COS_THRESHOLD,
     HYPERPLANES,
     N_QUERIES,
+    N_TABLES,
     TOP_K,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
@@ -117,9 +119,17 @@ def _hp_literal(hp: list[float]) -> str:
 
 
 def _similarity_oracles() -> dict[str, str]:
-    sig = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_hp_literal(hp)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i, hp in enumerate(HYPERPLANES)
+    def table_sig(t: int) -> str:
+        base = t * BITS_PER_TABLE
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_hp_literal(HYPERPLANES[base + i])}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(BITS_PER_TABLE)
+        )
+
+    bucket_union = "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, ({table_sig(t)}) AS bucket FROM e"
+        for t in range(N_TABLES)
     )
     return {
         "ann_topk": f"""
@@ -140,13 +150,16 @@ FROM r WHERE rnk <= {TOP_K}""",
         "ann_lsh": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), sig AS (
-  SELECT vec_id, v, ({sig}) AS bucket FROM e
+), buck AS (
+{bucket_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
-       round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}""",
+SELECT vec_a, vec_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos_sim
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}""",
         "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}
@@ -271,4 +284,29 @@ SELECT doc_id, {nb} AS n_bytes, ({nb} % 120) + 1 AS n_frames,
        CAST(unnest(generate_series(0, ({nb} % 120), {FRAME_INTERVAL})) AS INTEGER) AS frame_idx
 FROM documents
 WHERE doc_id % {len(MODALITIES)} = {video_idx}""",
+        # The "decoder" is a deterministic stub (multimodal._fake_decode):
+        # width/height are pure arithmetic on the utf-8 byte length, so
+        # the whole pipeline is oracle-checkable end to end.
+        "multimodal_decode": f"""
+SELECT doc_id,
+       (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,
+       {nb} AS n_bytes,
+       CAST(({nb} % 640) + 1 AS INTEGER) AS width,
+       CAST((({nb} * 7) % 480) + 1 AS INTEGER) AS height,
+       'stub-decoded' AS status
+FROM documents""",
+        "multimodal_resize": f"""
+WITH dec AS (
+  SELECT doc_id,
+         (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,
+         CAST(({nb} % 640) + 1 AS BIGINT) AS width,
+         CAST((({nb} * 7) % 480) + 1 AS BIGINT) AS height
+  FROM documents)
+SELECT doc_id, modality,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(256 AS INTEGER) AS target,
+       CAST(greatest((width * 256) // greatest(width, height, 1), 1) AS INTEGER) AS out_width,
+       CAST(greatest((height * 256) // greatest(width, height, 1), 1) AS INTEGER) AS out_height,
+       'stub-resized' AS status
+FROM dec""",
     }

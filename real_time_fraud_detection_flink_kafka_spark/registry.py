@@ -190,9 +190,22 @@ def _stream_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["fraud_alerts"]
 
 
+def _stream_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.sources.kafka import run_wire_smoke_stream
+
+    _STREAM_COUNTER["n"] += 1
+    return run_wire_smoke_stream(spark, sf_dir,
+                                 f"wire_stream_{_STREAM_COUNTER['n']}")
+
+
 register("stream_fraud_detector", _stream_fraud, _FRAUD_ORACLES["fraud_scores"])
 register("stream_windowed_counts", _stream_windowed, _ANALYTICS_ORACLES["windowed_counts"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
+# Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
+# stage → stream → from_json-deserialize roundtrips the events table.
+register("stream_sources", _stream_sources, """
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events""")
 
 
 # --- CEP & join-type operators ---------------------------------------------

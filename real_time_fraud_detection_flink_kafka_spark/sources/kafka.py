@@ -68,3 +68,58 @@ def alerts_to_kafka(alerts: DataFrame, bootstrap_servers: str,
             .writeStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
             .option("topic", topic))
+
+
+# --- broker-free wire-format smoke path ------------------------------------
+
+# Wire contract for the events table, mirroring the transaction JSON
+# contract above (value = JSON payload, key = partition key).
+EVENT_WIRE_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ts_us", T.LongType()),
+])
+
+
+def events_to_wire(events: DataFrame) -> DataFrame:
+    """events rows → Kafka wire shape (key, JSON value) — the exact
+    frame `alerts_to_kafka` would hand to a broker, keyed by user so
+    downstream per-user operators shuffle locally."""
+    payload = F.to_json(F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"), F.unix_micros("ts").alias("ts_us")))
+    return events.select(F.col("user_id").cast("string").alias("key"),
+                         payload.alias("value"))
+
+
+def events_from_wire(raw: DataFrame) -> DataFrame:
+    """Wire frame → typed event rows (same deserialization step the
+    Kafka source applies in `transactions_from_kafka`)."""
+    e = F.from_json(F.col("value").cast("string"), EVENT_WIRE_SCHEMA)
+    return raw.select(e.alias("e")).select("e.*")
+
+
+def run_wire_smoke_stream(spark: SparkSession, sf_dir: str,
+                          query_name: str = "wire_stream") -> DataFrame:
+    """Deterministic end-to-end exercise of the streaming source path
+    WITHOUT a broker: stage the events table in wire format (key +
+    JSON value, exactly what a Kafka topic would carry), stream the
+    staging dir back with readStream, deserialize with the shared
+    from_json contract, drain to a memory sink. Output equals the
+    events table — oracle-checkable. Swapping the file stage for
+    `.format("kafka")` is the only delta on a real cluster."""
+    import tempfile
+
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    wire_dir = tempfile.mkdtemp(prefix="wire_events_")
+    events_to_wire(events).write.mode("overwrite").parquet(wire_dir)
+    raw = spark.readStream.schema("key string, value string").parquet(wire_dir)
+    q = (events_from_wire(raw)
+         .writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,10 +1,14 @@
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+    BITS_PER_TABLE,
+    N_TABLES,
     ann_topk,
     ann_topk_fast,
+    lsh_table_signature,
 )
 from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
 
@@ -19,3 +23,27 @@ def test_fast_path_equals_exact_path(spark, sf_dir):
     assert (exact["neighbor_id"] == fast["neighbor_id"]).all()
     pd.testing.assert_series_equal(exact["cos_sim"], fast["cos_sim"],
                                    rtol=0, atol=1e-6)
+
+
+def test_lsh_candidates_are_bounded(spark, sf_dir):
+    """Banded multi-table LSH must generate FAR fewer candidate pairs
+    than brute force — the scale property the bucketing exists for.
+    Expected within-bucket pairs per table ~ n²/2^BITS_PER_TABLE, so
+    total candidates should stay under ~2·N_TABLES/2^B of brute force
+    even with skewed bucket occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sigs = emb.select("vec_id", *[
+        lsh_table_signature(v, t).alias(f"sig{t}") for t in range(N_TABLES)])
+    buckets = sigs.select("vec_id", F.posexplode(
+        F.array(*[F.col(f"sig{t}") for t in range(N_TABLES)])
+    ).alias("tbl", "bucket"))
+    n = emb.count()
+    occ = (buckets.groupBy("tbl", "bucket").count()
+           .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+                F.max("count").alias("max_occ")).collect()[0])
+    brute_pairs = n * (n - 1) / 2
+    bound = 2 * N_TABLES / (1 << BITS_PER_TABLE)
+    assert occ.pairs / brute_pairs < bound, (
+        f"candidate ratio {occ.pairs / brute_pairs:.4f} exceeds {bound:.4f}")
+    assert occ.max_occ < n / 4, "one bucket swallowed the corpus"
