@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
+from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
@@ -92,7 +93,7 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
 def dedup_ngram_jaccard(documents: DataFrame,
                         threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Exact n-gram-shingle Jaccard near-dup pairs (baseline path)."""
-    pairs = _pair_jaccard(shingles(documents))
+    pairs = _pair_jaccard(shingles(spread(documents)))
     return pairs.where(pairs["jaccard"] >= threshold)
 
 
@@ -152,7 +153,7 @@ def dedup_minhash_lsh(documents: DataFrame,
     reps = (members.groupBy("text_md5")
                    .agg(F.min("doc_id").alias("rep_id")))
     members = members.join(F.broadcast(reps), "text_md5")
-    rep_docs = documents.join(
+    rep_docs = spread(documents).join(
         F.broadcast(reps.select(F.col("rep_id").alias("doc_id"))), "doc_id")
 
     # LSH + per-pair set-intersection verification on unique texts only
@@ -194,7 +195,8 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
     Fully distributed: explode tokens → token hash + tf → explode 60
     bit positions → per-(doc, bit) weighted sums → recombine."""
-    toks = (documents.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+    toks = (spread(documents)
+                     .select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
                      .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
                      .withColumn("h", H.md5_int60(F.col("tok"))))
     bits = toks.select(

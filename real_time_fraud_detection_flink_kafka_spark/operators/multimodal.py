@@ -73,6 +73,10 @@ def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_decode(documents: DataFrame) -> DataFrame:
     """Decode pipeline: binary payloads → mapInPandas(stub decoder).
     Arrow-batched; partitioning preserved (no shuffle)."""
+    # NO spread() here: the stub decode is arithmetic-cheap, so forking
+    # 32 Python workers + per-worker package import costs more than the
+    # work itself. A real PIL/ffmpeg decode IS CPU-bound — re-add
+    # spread(documents) when swapping the stub for a real decoder.
     return with_payload(documents).mapInPandas(decode_batch, DECODE_SCHEMA)
 
 

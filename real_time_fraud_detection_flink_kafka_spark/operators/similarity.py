@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
+
 N_QUERIES = 10
 TOP_K = 5
 COS_THRESHOLD = 0.45
@@ -92,15 +94,33 @@ def ann_topk(embeddings: DataFrame, k: int = TOP_K,
                      F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
 
 
+def lsh_signatures_array(v: Column) -> Column:
+    """All N_TABLES table-signatures as ONE array expression.
+
+    Expression-shape matters twice here: (1) the hyperplanes are a
+    single nested-array LITERAL indexed with element_at — 80 separate
+    array-constructor folds cost ~5 s of Catalyst optimization time
+    alone; (2) each dot sits directly in the per-(table, bit) lambda,
+    so exactly N_TABLES·BITS_PER_TABLE dots are evaluated per row (a
+    subexpression shared across HOF lambdas gets RE-EVALUATED per
+    element — the CollapseProject/HOF inlining trap). The
+    per-hyperplane dot is the same left fold as `dot`, so sign
+    decisions (and the oracle) are unchanged."""
+    hps = F.lit(HYPERPLANES)
+    pows = F.lit([1 << i for i in range(BITS_PER_TABLE)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(BITS_PER_TABLE - 1)),
+            F.lit(0),
+            lambda acc, i: acc + F.when(
+                dot(v, F.element_at(hps, t * BITS_PER_TABLE + i + 1)) > 0,
+                F.element_at(pows, i + 1)).otherwise(0)))
+
+
 def lsh_table_signature(v: Column, table: int) -> Column:
-    """``BITS_PER_TABLE``-bit sign signature for one LSH table (each
-    table owns a disjoint slice of HYPERPLANES)."""
-    base = table * BITS_PER_TABLE
-    sig = F.lit(0)
-    for i in range(BITS_PER_TABLE):
-        h = F.array(*[F.lit(x) for x in HYPERPLANES[base + i]])
-        sig = sig + F.when(dot(v, h) > 0, F.lit(1 << i)).otherwise(0)
-    return sig
+    """``BITS_PER_TABLE``-bit sign signature for one LSH table."""
+    return F.element_at(lsh_signatures_array(v), table + 1)
 
 
 def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
@@ -119,13 +139,9 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     scale path for NEAR-DUP mining; pairs barely above a low
     threshold are inherently hard for sign-LSH (use `ann_topk` /
     `ann_topk_fast` for exact low-threshold search)."""
-    e = _vecs(embeddings)
-    sigs = e.select("vec_id", *[
-        lsh_table_signature(F.col("v"), t).alias(f"sig{t}")
-        for t in range(N_TABLES)])
-    buckets = sigs.select("vec_id", F.posexplode(
-        F.array(*[F.col(f"sig{t}") for t in range(N_TABLES)])
-    ).alias("tbl", "bucket"))
+    e = _vecs(spread(embeddings))
+    buckets = e.select("vec_id", F.posexplode(
+        lsh_signatures_array(F.col("v"))).alias("tbl", "bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

@@ -8,7 +8,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     N_TABLES,
     ann_topk,
     ann_topk_fast,
-    lsh_table_signature,
+    lsh_signatures_array,
 )
 from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
 
@@ -33,11 +33,8 @@ def test_lsh_candidates_are_bounded(spark, sf_dir):
     even with skewed bucket occupancy."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    sigs = emb.select("vec_id", *[
-        lsh_table_signature(v, t).alias(f"sig{t}") for t in range(N_TABLES)])
-    buckets = sigs.select("vec_id", F.posexplode(
-        F.array(*[F.col(f"sig{t}") for t in range(N_TABLES)])
-    ).alias("tbl", "bucket"))
+    buckets = emb.select("vec_id", F.posexplode(
+        lsh_signatures_array(v)).alias("tbl", "bucket"))
     n = emb.count()
     occ = (buckets.groupBy("tbl", "bucket").count()
            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
