@@ -84,3 +84,27 @@ def run_interval_join_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_dedup_stream_durable(spark, sf_dir: str, out_dir: str,
+                             checkpoint_dir: str) -> DataFrame:
+    """Production-shaped run: parquet sink + durable checkpoint
+    (reference README parity — Flink checkpointing with a mounted
+    flink-checkpoints volume). A restart resumes from committed source
+    offsets and re-reads nothing, so the sink never sees a row twice:
+    file-source exactly-once. The memory-sink runners above stay
+    checkpoint-free on purpose — the memory sink cannot recover from a
+    checkpoint, an ephemeral one is correct for bounded drains."""
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _normalize_ns(stream, ["ts"])
+    q = (dedup_events_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
