@@ -33,6 +33,7 @@ HEADLINE = [
     "windowed_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_fast",
     "dedup_simhash",
     "ann_topk",
     "ann_lsh",

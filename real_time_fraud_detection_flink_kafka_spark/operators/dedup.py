@@ -148,6 +148,16 @@ def dedup_minhash_lsh(documents: DataFrame,
 
     Output schema/content matches `dedup_ngram_jaccard` whenever the
     band curve catches every pair above threshold (see module doc)."""
+    return _minhash_lsh_pipeline(documents, minhash_signatures, threshold)
+
+
+def _minhash_lsh_pipeline(documents: DataFrame, sig_fn, threshold: float
+                          ) -> DataFrame:
+    """Shared collapse → sign → band → verify → expand pipeline.
+    `sig_fn(rep_docs)` must return (doc_id, sh_set, m0..m{N_PERM-1});
+    sh_set may be strings (expression path) or 60-bit hashes (Arrow
+    path) — intersection/union counts are identical either way short
+    of 2⁻⁶⁰ collisions."""
     members = documents.select(
         "doc_id", F.md5("text").alias("text_md5"))
     reps = (members.groupBy("text_md5")
@@ -157,7 +167,7 @@ def dedup_minhash_lsh(documents: DataFrame,
         F.broadcast(reps.select(F.col("rep_id").alias("doc_id"))), "doc_id")
 
     # LSH + per-pair set-intersection verification on unique texts only
-    sig = minhash_signatures(rep_docs)
+    sig = sig_fn(rep_docs)
     cand = lsh_candidates(sig)
     sets = sig.select("doc_id", "sh_set")
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
@@ -188,6 +198,57 @@ def dedup_minhash_lsh(documents: DataFrame,
                            F.greatest("da", "db").alias("doc_b"),
                            "jaccard"))
     return intra.unionByName(inter_pairs)
+
+
+SIG_SCHEMA = ("doc_id bigint, sh_set array<bigint>, "
+              + ", ".join(f"m{i} bigint" for i in range(H.N_PERM)))
+
+
+def minhash_signatures_arrow(documents: DataFrame) -> DataFrame:
+    """Arrow/numpy fast path for `minhash_signatures`: same md5-based
+    universal hashes (hashlib md5 == Spark md5 == DuckDB md5, and the
+    (a·h+b) mod P products stay in int64), shingle hashing in C and
+    all N_PERM minima in one numpy matmul-shaped pass per doc.
+    Output is bit-identical to the expression path — the tolerance
+    test asserts exact frame equality — so the same oracle applies.
+    sh_set carries the 60-bit shingle hashes (not strings): enough
+    for pair verification, and far lighter on the candidate join."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in H.PERMS], dtype=np.int64)
+    B = np.array([b for _, b in H.PERMS], dtype=np.int64)
+
+    def sign(it):
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.strip().split(" ")
+                grams = ({" ".join(ws[i:i + SHINGLE_N])
+                          for i in range(len(ws) - SHINGLE_N + 1)}
+                         if len(ws) >= SHINGLE_N else set())
+                hs = sorted({int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                             for g in grams})
+                bases = np.array(hs, dtype=np.int64) % H.P
+                if len(bases):
+                    sig = ((A[None, :] * bases[:, None] + B[None, :]) % H.P
+                           ).min(axis=0)
+                else:
+                    sig = np.full(H.N_PERM, H.P, dtype=np.int64)
+                rows.append((int(doc_id), hs, *sig.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "sh_set",
+                                              *[f"m{i}" for i in range(H.N_PERM)]])
+
+    return documents.select("doc_id", "text").mapInPandas(sign, SIG_SCHEMA)
+
+
+def dedup_minhash_lsh_fast(documents: DataFrame,
+                           threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """`dedup_minhash_lsh` with the Arrow-vectorized signature stage —
+    identical output (same hashes, same bands, same verification)."""
+    return _minhash_lsh_pipeline(documents, minhash_signatures_arrow, threshold)
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:

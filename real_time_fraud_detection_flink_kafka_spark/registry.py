@@ -104,7 +104,11 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
+    "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
 }
+# the Arrow signature stage is bit-identical to the expression path
+# (same md5-derived integer hashes), so the same oracle applies
+_LLM_ORACLES["dedup_minhash_lsh_fast"] = _LLM_ORACLES["dedup_minhash_lsh"]
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
 
