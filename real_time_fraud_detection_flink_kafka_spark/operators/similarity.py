@@ -94,19 +94,22 @@ def ann_topk(embeddings: DataFrame, k: int = TOP_K,
                      F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
 
 
-def lsh_signatures_array(v: Column) -> Column:
+def lsh_signatures_array(v: Column, hps: Column | None = None) -> Column:
     """All N_TABLES table-signatures as ONE array expression.
 
-    Expression-shape matters twice here: (1) the hyperplanes are a
-    single nested-array LITERAL indexed with element_at — 80 separate
-    array-constructor folds cost ~5 s of Catalyst optimization time
-    alone; (2) each dot sits directly in the per-(table, bit) lambda,
-    so exactly N_TABLES·BITS_PER_TABLE dots are evaluated per row (a
-    subexpression shared across HOF lambdas gets RE-EVALUATED per
-    element — the CollapseProject/HOF inlining trap). The
-    per-hyperplane dot is the same left fold as `dot`, so sign
-    decisions (and the oracle) are unchanged."""
-    hps = F.lit(HYPERPLANES)
+    Expression-shape matters twice here: (1) each dot sits directly in
+    the per-(table, bit) lambda, so exactly N_TABLES·BITS_PER_TABLE
+    dots are evaluated per row (a subexpression shared across HOF
+    lambdas gets RE-EVALUATED per element — the CollapseProject/HOF
+    inlining trap); (2) the 80×64-double hyperplane constant should be
+    passed as a COLUMN from a broadcast 1-row frame (`hps`, see
+    `_with_hyperplanes`) — the `F.lit` fallback expands to a ~5000-node
+    CreateArray tree that costs seconds of Catalyst/py4j time per
+    query. Either shape evaluates identically: the per-hyperplane dot
+    is the same left fold as `dot`, so sign decisions (and the oracle)
+    are unchanged."""
+    if hps is None:
+        hps = F.lit(HYPERPLANES)
     pows = F.lit([1 << i for i in range(BITS_PER_TABLE)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
@@ -121,6 +124,18 @@ def lsh_signatures_array(v: Column) -> Column:
 def lsh_table_signature(v: Column, table: int) -> Column:
     """``BITS_PER_TABLE``-bit sign signature for one LSH table."""
     return F.element_at(lsh_signatures_array(v), table + 1)
+
+
+def _with_hyperplanes(df: DataFrame) -> DataFrame:
+    """Attach the hyperplane constant as a `_hps` column via a
+    broadcast single-row cross join. A nested-array literal of
+    N_TABLES·BITS_PER_TABLE·DIM doubles costs ~5 s of expression
+    construction + Catalyst walking PER QUERY; one Arrow-shipped row
+    joined broadcast costs ~0.3 s and the evaluated values are
+    bitwise identical."""
+    spark = df.sparkSession
+    hdf = spark.createDataFrame([(HYPERPLANES,)], "_hps array<array<double>>")
+    return df.crossJoin(F.broadcast(hdf))
 
 
 def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
@@ -140,8 +155,8 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     threshold are inherently hard for sign-LSH (use `ann_topk` /
     `ann_topk_fast` for exact low-threshold search)."""
     e = _vecs(spread(embeddings))
-    buckets = e.select("vec_id", F.posexplode(
-        lsh_signatures_array(F.col("v"))).alias("tbl", "bucket"))
+    buckets = _with_hyperplanes(e).select("vec_id", F.posexplode(
+        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
