@@ -50,8 +50,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/session so query 1 doesn't pay startup cost
+    # warm the JVM/session so query 1 doesn't pay startup cost, and the
+    # Python/Arrow worker pool so the first mapInPandas query doesn't
+    # pay the one-time fork+import cost (workers are reused after)
     QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    def _warm(it):
+        import numpy  # noqa: F401  (preload into reused workers)
+        yield from it
+
+    (spark.range(64).repartition(32)
+     .mapInPandas(_warm, "id long")
+     .write.format("noop").mode("overwrite").save())
 
     times: dict[str, float] = {}
     for name in HEADLINE:
