@@ -13,6 +13,10 @@
   The candidate join carries only (vec_id, table, bucket) — vectors
   are re-joined for verification, so the wide embedding column never
   rides the candidate shuffle.
+- `ann_ivf` — IVF-Flat: coarse-quantize into cells (broadcast
+  centroids, map-side argmax assignment), probe nprobe cells per
+  query, exact re-rank inside probed cells. The list-pruning
+  scale path complementary to `ann_lsh`'s hashing one.
 - `dedup_embedding_cosine` — near-dup pairs by cosine ≥ τ. Brute
   force all-pairs as the correctness baseline (quadratic — bounded
   to a slice here; at scale you run `ann_lsh` and verify its
@@ -36,6 +40,8 @@ COS_THRESHOLD = 0.45
 N_TABLES = 8          # independent LSH tables (recall knob)
 BITS_PER_TABLE = 10   # sign-bits per table signature (precision knob)
 BRUTE_MAX_ID = 1500  # baseline slice bound for the quadratic path
+IVF_K = 16           # coarse-quantizer cells (scales with sqrt(n))
+NPROBE = 4           # cells probed per query (recall knob)
 
 
 def _lcg_floats(n: int, seed: int = 7) -> list[float]:
@@ -174,6 +180,65 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
                 .where(F.col("cos_raw") >= threshold)
                 .select("vec_a", "vec_b",
                         F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+def ann_ivf(embeddings: DataFrame, k: int = TOP_K,
+            n_queries: int = N_QUERIES, n_cells: int = IVF_K,
+            nprobe: int = NPROBE) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into `n_cells` cells,
+    probe the `nprobe` nearest cells per query, exact-cosine re-rank
+    within the probed cells only.
+
+    Centroids here are SEEDED (the first `n_cells` corpus vectors) so
+    the whole operator — assignment included — is deterministic and
+    oracle-checkable; at scale the centroids come from an offline
+    k-means job and this operator is unchanged (they're just a small
+    broadcast relation either way).
+
+    Scale shape:
+    - assignment = broadcast(centroids) × ONE corpus scan; the
+      per-vector argmax runs as `max_by` with map-side partial
+      aggregation, so the shuffle carries one row per vector, not
+      n_cells per vector;
+    - probing touches ~nprobe/n_cells of the corpus per query (the
+      IVF selectivity claim), and the probe list is a tiny broadcast
+      (n_queries × nprobe rows);
+    - no pairwise candidate join exists anywhere — candidate count is
+      bounded by cell occupancy, not n².
+    Tie-breaks (equal cosine) go to the lower cell / neighbor id,
+    mirrored exactly in the oracle SQL."""
+    e = _vecs(embeddings)
+    cents = e.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"))
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+    assigned = (e.join(F.broadcast(cents))
+                 .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
+                 .groupBy("vec_id")
+                 .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
+                      F.first("v").alias("v"),
+                      F.first("v_norm").alias("v_norm")))
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"))
+    cos_qc = dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+    from pyspark.sql import Window
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cos_qc"), F.asc("cell"))
+    probes = (q.join(F.broadcast(cents))
+               .select("query_id", "qv", "q_norm", "cell", cos_qc.alias("cos_qc"))
+               .withColumn("prn", F.row_number().over(wp))
+               .where(F.col("prn") <= nprobe)
+               .select("query_id", "qv", "q_norm", "cell"))
+    cand = (assigned.join(F.broadcast(probes), "cell")
+                    .where(F.col("vec_id") != F.col("query_id")))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        cos.alias("cos_raw"))
+                .withColumn("rnk", F.row_number().over(wr))
+                .where(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
 
 
 def ann_topk_fast(embeddings: DataFrame, k: int = TOP_K,

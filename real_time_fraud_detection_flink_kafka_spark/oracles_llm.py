@@ -23,8 +23,10 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     BRUTE_MAX_ID,
     COS_THRESHOLD,
     HYPERPLANES,
+    IVF_K,
     N_QUERIES,
     N_TABLES,
+    NPROBE,
     TOP_K,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
@@ -160,6 +162,41 @@ WITH e AS (
 SELECT vec_a, vec_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos_sim
 FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
 WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}""",
+        # assignment/probe/re-rank mirror operators/similarity.ann_ivf
+        # exactly, incl. tie-breaks to the lower cell / neighbor id
+        "ann_ivf": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),
+ac AS (
+  SELECT e.vec_id, cell, {_cos_sql('e.v', 'cv')} AS cos_c,
+         row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+),
+assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pr AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY {_cos_sql('qv', 'cv')} DESC, cell) AS prn
+  FROM q, c
+),
+probes AS (SELECT query_id, cell FROM pr WHERE prn <= {NPROBE}),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, {_cos_sql('qv', 'e.v')} AS cos_raw
+  FROM probes JOIN assigned a USING (cell)
+  JOIN q USING (query_id)
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOP_K}""",
         "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}

@@ -95,6 +95,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": lambda s, d: similarity.ann_topk(load_table(s, d, "embeddings")),
     "ann_topk_fast": lambda s, d: similarity.ann_topk_fast(load_table(s, d, "embeddings")),
     "ann_lsh": lambda s, d: similarity.ann_lsh(load_table(s, d, "embeddings")),
+    "ann_ivf": lambda s, d: similarity.ann_ivf(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
