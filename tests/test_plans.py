@@ -54,3 +54,31 @@ def test_multimodal_decode_uses_arrow_python(spark, sf_dir):
     # the ONE operator allowed Python: mapInPandas (Arrow-batched)
     plan = _plan(spark, sf_dir, "multimodal_decode")
     assert "MapInPandas" in plan
+
+
+def test_ann_ivf_broadcast_only_no_pairwise(spark, sf_dir):
+    """IVF must never sort-merge or shuffle-pairwise: centroids and
+    probe lists are broadcast, assignment argmax partial-aggregates
+    map-side (max_by shows up in the partial agg before its
+    exchange)."""
+    plan = _plan(spark, sf_dir, "ann_ivf")
+    assert "SortMergeJoin" not in plan
+    assert "max_by" in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_ann_lsh_hyperplanes_not_inlined_as_literal(spark, sf_dir):
+    """The 80×64-double hyperplane constant must arrive via the
+    broadcast 1-row relation, not an F.lit nested-array literal (a
+    ~5000-node tree costing seconds of Catalyst time per query). If
+    someone reverts to the literal, the plan string balloons with
+    inline doubles."""
+    plan = _plan(spark, sf_dir, "ann_lsh")
+    assert "BroadcastExchange" in plan
+    assert len(plan) < 100_000
+
+
+def test_minhash_fast_is_arrow_batched(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh_fast")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
