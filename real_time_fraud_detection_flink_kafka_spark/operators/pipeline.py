@@ -13,8 +13,7 @@ from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     JACCARD_THRESHOLD,
-    dedup_exact,
-    dedup_minhash_lsh,
+    dedup_minhash_lsh_fast,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
     doc_fingerprint,
@@ -36,8 +35,11 @@ def corpus_prep(documents: DataFrame,
         Window.partitionBy(F.md5("text")).orderBy("doc_id"))
     d1 = (documents.withColumn("_rn", rn).where(F.col("_rn") == 1)
                    .drop("_rn"))
-    # 2. near-dup removal: drop the larger doc of each verified pair
-    pairs = dedup_minhash_lsh(d1, threshold=jaccard_threshold)
+    # 2. near-dup removal: drop the larger doc of each verified pair.
+    # The Arrow signature stage is bit-identical to the expression
+    # path (same md5 integer hashes) and ~2× faster end-to-end here,
+    # so the composition uses it; the oracle is unchanged.
+    pairs = dedup_minhash_lsh_fast(d1, threshold=jaccard_threshold)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     d2 = d1.join(drop, "doc_id", "left_anti")
     # 3. quality gate + 4. stats/fingerprint
