@@ -90,3 +90,47 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint over word tokens."""
     ws = _words(F.col("text"))
     return documents.select("doc_id", rolling_hash(ws).alias("fingerprint"))
+
+
+def _word_trigrams(word: str) -> list[str]:
+    padded = f" {word} "
+    return [padded[i:i + 3] for i in range(len(padded) - 2)]
+
+
+# Cavnar–Trenkle-style char-trigram profiles, derived deterministically
+# from the marker lexicon (space-padded so word boundaries count —
+# the standard n-gram-profile trick). Both the Spark expression and
+# the oracle SQL consume these exact literals.
+LANG_TRIGRAMS: list[tuple[str, list[str]]] = [
+    (lang, sorted({t for w in markers for t in _word_trigrams(w)}))
+    for lang, markers in LANG_MARKERS
+]
+
+
+def lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar–Trenkle shape):
+    distinct space-padded trigrams of the doc vs each language's
+    profile; argmax overlap with first-listed tie-break (same
+    deterministic fold as `lang_id`). Row-local, whole-stage codegen
+    except the trigram transform — no shuffle, scales linearly."""
+    padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+    # guard: Spark's sequence(1, 0) REVERSES to [1, 0] (step -1 when
+    # start > stop) while DuckDB's generate_series(1, 0) is empty —
+    # an empty/whitespace doc must yield [] in both engines
+    tris = F.when(
+        F.length(padded) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(padded) - 2),
+            lambda i: padded.substr(i, F.lit(3)))),
+    ).otherwise(F.array().cast("array<string>"))
+    best_lang = F.lit(LANG_TRIGRAMS[0][0])
+    best_score = F.lit(-1)
+    for lang, profile in LANG_TRIGRAMS:
+        prof = F.array(*[F.lit(t) for t in profile])
+        score = F.size(F.array_intersect(tris, prof))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return documents.select(
+        "doc_id", F.col("lang").alias("lang_declared"),
+        best_lang.alias("lang_pred"), best_score.alias("tri_hits"))

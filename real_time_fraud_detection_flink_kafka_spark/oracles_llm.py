@@ -265,7 +265,39 @@ SELECT doc_id, lang AS lang_declared,
 FROM documents""",
         "doc_fingerprint": f"""
 SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
+        "lang_id_ngram": _lang_id_ngram_sql(),
     }
+
+
+def _lang_id_ngram_sql() -> str:
+    """Mirror of textops.lang_id_ngram: space-padded char trigrams,
+    per-language profile overlap, argmax with first-listed tie-break.
+    The empty-doc guard matters: Spark's sequence(1,0) reverses while
+    DuckDB's generate_series(1,0) is empty, so both sides CASE on
+    length >= 3."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        LANG_TRIGRAMS,
+    )
+
+    padded = "(' ' || trim(text) || ' ')"
+    tris = (f"CASE WHEN length({padded}) >= 3 THEN "
+            f"list_distinct(list_transform("
+            f"generate_series(1, length({padded}) - 2), "
+            f"i -> substr({padded}, CAST(i AS INTEGER), 3))) "
+            f"ELSE [] END")
+    best_lang, best_score = f"'{LANG_TRIGRAMS[0][0]}'", "-1"
+    for lang, profile in LANG_TRIGRAMS:
+        prof = "[" + ", ".join("'" + t.replace("'", "''") + "'"
+                               for t in profile) + "]"
+        s = f"len(list_intersect(tris, {prof}))"
+        best_lang = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tris} AS tris FROM documents)
+SELECT doc_id, lang AS lang_declared,
+       {best_lang} AS lang_pred,
+       CAST({best_score} AS INTEGER) AS tri_hits
+FROM t"""
 
 
 def corpus_prep_oracle(min_quality: float) -> str:

@@ -100,6 +100,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
+    "lang_id_ngram": lambda s, d: textops.lang_id_ngram(load_table(s, d, "documents")),
     "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
