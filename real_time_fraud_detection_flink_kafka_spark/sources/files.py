@@ -50,6 +50,16 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # If the session still has Spark's out-of-the-box shuffle
+    # parallelism (200), size it to the actual cluster instead: AQE
+    # coalesces over-partitioned BATCH shuffles at runtime, but
+    # stateful STREAMING shuffles cannot coalesce — each of the 200
+    # partitions materializes its own state store per micro-batch,
+    # which dominates small-to-medium drains. A user who tuned the
+    # conf themselves is left alone.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
     _ship_package(spark)
     return spark
 
