@@ -138,6 +138,154 @@ def top_customers(customer: DataFrame, orders: DataFrame, k: int = 20) -> DataFr
              .orderBy("rnk"))
 
 
+def q2_top_supplier_per_nation(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q2 shape (adapted to the slimmed schema — no partsupp):
+    per-group argmax via ONE window pass instead of a correlated
+    subquery; the nation dim is broadcast. Ties go to the lower
+    s_suppkey so the pick is deterministic."""
+    j = supplier.join(F.broadcast(nation),
+                      supplier["s_nationkey"] == nation["n_nationkey"])
+    w = Window.partitionBy("n_nationkey").orderBy(F.desc("s_acctbal"),
+                                                  F.asc("s_suppkey"))
+    return (j.withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") == 1)
+             .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+             .orderBy("n_name"))
+
+
+Q4_FROM, Q4_TO = "1996-01-01", "1996-07-01"
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate — 'shipped after it
+    was ordered' stands in for the reference's commit/receipt lag).
+    The semi join keeps the orders side's row count; lineitem never
+    widens the output."""
+    o = orders.where((F.col("o_orderdate") >= ntz(Q4_FROM))
+                     & (F.col("o_orderdate") < ntz(Q4_TO)))
+    late = o.join(lineitem,
+                  (o["o_orderkey"] == lineitem["l_orderkey"])
+                  & (lineitem["l_shipdate"] > o["o_orderdate"]),
+                  "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .orderBy("o_orderpriority"))
+
+
+Q7_FROM, Q7_TO = "1996-01-01", "1998-01-01"
+
+
+def q7_nation_volume(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between every (supplier nation,
+    customer nation) pair by year. Both nation lookups broadcast; the
+    only shuffle is the final group-by on the (small) pair×year key."""
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    li = lineitem.where((F.col("l_shipdate") >= ntz(Q7_FROM))
+                        & (F.col("l_shipdate") < ntz(Q7_TO)))
+    j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+           .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+           .where(F.col("supp_nation") != F.col("cust_nation")))
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("l_year"))
+             .agg(fsum(rev).alias("revenue"))
+             .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q10_FROM, Q10_TO = "1996-01-01", "1996-07-01"
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer over a
+    quarter-ish window, deterministic top-k. The returnflag and date
+    predicates push to the scans; customer/nation broadcast."""
+    o = orders.where((F.col("o_orderdate") >= ntz(Q10_FROM))
+                     & (F.col("o_orderdate") < ntz(Q10_TO)))
+    li = lineitem.where(F.col("l_returnflag") == "R")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(customer), o["o_custkey"] == customer["c_custkey"])
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == nation["n_nationkey"]))
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    return (j.groupBy("c_custkey", "c_name", "n_name")
+             .agg(fsum(rev).alias("revenue"))
+             .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+             .limit(k))
+
+
+Q14_FROM, Q14_TO = "1996-01-01", "1996-07-01"
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue
+    share). One scan, one broadcast join, two fixed-point sums; the
+    ratio divides two engine-deterministic doubles so the result is
+    bitwise reproducible."""
+    li = lineitem.where((F.col("l_shipdate") >= ntz(Q14_FROM))
+                        & (F.col("l_shipdate") < ntz(Q14_TO)))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    promo = F.when(j["p_type"] == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg((fsum(promo) * 100.0 / fsum(rev)).alias("promo_revenue_pct"))
+
+
+Q18_MIN_QTY = 250
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q18 shape: group-by-HAVING on the fact table, then join
+    the (tiny) surviving key set back to orders/customer. The HAVING
+    side aggregates BEFORE joining, so the join input is a few keys,
+    not 6 M rows — broadcast the survivors, not the facts."""
+    qty = (lineitem.groupBy("l_orderkey")
+                   .agg(fsum(F.col("l_quantity")).alias("total_qty"))
+                   .where(F.col("total_qty") > Q18_MIN_QTY))
+    j = (orders.join(F.broadcast(qty), orders["o_orderkey"] == qty["l_orderkey"])
+               .join(F.broadcast(customer),
+                     orders["o_custkey"] == customer["c_custkey"]))
+    return (j.select("c_custkey", "c_name", "o_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                     "o_totalprice", "total_qty")
+             .orderBy(F.desc("total_qty"), F.asc("o_orderkey")))
+
+
+Q19_BRANDS = [
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#13", 1, 15, 1, 30),
+    ("Brand#20", 10, 30, 10, 40),
+    ("Brand#9", 20, 50, 20, 50),
+]
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-branch predicate across both
+    join sides. The per-side conjuncts (brand/size on part, quantity
+    on lineitem) stay pushable; the cross-side disjunction evaluates
+    post-join inside codegen."""
+    j = lineitem.join(F.broadcast(part),
+                      lineitem["l_partkey"] == part["p_partkey"])
+    branch = None
+    for brand, slo, shi, qlo, qhi in Q19_BRANDS:
+        b = ((j["p_brand"] == brand)
+             & (j["p_size"] >= slo) & (j["p_size"] <= shi)
+             & (j["l_quantity"] >= qlo) & (j["l_quantity"] <= qhi))
+        branch = b if branch is None else (branch | b)
+    sel = j.where(branch)
+    rev = sel["l_extendedprice"] * (1 - sel["l_discount"])
+    return sel.agg(fsum(rev).alias("revenue"))
+
+
 # --- event analytics --------------------------------------------------------
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min

@@ -11,11 +11,21 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q1_CUTOFF,
     Q3_DATE,
     Q3_SEGMENT,
+    Q4_FROM,
+    Q4_TO,
     Q5_FROM,
     Q5_REGION,
     Q5_TO,
     Q6_FROM,
     Q6_TO,
+    Q7_FROM,
+    Q7_TO,
+    Q10_FROM,
+    Q10_TO,
+    Q14_FROM,
+    Q14_TO,
+    Q18_MIN_QTY,
+    Q19_BRANDS,
     SCALE,
     SESSION_GAP_US,
     WINDOW_US,
@@ -76,6 +86,74 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
   AND l_shipdate <  TIMESTAMP '{Q6_TO}'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24""",
+        "q2_top_supplier_per_nation": """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+QUALIFY row_number() OVER (PARTITION BY n_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey) = 1
+ORDER BY n_name""",
+        "q4_order_priority": f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q4_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1 ORDER BY 1""",
+        "q7_nation_volume": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '{Q7_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q7_TO}'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "q10_returned_items": f"""
+SELECT c_custkey, c_name, n_name,
+       {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q10_TO}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+        "q14_promo_revenue": f"""
+SELECT {_fsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       * 100.0 / {_fsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q14_TO}'""",
+        "q18_large_orders": f"""
+WITH big AS (
+  SELECT l_orderkey, {_fsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING {_fsum('l_quantity')} > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey""",
+        "q19_discounted_revenue": f"""
+SELECT {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE """ + "\n   OR ".join(
+            f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+            f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+            for b, slo, shi, qlo, qhi in Q19_BRANDS
+        ),
         "top_customers": f"""
 WITH spend AS (
   SELECT o_custkey, {_fsum('o_totalprice')} AS total_spend, count(*) AS n_orders

@@ -64,6 +64,24 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "customer"), load_table(s, d, "supplier"),
         load_table(s, d, "orders"), load_table(s, d, "lineitem")),
     "q6_forecast_revenue": lambda s, d: analytics.q6_forecast_revenue(load_table(s, d, "lineitem")),
+    "q2_top_supplier_per_nation": lambda s, d: analytics.q2_top_supplier_per_nation(
+        load_table(s, d, "supplier"), load_table(s, d, "nation")),
+    "q4_order_priority": lambda s, d: analytics.q4_order_priority(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+    "q7_nation_volume": lambda s, d: analytics.q7_nation_volume(
+        load_table(s, d, "nation"), load_table(s, d, "customer"),
+        load_table(s, d, "supplier"), load_table(s, d, "orders"),
+        load_table(s, d, "lineitem")),
+    "q10_returned_items": lambda s, d: analytics.q10_returned_items(
+        load_table(s, d, "customer"), load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"), load_table(s, d, "nation")),
+    "q14_promo_revenue": lambda s, d: analytics.q14_promo_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")),
+    "q18_large_orders": lambda s, d: analytics.q18_large_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders"),
+        load_table(s, d, "lineitem")),
+    "q19_discounted_revenue": lambda s, d: analytics.q19_discounted_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")),
     "top_customers": lambda s, d: analytics.top_customers(
         load_table(s, d, "customer"), load_table(s, d, "orders")),
     "sessionize": lambda s, d: analytics.sessionize(load_table(s, d, "events")),
