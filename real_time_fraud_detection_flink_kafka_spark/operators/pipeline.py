@@ -1,21 +1,24 @@
-"""End-to-end corpus-preparation pipeline (the composition a training
--data pipeline actually runs): exact dedup → near-dup removal
-(MinHash-LSH verified) → quality filter → token stats + fingerprint.
+"""Training-data pipeline operators over `documents`: the end-to-end
+corpus-prep composition plus the corpus-level preparation steps a
+pretraining pipeline runs — benchmark decontamination, vocabulary
+mining, stratified language sampling, and sequence chunking.
 
-One pass per stage, each stage the scale-path variant of its operator
-family; the whole composition stays declarative so Catalyst plans it
-as one DAG (shared scans, pushed filters)."""
+Each stage is declarative DataFrame ops (no UDFs), so Catalyst plans
+compositions as one DAG (shared scans, pushed filters)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.functions.hashing import md5_int60
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     dedup_minhash_lsh_fast,
+    shingles,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+    _words,
     doc_fingerprint,
     quality_score,
 )
@@ -49,3 +52,107 @@ def corpus_prep(documents: DataFrame,
             .where(F.col("quality") >= min_quality)
             .select("doc_id", "n_words", "uniq_ratio", "quality", "fingerprint"))
     return out
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 plays the held-out benchmark set
+
+
+def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD) -> DataFrame:
+    """Train/eval n-gram-overlap decontamination: flag every training
+    document sharing at least one word shingle with the (small)
+    held-out set, with overlap counts for thresholding.
+
+    Scale shape: the eval side of the join is the benchmark suite —
+    thousands of docs against a 100 TB corpus — so its shingle set is
+    BROADCAST and the training corpus streams through map-side; the
+    only shuffle is the per-train-doc overlap aggregation, keyed on
+    doc_id (never text). The join carries shingle strings; at bigger
+    shingle sizes hash them first (same md5 trick as MinHash)."""
+    sh = shingles(documents)
+    ev = (sh.where(F.col("doc_id") % eval_mod == 0)
+            .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
+    tr = sh.where(F.col("doc_id") % eval_mod != 0)
+    j = tr.join(F.broadcast(ev), "shingle")
+    return (j.groupBy(F.col("doc_id").alias("train_doc_id"))
+             .agg(F.count_distinct("shingle").alias("n_shared_shingles"),
+                  F.count_distinct("eval_doc_id").alias("n_eval_docs"))
+             .orderBy("train_doc_id"))
+
+
+# --- vocabulary mining ------------------------------------------------------
+
+VOCAB_K = 100
+
+
+def vocab_topk(documents: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by term frequency (ties to the
+    lexicographically first token), with document frequency — the
+    counting pass under tokenizer/BPE training.
+
+    Scale shape: one explode + one groupBy(token) with map-side
+    partial aggregation, then a DISTRIBUTED top-k (orderBy+limit plans
+    as TakeOrderedAndProject — per-partition heaps, no single-task
+    global sort); the rank column is computed on the k survivors
+    only, so the window never sees the full vocabulary."""
+    tok = documents.select("doc_id", F.explode(_words(F.col("text"))).alias("token"))
+    agg = (tok.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.count_distinct("doc_id").alias("df")))
+    top = agg.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --- stratified sampling ----------------------------------------------------
+
+# per-language keep rates (basis points of 10_000): the dominant
+# language is downsampled, rare ones kept whole — the usual
+# pretraining language-balance move
+SAMPLE_RATES_BP: dict[str, int] = {
+    "en": 2_000, "fr": 5_000, "de": 5_000, "es": 5_000, "zh": 10_000,
+}
+SAMPLE_MOD = 10_000
+
+
+def stratified_sample(documents: DataFrame,
+                      rates_bp: dict[str, int] | None = None) -> DataFrame:
+    """Deterministic per-language sampling: keep a document iff
+    md5(doc_id) mod 10k falls under its language's rate. Hash-gated
+    (not `rand()`) so the sample is reproducible across runs, engines
+    and retries — a row-local filter with NO shuffle, and the same
+    doc keeps/drops regardless of partitioning. Unknown languages
+    default to keep-all."""
+    rates_bp = SAMPLE_RATES_BP if rates_bp is None else rates_bp
+    bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")), F.lit(SAMPLE_MOD))
+    rate = F.lit(SAMPLE_MOD)
+    for lang, bp in rates_bp.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return (documents.where(bucket < rate)
+                     .select("doc_id", "lang", bucket.alias("sample_bucket")))
+
+
+# --- sequence chunking ------------------------------------------------------
+
+CHUNK_LEN = 128   # tokens per training sequence
+CHUNK_STRIDE = 64  # overlap stride
+
+
+def chunk_documents(documents: DataFrame, chunk_len: int = CHUNK_LEN,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Split each document into overlapping fixed-length token windows
+    (the standard pretraining chunking step). Row-local: tokenize
+    once, explode the chunk starts, slice — no shuffle anywhere, and
+    chunk text rides as an md5 so the wide strings never leave the
+    executor."""
+    ws = _words(F.col("text"))
+    d = documents.select("doc_id", ws.alias("ws"), F.size(ws).alias("nw"))
+    starts = F.sequence(F.lit(0), F.col("nw") - 1, F.lit(stride))
+    d = d.select("doc_id", "ws", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("ws"), F.col("start") + 1, chunk_len)
+    return d.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))

@@ -108,6 +108,62 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         **_similarity_oracles(),
         **_text_oracles(),
         **_multimodal_oracles(),
+        **_pipeline_oracles(),
+    }
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        EVAL_MOD,
+        SAMPLE_MOD,
+        SAMPLE_RATES_BP,
+        VOCAB_K,
+    )
+
+    rate = str(SAMPLE_MOD)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = f"(CASE WHEN lang = '{lang}' THEN {bp} ELSE {rate} END)"
+    bucket = f"({md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD})"
+    chunk = f"ws[start + 1 : start + {CHUNK_LEN}]"
+    return {
+        "decontaminate": f"""
+WITH {_SHINGLE_CTE},
+ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
+SELECT tr.doc_id AS train_doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_shingles,
+       count(DISTINCT eval_doc_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY 1 ORDER BY 1""",
+        "vocab_topk": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+), agg AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), top AS (
+  SELECT * FROM agg ORDER BY tf DESC, token LIMIT {VOCAB_K}
+)
+SELECT token, tf, df,
+       CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rnk
+FROM top""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, {bucket} AS sample_bucket
+FROM documents WHERE {bucket} < {rate}""",
+        "chunk_documents": f"""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), st AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, len(ws) - 1, {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(len({chunk}) AS INTEGER) AS n_tokens,
+       md5(array_to_string({chunk}, ' ')) AS chunk_md5
+FROM st""",
     }
 
 

@@ -101,6 +101,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators import (
     similarity,
     textops,
 )
+from real_time_fraud_detection_flink_kafka_spark.operators import pipeline as pipeline_ops
 from real_time_fraud_detection_flink_kafka_spark.oracles_llm import llm_oracles
 
 _LLM_ORACLES = llm_oracles()
@@ -125,6 +126,10 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
     "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
+    "decontaminate": lambda s, d: pipeline_ops.decontaminate(load_table(s, d, "documents")),
+    "vocab_topk": lambda s, d: pipeline_ops.vocab_topk(load_table(s, d, "documents")),
+    "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
+    "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
 }
 # the Arrow signature stage is bit-identical to the expression path
 # (same md5-derived integer hashes), so the same oracle applies
