@@ -41,6 +41,11 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "multimodal_decode",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "decontaminate",
+    "vocab_topk",
+    "chunk_documents",
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
 ]
 

@@ -358,3 +358,27 @@ def distinct_users_daily(events: DataFrame) -> DataFrame:
     return (events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
                   .agg(F.count_distinct(F.col("user_id")).alias("n_users"),
                        F.count(F.lit(1)).alias("n_events")))
+
+
+def skew_salted_spend(events: DataFrame, customer: DataFrame,
+                      n_salt: int = 8) -> DataFrame:
+    """Hot-key join demo: events carry only ~15 distinct user_ids, so
+    an unsalted shuffle join lands every row on ≤15 reduce tasks no
+    matter how many executors exist. `salted_join` scatters each hot
+    key over `n_salt` sub-keys (small side replicated n_salt×), so
+    the hot key's rows spread across n_salt tasks. The salt is
+    dropped before the aggregate, so the result is EXACTLY the plain
+    join's — which is what the oracle checks.
+
+    Use when AQE's skew split can't help: a single key bigger than a
+    task's memory, or a skewed shuffle feeding a stateful op."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.skew import salted_join
+
+    ev = events.select(F.col("user_id"), F.col("value"))
+    cust = customer.select(F.col("c_custkey").alias("user_id"),
+                           F.col("c_mktsegment"))
+    j = salted_join(ev, cust, "user_id", n_salt=n_salt)
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  fsum(F.col("value")).alias("total_value"))
+             .orderBy("c_mktsegment"))

@@ -202,6 +202,11 @@ FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        {_fsum('o_totalprice')} AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        # the salted plan must produce EXACTLY the plain join's result
+        "skew_salted_spend": f"""
+SELECT c_mktsegment, count(*) AS n_events, {_fsum('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1""",
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users,
        count(*) AS n_events

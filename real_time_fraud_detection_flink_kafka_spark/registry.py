@@ -90,6 +90,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": lambda s, d: analytics.pivot_events(load_table(s, d, "events")),
     "rollup_orders": lambda s, d: analytics.rollup_orders(load_table(s, d, "orders")),
     "distinct_users_daily": lambda s, d: analytics.distinct_users_daily(load_table(s, d, "events")),
+    "skew_salted_spend": lambda s, d: analytics.skew_salted_spend(
+        load_table(s, d, "events"), load_table(s, d, "customer")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
