@@ -1,0 +1,114 @@
+"""Property tests for the training-pipeline corpus ops and the r3
+TPC-H additions — semantics the row-hash parity gate can't see
+(bounds, determinism, plan shapes)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_fraud_detection_flink_kafka_spark.operators import analytics
+from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    EVAL_MOD,
+    SAMPLE_RATES_BP,
+    VOCAB_K,
+    chunk_documents,
+    decontaminate,
+    stratified_sample,
+    vocab_topk,
+)
+from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_chunk_bounds_and_coverage(docs):
+    chunks = chunk_documents(docs).toPandas()
+    assert (chunks.n_tokens <= CHUNK_LEN).all()
+    assert (chunks.n_tokens >= 1).all()
+    # every doc yields chunk 0, and chunk count == ceil(nw / stride)
+    nw = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("nw")).toPandas()
+    per_doc = chunks.groupby("doc_id").agg(n=("chunk_idx", "count"),
+                                           lo=("chunk_idx", "min"))
+    merged = per_doc.join(nw.set_index("doc_id"))
+    assert (merged.lo == 0).all()
+    assert (merged.n == (merged.nw + CHUNK_STRIDE - 1) // CHUNK_STRIDE).all()
+
+
+def test_stratified_sample_rates_and_determinism(docs):
+    got = stratified_sample(docs).toPandas()
+    base = docs.groupby("lang").count().toPandas().set_index("lang")["count"]
+    kept = got.groupby("lang").size()
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = kept.get(lang, 0) / base[lang]
+        if bp == 10_000:
+            assert rate == 1.0, lang
+        else:
+            # md5 buckets are uniform; generous tolerance at small n
+            assert abs(rate - bp / 10_000) < 0.15, (lang, rate)
+    again = stratified_sample(docs).toPandas()
+    assert sorted(got.doc_id) == sorted(again.doc_id)
+
+
+def test_decontaminate_never_flags_eval_docs(docs):
+    out = decontaminate(docs).toPandas()
+    assert (out.train_doc_id % EVAL_MOD != 0).all()
+    assert (out.n_shared_shingles >= 1).all()
+    assert (out.n_eval_docs >= 1).all()
+
+
+def test_vocab_topk_rank_contract(docs):
+    out = vocab_topk(docs).toPandas().sort_values("rnk")
+    n_vocab = docs.select(F.explode(F.split(F.trim("text"), " "))).distinct().count()
+    assert len(out) == min(VOCAB_K, n_vocab)
+    assert list(out.rnk) == list(range(1, len(out) + 1))
+    assert (out.tf.diff().dropna() <= 0).all()  # tf non-increasing
+    assert (out.df <= out.tf).all()
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    salted = analytics.skew_salted_spend(events, customer).toPandas()
+    plain = (events.join(customer,
+                         events["user_id"] == customer["c_custkey"])
+             .groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  analytics.fsum(F.col("value")).alias("total_value"))
+             .orderBy("c_mktsegment")).toPandas()
+    assert salted.equals(plain)
+
+
+def _plan(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_q4_plans_broadcast_semi(spark, sf_dir):
+    df = analytics.q4_order_priority(load_table(spark, sf_dir, "orders"),
+                                     load_table(spark, sf_dir, "lineitem"))
+    plan = _plan(df, spark)
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_pushes_disjunction_to_both_scans(spark, sf_dir):
+    df = analytics.q19_discounted_revenue(load_table(spark, sf_dir, "lineitem"),
+                                          load_table(spark, sf_dir, "part"))
+    plan = _plan(df, spark)
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "Or(" in l]
+    # one Or(...) filter reaches the lineitem scan (quantity branches)
+    # and one reaches the part scan (brand/size branches)
+    assert len(pushed) >= 2, plan
+
+
+def test_vocab_topk_plans_distributed_topk(spark, sf_dir):
+    df = vocab_topk(load_table(spark, sf_dir, "documents"))
+    assert "TakeOrderedAndProject" in _plan(df, spark)
