@@ -55,9 +55,19 @@ def shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct n-grams (for self-joins)."""
-    return shingle_sets(documents, n).select(
-        "doc_id", F.explode("sh_set").alias("shingle"))
+    """(doc_id, shingle) — exploded distinct n-grams (for self-joins).
+
+    `explode_outer` + an attribute-level null filter, NOT `explode`:
+    plain explode plants an implicit ``size(sh_set) > 0`` pre-filter
+    containing the whole shingle EXPRESSION, which Catalyst then
+    pushes below any repartition exchange — re-evaluating the n-gram
+    transform per row on the narrow pre-shuffle side (measured 10×
+    the stage cost on a 1-partition scan). The outer variant has no
+    pre-filter, and filtering the generated ATTRIBUTE afterwards
+    cannot sink below the Generate."""
+    return (shingle_sets(documents, n)
+            .select("doc_id", F.explode_outer("sh_set").alias("shingle"))
+            .where(F.col("shingle").isNotNull()))
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -166,8 +176,14 @@ def _minhash_lsh_pipeline(documents: DataFrame, sig_fn, threshold: float
     rep_docs = spread(documents).join(
         F.broadcast(reps.select(F.col("rep_id").alias("doc_id"))), "doc_id")
 
-    # LSH + per-pair set-intersection verification on unique texts only
-    sig = sig_fn(rep_docs)
+    # LSH + per-pair set-intersection verification on unique texts
+    # only. The signature relation feeds THREE consumers (band
+    # explode + both verify sides); without persist() each one
+    # re-runs the full shingle+minhash fold — measured 3× the
+    # signature cost at sf0.1. At cluster scale the same move is
+    # persisting (or writing) the signature table before the
+    # candidate join; size is O(docs × N_PERM), never the texts.
+    sig = sig_fn(rep_docs).persist()
     cand = lsh_candidates(sig)
     sets = sig.select("doc_id", "sh_set")
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.functions.hashing import md5_int60
+from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     dedup_minhash_lsh_fast,
@@ -57,12 +58,20 @@ def corpus_prep(documents: DataFrame,
 # --- benchmark decontamination ----------------------------------------------
 
 EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 plays the held-out benchmark set
+DECON_NGRAM = 8  # decontamination n-gram size (8-13 words is standard)
 
 
-def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD) -> DataFrame:
+def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD,
+                  n: int = DECON_NGRAM) -> DataFrame:
     """Train/eval n-gram-overlap decontamination: flag every training
-    document sharing at least one word shingle with the (small)
+    document sharing at least one word 8-gram with the (small)
     held-out set, with overlap counts for thresholding.
+
+    The n-gram SIZE is the selectivity knob: at n=8 only genuinely
+    copied passages collide, so the shingle join stays ~linear; short
+    n-grams (3) collide on common phrases and the join degenerates
+    quadratically (measured 30s vs 2s at sf0.1 on this corpus — the
+    same blowup would OOM a real cluster).
 
     Scale shape: the eval side of the join is the benchmark suite —
     thousands of docs against a 100 TB corpus — so its shingle set is
@@ -70,7 +79,7 @@ def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD) -> DataFrame:
     only shuffle is the per-train-doc overlap aggregation, keyed on
     doc_id (never text). The join carries shingle strings; at bigger
     shingle sizes hash them first (same md5 trick as MinHash)."""
-    sh = shingles(documents)
+    sh = shingles(spread(documents), n)
     ev = (sh.where(F.col("doc_id") % eval_mod == 0)
             .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
     tr = sh.where(F.col("doc_id") % eval_mod != 0)

@@ -161,8 +161,14 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     threshold are inherently hard for sign-LSH (use `ann_topk` /
     `ann_topk_fast` for exact low-threshold search)."""
     e = _vecs(spread(embeddings))
+    # both self-join sides consume the signature relation; the
+    # candidate join broadcasts one side, so there is no exchange for
+    # Catalyst to reuse and the 80-hyperplane signature fold would run
+    # TWICE — persist() computes it once (rows are (id, tbl, bucket),
+    # ~20 bytes; at cluster scale this is the persisted/written
+    # signature table every LSH system maintains)
     buckets = _with_hyperplanes(e).select("vec_id", F.posexplode(
-        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket"))
+        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket")).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))

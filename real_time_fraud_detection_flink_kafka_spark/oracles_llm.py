@@ -116,11 +116,23 @@ def _pipeline_oracles() -> dict[str, str]:
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         CHUNK_LEN,
         CHUNK_STRIDE,
+        DECON_NGRAM,
         EVAL_MOD,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
         VOCAB_K,
     )
+
+    grams = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_NGRAM))
+    decon_cte = f"""w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+ex AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {DECON_NGRAM - 1})) AS i FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id, {grams} AS shingle FROM ex
+)"""
 
     rate = str(SAMPLE_MOD)
     for lang, bp in SAMPLE_RATES_BP.items():
@@ -129,7 +141,7 @@ def _pipeline_oracles() -> dict[str, str]:
     chunk = f"ws[start + 1 : start + {CHUNK_LEN}]"
     return {
         "decontaminate": f"""
-WITH {_SHINGLE_CTE},
+WITH {decon_cte},
 ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
 tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {EVAL_MOD} <> 0)
 SELECT tr.doc_id AS train_doc_id,

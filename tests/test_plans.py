@@ -82,3 +82,23 @@ def test_minhash_fast_is_arrow_batched(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_lsh_fast")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shingle_explode_not_pushed_below_exchange(spark, sf_dir):
+    """Plain `explode` plants an implicit size()>0 pre-filter holding
+    the whole shingle expression, which Catalyst pushes below the
+    spread() repartition — re-running the n-gram transform on the
+    narrow pre-shuffle side (10× the stage cost on a 1-partition
+    scan). `shingles` must keep the expensive expression strictly
+    above the exchange (explode_outer + attribute filter)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import shingles
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (shingles(spread(docs))
+            ._jdf.queryExecution().executedPlan().toString())
+    below = plan.split("Exchange", 1)[1] if "Exchange" in plan else ""
+    assert "concat_ws" not in below, "shingle expression sank below the exchange"
