@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk",
     "ann_lsh",
+    "ann_lsh_fast",
     "ann_ivf",
     "token_count",
     "doc_fingerprint",

@@ -360,6 +360,38 @@ def distinct_users_daily(events: DataFrame) -> DataFrame:
                        F.count(F.lit(1)).alias("n_events")))
 
 
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_12"
+Q8_FROM, Q8_TO = "1995-01-01", "1997-01-01"
+
+
+def q8_market_share(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share of a region's market
+    by year. Seven-relation join with every dim broadcast; the share
+    is a conditional fixed-point sum over the SAME joined rows (one
+    pass, no second scan), divided per group — both operands
+    engine-deterministic, so the ratio is too."""
+    r = region.where(F.col("r_name") == Q8_REGION)
+    n1 = (nation.join(F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"])
+                .select(F.col("n_nationkey").alias("c_nk")))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    o = orders.where((F.col("o_orderdate") >= ntz(Q8_FROM))
+                     & (F.col("o_orderdate") < ntz(Q8_TO)))
+    j = (lineitem.join(o, F.col("l_orderkey") == o["o_orderkey"])
+         .join(F.broadcast(customer), o["o_custkey"] == customer["c_custkey"])
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier["s_suppkey"])
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")))
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    target = F.when(j["supp_nation"] == Q8_NATION, rev).otherwise(F.lit(0.0))
+    return (j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+             .agg((fsum(target) / fsum(rev)).alias("mkt_share"))
+             .orderBy("o_year"))
+
+
 def skew_salted_spend(events: DataFrame, customer: DataFrame,
                       n_salt: int = 8) -> DataFrame:
     """Hot-key join demo: events carry only ~15 distinct user_ids, so

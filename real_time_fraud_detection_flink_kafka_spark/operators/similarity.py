@@ -169,6 +169,13 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     # signature table every LSH system maintains)
     buckets = _with_hyperplanes(e).select("vec_id", F.posexplode(
         lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket")).persist()
+    return _lsh_candidates_verified(e, buckets, threshold)
+
+
+def _lsh_candidates_verified(e: DataFrame, buckets: DataFrame,
+                             threshold: float) -> DataFrame:
+    """Shared candidate-join + exact-cosine verify over a (vec_id,
+    tbl, bucket) signature relation (expression or Arrow path)."""
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -186,6 +193,58 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
                 .where(F.col("cos_raw") >= threshold)
                 .select("vec_a", "vec_b",
                         F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+def lsh_signatures_arrow(embeddings: DataFrame) -> DataFrame:
+    """Arrow/numpy fast path for the LSH signature stage: (vec_id,
+    tbl, bucket) rows, BIT-IDENTICAL to `lsh_signatures_array`.
+
+    Bit-identity argument: the expression path folds each hyperplane
+    dot STRICTLY left-to-right in doubles (0 + v₀h₀ + v₁h₁ + …).
+    Here the same fold runs vectorized ACROSS rows/planes but
+    sequential across dims — `acc += V[:, d] · H[:, d]` one dim at a
+    time — so every (row, plane) accumulator performs the exact same
+    IEEE operation sequence as the scalar fold, and sign decisions
+    (hence buckets, hence candidates) cannot differ. This is the same
+    trick as `minhash_signatures_arrow`'s integer path, applied to
+    floats; a single matmul would NOT be safe (SIMD/pairwise
+    summation reorders the adds and could flip near-zero signs)."""
+    import numpy as np
+    import pandas as pd
+
+    HP = np.array(HYPERPLANES, dtype=np.float64)          # (80, 64)
+    pows = (1 << np.arange(BITS_PER_TABLE, dtype=np.int64))
+
+    def sign(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            acc = np.zeros((n, HP.shape[0]), dtype=np.float64)
+            for d in range(HP.shape[1]):
+                acc += V[:, d, None] * HP[None, :, d]
+            bits = (acc > 0).reshape(n, N_TABLES, BITS_PER_TABLE)
+            sigs = (bits * pows[None, None, :]).sum(axis=2)   # (n, N_TABLES)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, N_TABLES),
+                "tbl": np.tile(np.arange(N_TABLES), n),
+                "bucket": sigs.reshape(-1).astype(np.int32),
+            })
+
+    return (embeddings.select("vec_id", "embedding")
+            .mapInPandas(sign, "vec_id bigint, tbl int, bucket int"))
+
+
+def ann_lsh_fast(embeddings: DataFrame,
+                 threshold: float = COS_THRESHOLD) -> DataFrame:
+    """`ann_lsh` with the Arrow signature stage — bit-identical
+    buckets (see `lsh_signatures_arrow`), so it shares `ann_lsh`'s
+    oracle; the verify stage is unchanged JVM-side expression code."""
+    e = _vecs(spread(embeddings))
+    buckets = lsh_signatures_arrow(spread(embeddings)).persist()
+    return _lsh_candidates_verified(e, buckets, threshold)
 
 
 def ann_ivf(embeddings: DataFrame, k: int = TOP_K,

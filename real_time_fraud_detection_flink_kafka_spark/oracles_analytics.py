@@ -20,6 +20,10 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q6_TO,
     Q7_FROM,
     Q7_TO,
+    Q8_FROM,
+    Q8_NATION,
+    Q8_REGION,
+    Q8_TO,
     Q10_FROM,
     Q10_TO,
     Q14_FROM,
@@ -114,6 +118,20 @@ WHERE n1.n_name <> n2.n_name
   AND l_shipdate >= TIMESTAMP '{Q7_FROM}'
   AND l_shipdate <  TIMESTAMP '{Q7_TO}'
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "q8_market_share": f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_fsum(f"CASE WHEN n2.n_name = '{Q8_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {_fsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{Q8_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q8_TO}'
+GROUP BY 1 ORDER BY 1""",
         "q10_returned_items": f"""
 SELECT c_custkey, c_name, n_name,
        {_fsum('l_extendedprice * (1 - l_discount)')} AS revenue

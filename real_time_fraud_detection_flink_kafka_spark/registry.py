@@ -72,6 +72,10 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "nation"), load_table(s, d, "customer"),
         load_table(s, d, "supplier"), load_table(s, d, "orders"),
         load_table(s, d, "lineitem")),
+    "q8_market_share": lambda s, d: analytics.q8_market_share(
+        load_table(s, d, "region"), load_table(s, d, "nation"),
+        load_table(s, d, "customer"), load_table(s, d, "supplier"),
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")),
     "q10_returned_items": lambda s, d: analytics.q10_returned_items(
         load_table(s, d, "customer"), load_table(s, d, "orders"),
         load_table(s, d, "lineitem"), load_table(s, d, "nation")),
@@ -116,6 +120,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": lambda s, d: similarity.ann_topk(load_table(s, d, "embeddings")),
     "ann_topk_fast": lambda s, d: similarity.ann_topk_fast(load_table(s, d, "embeddings")),
     "ann_lsh": lambda s, d: similarity.ann_lsh(load_table(s, d, "embeddings")),
+    "ann_lsh_fast": lambda s, d: similarity.ann_lsh_fast(load_table(s, d, "embeddings")),
     "ann_ivf": lambda s, d: similarity.ann_ivf(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
@@ -133,9 +138,11 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
 }
-# the Arrow signature stage is bit-identical to the expression path
-# (same md5-derived integer hashes), so the same oracle applies
+# the Arrow signature stages are bit-identical to the expression paths
+# (same md5-derived integer hashes / same IEEE fold order), so the
+# same oracles apply
 _LLM_ORACLES["dedup_minhash_lsh_fast"] = _LLM_ORACLES["dedup_minhash_lsh"]
+_LLM_ORACLES["ann_lsh_fast"] = _LLM_ORACLES["ann_lsh"]
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
 

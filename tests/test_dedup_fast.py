@@ -34,3 +34,37 @@ def test_fast_pipeline_equals_expression_pipeline(spark, sf_dir):
     slow = _norm(dedup_minhash_lsh(docs).toPandas())
     fast = _norm(dedup_minhash_lsh_fast(docs).toPandas())
     pd.testing.assert_frame_equal(slow, fast)
+
+
+def test_ann_lsh_arrow_buckets_bit_identical(spark, sf_dir):
+    """The Arrow signature stage must reproduce the expression path's
+    buckets EXACTLY (the sequential-across-dims fold argument) — not
+    just the final verified pairs."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators import similarity as sim
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = sim._vecs(emb)
+    expr = (sim._with_hyperplanes(e)
+            .select("vec_id", F.posexplode(
+                sim.lsh_signatures_array(F.col("v"), F.col("_hps"))
+            ).alias("tbl", "bucket"))
+            .toPandas().sort_values(["vec_id", "tbl"]).reset_index(drop=True))
+    arrow = (sim.lsh_signatures_arrow(emb)
+             .toPandas().sort_values(["vec_id", "tbl"]).reset_index(drop=True))
+    assert (expr.vec_id == arrow.vec_id).all()
+    assert (expr.tbl == arrow.tbl).all()
+    assert (expr.bucket.astype("int64") == arrow.bucket.astype("int64")).all()
+
+
+def test_ann_lsh_fast_equals_expression_path(spark, sf_dir):
+    from real_time_fraud_detection_flink_kafka_spark.operators import similarity as sim
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = ["vec_a", "vec_b", "cos_sim"]
+    slow = sim.ann_lsh(emb).toPandas().sort_values(cols).reset_index(drop=True)
+    fast = sim.ann_lsh_fast(emb).toPandas().sort_values(cols).reset_index(drop=True)
+    assert slow.equals(fast)
