@@ -47,6 +47,7 @@ HEADLINE = [
     "decontaminate",
     "vocab_topk",
     "chunk_documents",
+    "pack_sequences",
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
 ]
 

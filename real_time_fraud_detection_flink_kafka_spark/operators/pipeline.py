@@ -165,3 +165,49 @@ def chunk_documents(documents: DataFrame, chunk_len: int = CHUNK_LEN,
         (F.col("start") / stride).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_BUDGET = 512  # max tokens per training sequence pack
+PACK_SHARDS = 8    # independent packing shards
+
+
+def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET,
+                   n_shards: int = PACK_SHARDS) -> DataFrame:
+    """Greedy sequential bin packing of documents into training
+    sequences: within a shard, docs are taken in doc_id order and a
+    new pack starts whenever the running token count would exceed
+    `budget` (an oversize doc gets a pack of its own).
+
+    Packing is inherently ITERATIVE (each decision depends on the
+    running remainder), so this is the one corpus op that earns
+    `applyInPandas`: shards pack independently — exactly how a
+    distributed packer works at scale, where shard = worker and the
+    only shuffle is the groupBy(shard). The per-shard loop is O(rows)
+    Python over Arrow batches. Deterministic: shard and order are
+    pure functions of doc_id, so the oracle (a recursive CTE) replays
+    the identical fold."""
+    import pandas as pd
+
+    ws = _words(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(ws).alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs, acc, pid = [], 0, 0
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if acc > 0 and acc + nt > budget:
+                pid, acc = pid + 1, nt
+            else:
+                acc += nt
+            packs.append(pid)
+        pdf["pack_id"] = packs
+        return pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "doc_id bigint, shard int, pack_id int, n_tokens int")

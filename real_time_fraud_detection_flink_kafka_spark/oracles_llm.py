@@ -118,6 +118,8 @@ def _pipeline_oracles() -> dict[str, str]:
         CHUNK_STRIDE,
         DECON_NGRAM,
         EVAL_MOD,
+        PACK_BUDGET,
+        PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
         VOCAB_K,
@@ -176,6 +178,29 @@ SELECT doc_id,
        CAST(len({chunk}) AS INTEGER) AS n_tokens,
        md5(array_to_string({chunk}, ' ')) AS chunk_md5
 FROM st""",
+        # replays pack_sequences' greedy fold exactly: recursion steps
+        # one row per shard per iteration, threading (pack_id, acc)
+        "pack_sequences": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS INTEGER) AS pack_id, n_tokens AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CAST(CASE WHEN rec.acc + t.n_tokens > {PACK_BUDGET}
+                   THEN rec.pack_id + 1 ELSE rec.pack_id END AS INTEGER),
+         CASE WHEN rec.acc + t.n_tokens > {PACK_BUDGET}
+              THEN t.n_tokens ELSE rec.acc + t.n_tokens END
+  FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM rec""",
     }
 
 

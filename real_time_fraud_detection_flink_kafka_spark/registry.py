@@ -137,6 +137,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": lambda s, d: pipeline_ops.vocab_topk(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
+    "pack_sequences": lambda s, d: pipeline_ops.pack_sequences(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the

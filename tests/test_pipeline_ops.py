@@ -112,3 +112,23 @@ def test_q19_pushes_disjunction_to_both_scans(spark, sf_dir):
 def test_vocab_topk_plans_distributed_topk(spark, sf_dir):
     df = vocab_topk(load_table(spark, sf_dir, "documents"))
     assert "TakeOrderedAndProject" in _plan(df, spark)
+
+
+def test_pack_sequences_budget_and_contiguity(docs):
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    out = pack_sequences(docs).toPandas().sort_values(["shard", "doc_id"])
+    per_pack = out.groupby(["shard", "pack_id"]).agg(
+        tot=("n_tokens", "sum"), n=("doc_id", "count"))
+    # a pack only exceeds the budget when it holds a single oversize doc
+    over = per_pack[per_pack.tot > PACK_BUDGET]
+    assert (over.n == 1).all()
+    # pack ids are contiguous from 0 within each shard
+    for shard, grp in out.groupby("shard"):
+        ids = sorted(grp.pack_id.unique())
+        assert ids == list(range(len(ids)))
+        # greedy invariant: pack_id is non-decreasing in doc_id order
+        assert (grp.pack_id.diff().dropna() >= 0).all()
