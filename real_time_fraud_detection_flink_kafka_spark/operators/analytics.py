@@ -414,3 +414,45 @@ def skew_salted_spend(events: DataFrame, customer: DataFrame,
              .agg(F.count(F.lit(1)).alias("n_events"),
                   fsum(F.col("value")).alias("total_value"))
              .orderBy("c_mktsegment"))
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. The order
+    predicate lives in the OUTER JOIN CONDITION, not a WHERE — the
+    Q13 trap: filtering after the join would drop zero-order
+    customers, filtering before changes nothing here but a WHERE on
+    the nullable side post-join silently turns the outer join inner.
+    Two aggregations: per-customer count (counts only matched rows
+    via count(o_orderkey)), then the histogram over counts."""
+    j = customer.join(
+        orders,
+        (customer["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != Q13_EXCLUDED_PRIORITY),
+        "left_outer")
+    per_cust = (j.groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist"))
+                    .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders — a scalar aggregate broadcast back over the scan plus an
+    ANTI join. The threshold uses the fixed-point sum/count (not
+    avg()) so both engines compute the identical double and no
+    boundary customer can flip."""
+    pos = customer.where(F.col("c_acctbal") > 0.0)
+    thresh = pos.agg((fsum(F.col("c_acctbal"))
+                      / F.count(F.lit(1))).alias("avg_bal"))
+    rich = (customer.crossJoin(F.broadcast(thresh))
+                    .where(F.col("c_acctbal") > F.col("avg_bal")))
+    no_orders = rich.join(orders, rich["c_custkey"] == orders["o_custkey"],
+                          "left_anti")
+    return (no_orders.groupBy("c_nationkey")
+                     .agg(F.count(F.lit(1)).alias("numcust"),
+                          fsum(F.col("c_acctbal")).alias("totacctbal"))
+                     .orderBy("c_nationkey"))

@@ -26,6 +26,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q8_TO,
     Q10_FROM,
     Q10_TO,
+    Q13_EXCLUDED_PRIORITY,
     Q14_FROM,
     Q14_TO,
     Q18_MIN_QTY,
@@ -220,6 +221,44 @@ FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        {_fsum('o_totalprice')} AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "q13_customer_distribution": f"""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC""",
+        "q22_sales_opportunity": f"""
+WITH thresh AS (
+  SELECT {_fsum('c_acctbal')} / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust, {_fsum('c_acctbal')} AS totacctbal
+FROM customer, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1""",
+        # mirrors session_window's boundary rule: an event EXACTLY
+        # gap after its predecessor starts a NEW session (>=, not >)
+        "session_window_counts": f"""
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT *, CASE WHEN (ts_us - lag(ts_us) OVER w) >= {SESSION_GAP_US} THEN 1
+                 WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       count(*) AS n_events, {_fsum('value')} AS total_value
+FROM sess GROUP BY user_id, session_idx""",
         # the salted plan must produce EXACTLY the plain join's result
         "skew_salted_spend": f"""
 SELECT c_mktsegment, count(*) AS n_events, {_fsum('value')} AS total_value

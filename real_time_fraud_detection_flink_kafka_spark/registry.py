@@ -96,7 +96,22 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_daily": lambda s, d: analytics.distinct_users_daily(load_table(s, d, "events")),
     "skew_salted_spend": lambda s, d: analytics.skew_salted_spend(
         load_table(s, d, "events"), load_table(s, d, "customer")),
+    "q13_customer_distribution": lambda s, d: analytics.q13_customer_distribution(
+        load_table(s, d, "customer"), load_table(s, d, "orders")),
+    "q22_sales_opportunity": lambda s, d: analytics.q22_sales_opportunity(
+        load_table(s, d, "customer"), load_table(s, d, "orders")),
+    "session_window_counts": lambda s, d: _batch_session_windows(s, d),
 }
+
+
+def _batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation on the batch events table
+    (same transformation the streaming runner uses)."""
+    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
+        session_counts_stream,
+    )
+
+    return session_counts_stream(load_table(spark, sf_dir, "events"))
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
 
@@ -237,8 +252,22 @@ def _stream_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  f"wire_stream_{_STREAM_COUNTER['n']}")
 
 
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
+        run_session_counts_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_session_counts_stream(
+        spark, sf_dir, query_name=f"session_stream_{_STREAM_COUNTER['n']}")
+
+
 register("stream_fraud_detector", _stream_fraud, _FRAUD_ORACLES["fraud_scores"])
 register("stream_windowed_counts", _stream_windowed, _ANALYTICS_ORACLES["windowed_counts"])
+# Flink-session-window parity: the streaming drain is held to the
+# same oracle as the batch session_window aggregation
+register("stream_session_counts", _stream_sessions,
+         _ANALYTICS_ORACLES["session_window_counts"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.
