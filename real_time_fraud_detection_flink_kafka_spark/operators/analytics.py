@@ -456,3 +456,30 @@ def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
                      .agg(F.count(F.lit(1)).alias("numcust"),
                           fsum(F.col("c_acctbal")).alias("totacctbal"))
                      .orderBy("c_nationkey"))
+
+
+PCTS = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact DISCRETE percentiles of `value` per event_type — the
+    OLAP quantile op done engine-portably: rank rows per group and
+    pick the ceil(p·n)-th value. Interpolating percentiles
+    (percentile_cont) would hash-mismatch across engines because the
+    two interpolation FORMS differ in final-ulp FP; the discrete pick
+    returns an actual data value, so equality is exact. One shuffle
+    on event_type; the per-group sort is the same work a
+    percentile_cont aggregation does internally."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"))
+    aggs = [
+        F.max(F.when(F.col("rn") == F.greatest(
+            F.lit(1), F.ceil(F.lit(p) * F.col("n"))), F.col("value"))
+        ).alias(name)
+        for name, p in PCTS
+    ]
+    return (ranked.groupBy("event_type").agg(*aggs)
+                  .orderBy("event_type"))

@@ -211,3 +211,26 @@ def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET,
 
     return base.groupBy("shard").applyInPandas(
         pack, "doc_id bigint, shard int, pack_id int, n_tokens int")
+
+
+# --- BPE merge-pair counting ------------------------------------------------
+
+BIGRAM_K = 50
+
+
+def bigram_topk(documents: DataFrame, k: int = BIGRAM_K) -> DataFrame:
+    """Adjacent-token-pair frequencies — the counting pass inside one
+    BPE training iteration (most-frequent pair becomes the next
+    merge). Pairs are built row-local with a zip of the token array
+    against its own tail (no self-join), then one groupBy + the same
+    distributed top-k shape as `vocab_topk`."""
+    ws = _words(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    tok = documents.select(F.explode(pairs).alias("pair"))
+    agg = tok.groupBy("pair").agg(F.count(F.lit(1)).alias("tf"))
+    top = agg.orderBy(F.desc("tf"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(w))

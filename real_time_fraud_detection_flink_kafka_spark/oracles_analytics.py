@@ -31,6 +31,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q14_TO,
     Q18_MIN_QTY,
     Q19_BRANDS,
+    PCTS,
     SCALE,
     SESSION_GAP_US,
     WINDOW_US,
@@ -241,6 +242,23 @@ FROM customer, thresh
 WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1""",
+        # same discrete pick both sides — an actual data value, so
+        # equality is exact (interpolated percentiles differ in ulps)
+        "event_value_percentiles": """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       """ + ",\n       ".join(
+            f"max(CASE WHEN rn = greatest(1, CAST(ceil({p} * n) AS BIGINT)) "
+            f"THEN value END) AS {name}"
+            for name, p in PCTS
+        ) + """
+FROM ranked GROUP BY 1 ORDER BY 1""",
         # mirrors session_window's boundary rule: an event EXACTLY
         # gap after its predecessor starts a NEW session (>=, not >)
         "session_window_counts": f"""

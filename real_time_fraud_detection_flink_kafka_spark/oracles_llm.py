@@ -114,6 +114,7 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
 
 def _pipeline_oracles() -> dict[str, str]:
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        BIGRAM_K,
         CHUNK_LEN,
         CHUNK_STRIDE,
         DECON_NGRAM,
@@ -161,6 +162,21 @@ WITH tok AS (
 )
 SELECT token, tf, df,
        CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rnk
+FROM top""",
+        "bigram_topk": f"""
+WITH w AS (
+  SELECT string_split(trim(text), ' ') AS ws FROM documents
+), ex AS (
+  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w
+), p AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS pair FROM ex
+), agg AS (
+  SELECT pair, count(*) AS tf FROM p GROUP BY 1
+), top AS (
+  SELECT * FROM agg ORDER BY tf DESC, pair LIMIT {BIGRAM_K}
+)
+SELECT pair, tf,
+       CAST(row_number() OVER (ORDER BY tf DESC, pair) AS INTEGER) AS rnk
 FROM top""",
         "stratified_sample": f"""
 SELECT doc_id, lang, {bucket} AS sample_bucket

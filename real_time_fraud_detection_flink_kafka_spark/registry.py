@@ -55,6 +55,17 @@ from real_time_fraud_detection_flink_kafka_spark.oracles_analytics import analyt
 
 _ANALYTICS_ORACLES = analytics_oracles()
 
+
+def _batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation on the batch events table
+    (same transformation the streaming runner uses)."""
+    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
+        session_counts_stream,
+    )
+
+    return session_counts_stream(load_table(spark, sf_dir, "events"))
+
+
 _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": lambda s, d: analytics.q1_pricing_summary(load_table(s, d, "lineitem")),
     "q3_shipping_priority": lambda s, d: analytics.q3_shipping_priority(
@@ -101,17 +112,9 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_sales_opportunity": lambda s, d: analytics.q22_sales_opportunity(
         load_table(s, d, "customer"), load_table(s, d, "orders")),
     "session_window_counts": lambda s, d: _batch_session_windows(s, d),
+    "event_value_percentiles": lambda s, d: analytics.event_value_percentiles(
+        load_table(s, d, "events")),
 }
-
-
-def _batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session_window aggregation on the batch events table
-    (same transformation the streaming runner uses)."""
-    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
-        session_counts_stream,
-    )
-
-    return session_counts_stream(load_table(spark, sf_dir, "events"))
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
 
@@ -153,6 +156,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
     "pack_sequences": lambda s, d: pipeline_ops.pack_sequences(load_table(s, d, "documents")),
+    "bigram_topk": lambda s, d: pipeline_ops.bigram_topk(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the
