@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
 from real_time_fraud_detection_flink_kafka_spark.functions.transactions import (
     transactions_from_events,
 )
@@ -69,3 +70,36 @@ def distinct_users_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     return (events.groupBy("event_type")
                   .agg(F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
                        F.count_distinct("user_id").alias("n_users_exact")))
+
+
+KMV_K = 64
+KMV_NORM = float(1 << 60)
+
+
+def distinct_users_kmv(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-day approximate distinct users via a K-MINIMUM-VALUES
+    sketch — the engine-PORTABLE alternative to HLL
+    (`distinct_users_approx` stays rows-only because HLL registers
+    are engine-internal; KMV is pure arithmetic on portable md5
+    hashes, so this one is fully oracle-checked).
+
+    Estimator: hash each user to (0,1); with fewer than k distinct
+    hashes the count is exact, otherwise est = (k-1)/h_(k) (the k-th
+    smallest hash). At scale the per-group state is the k smallest
+    hashes — mergeable across partitions like any sketch; here the
+    rank is computed with one window over the distinct hashes."""
+    h = (H.md5_int60(F.col("user_id").cast("string")) / F.lit(KMV_NORM))
+    d = (events.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                       h.alias("hv"))
+               .distinct())
+    w = Window.partitionBy("day").orderBy("hv")
+    ranked = d.select(
+        "day", "hv", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).alias("m"))
+    est = F.when(F.col("m") < k, F.col("m").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("hk"))
+    return (ranked.groupBy("day")
+            .agg(F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("hk"),
+                 F.max("m").alias("m"))
+            .select("day", est.alias("n_users_est"))
+            .orderBy("day"))

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+from real_time_fraud_detection_flink_kafka_spark.functions.hashing import md5_int60_sql
 from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+    KMV_K,
+    KMV_NORM,
     LARGE_MIN,
     MIN_PROBES,
     SEQ_WINDOW_US,
@@ -13,6 +16,24 @@ from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 def cep_oracles() -> dict[str, str]:
     return {
+        "distinct_users_kmv": f"""
+WITH d AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         ({md5_int60_sql("CAST(user_id AS VARCHAR)")} / {KMV_NORM!r}) AS hv
+  FROM events
+), ranked AS (
+  SELECT day, hv,
+         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY day) AS m
+  FROM d
+), agg AS (
+  SELECT day, max(CASE WHEN rn = {KMV_K} THEN hv END) AS hk, max(m) AS m
+  FROM ranked GROUP BY 1
+)
+SELECT day,
+       CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+            ELSE {float(KMV_K - 1)!r} / hk END AS n_users_est
+FROM agg ORDER BY day""",
         "cep_card_testing": f"""WITH {TX_CTE},
 p AS (
   SELECT *,

@@ -272,6 +272,22 @@ register("stream_windowed_counts", _stream_windowed, _ANALYTICS_ORACLES["windowe
 # same oracle as the batch session_window aggregation
 register("stream_session_counts", _stream_sessions,
          _ANALYTICS_ORACLES["session_window_counts"])
+
+
+def _stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_corpus_quality_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_corpus_quality_stream(
+        spark, sf_dir, query_name=f"corpus_stream_{_STREAM_COUNTER['n']}")
+
+
+# streaming corpus intake is stateless, so the drained stream must
+# equal the batch quality scorer exactly — same oracle
+register("stream_corpus_quality", _stream_corpus,
+         _LLM_ORACLES["quality_score"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.
@@ -298,6 +314,9 @@ register("customers_with_big_orders",
          lambda s, d: cep.customers_with_big_orders(
              load_table(s, d, "customer"), load_table(s, d, "orders")),
          _CEP_ORACLES["customers_with_big_orders"])
+register("distinct_users_kmv",
+         lambda s, d: cep.distinct_users_kmv(load_table(s, d, "events")),
+         _CEP_ORACLES["distinct_users_kmv"])
 register("distinct_users_approx",
          lambda s, d: cep.distinct_users_approx(load_table(s, d, "events")),
          None)  # HLL sketch values are engine-specific

@@ -1,0 +1,32 @@
+"""Streaming corpus ingestion: the documents table consumed as a
+file stream through the row-local quality scorer — the shape of a
+continuous training-data intake pipeline (new crawl shards land in a
+directory; quality gating runs incrementally). Stateless (no
+aggregation/state store), so append mode streams rows straight
+through and the drained result must equal the batch operator —
+enforced by sharing `quality_score`'s oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from real_time_fraud_detection_flink_kafka_spark.operators.textops import quality_score
+from real_time_fraud_detection_flink_kafka_spark.sources.files import ensure_session_confs
+
+
+def run_corpus_quality_stream(spark, sf_dir: str,
+                              query_name: str = "corpus_stream") -> DataFrame:
+    """Bounded drain of the quality scorer over a documents file
+    stream (schema from a one-off batch read; availableNow trigger)."""
+    ensure_session_confs(spark)
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    out = quality_score(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
     cep_card_testing,
     distinct_users_approx,
@@ -34,3 +36,24 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert len(df) == 5
     for r in df:
         assert abs(r.n_users_approx - r.n_users_exact) <= max(2, 0.15 * r.n_users_exact)
+
+
+def test_kmv_estimator_branch_error_bound(spark, sf_dir):
+    """With k below the true cardinality the (k-1)/h_k estimator
+    engages; KMV's relative standard error is ~1/sqrt(k-2), so allow
+    3 RSEs. Exact-branch behavior (m < k) is covered by the oracle
+    parity test at k=64."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import distinct_users_kmv
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    k = 8
+    est = distinct_users_kmv(events, k=k).toPandas().set_index("day")
+    exact = (events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+             .agg(F.count_distinct("user_id").alias("n")).toPandas()
+             .set_index("day"))
+    joined = est.join(exact)
+    engaged = joined[joined.n >= k]
+    assert len(engaged) > 0, "estimator branch never engaged — lower k"
+    rel_err = ((engaged.n_users_est - engaged.n).abs() / engaged.n)
+    assert (rel_err < 3 / (k - 2) ** 0.5).all(), rel_err
