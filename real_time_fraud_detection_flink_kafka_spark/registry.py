@@ -288,6 +288,22 @@ def _stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal the batch quality scorer exactly — same oracle
 register("stream_corpus_quality", _stream_corpus,
          _LLM_ORACLES["quality_score"])
+
+
+def _stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_corpus_dedup_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_corpus_dedup_stream(
+        spark, sf_dir, query_name=f"corpus_dedup_{_STREAM_COUNTER['n']}")
+
+
+# min()-based streaming dedup aggregation is arrival-order-free, so
+# the drained state equals batch dedup_exact — same oracle
+register("stream_dedup_corpus", _stream_corpus_dedup,
+         _LLM_ORACLES["dedup_exact"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.

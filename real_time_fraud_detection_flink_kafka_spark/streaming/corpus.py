@@ -30,3 +30,31 @@ def run_corpus_quality_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_corpus_dedup_stream(spark, sf_dir: str,
+                            query_name: str = "corpus_dedup_stream") -> DataFrame:
+    """Incremental exact dedup over the corpus stream: a streaming
+    groupBy(md5(text)) keeping the canonical (min) doc_id and copy
+    count. An AGGREGATION, not dropDuplicates — dropDuplicates keeps
+    the first-ARRIVING row, which races across partitions; min() is
+    order-free, so the drained state equals the batch `dedup_exact`
+    exactly and shares its oracle. Complete mode emits the final
+    state table."""
+    from pyspark.sql import functions as F
+
+    ensure_session_confs(spark)
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    out = (stream.groupBy(F.md5("text").alias("text_md5"))
+           .agg(F.min("doc_id").alias("canonical_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"))
+           .select("canonical_doc_id", "n_copies", "text_md5"))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
