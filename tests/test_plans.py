@@ -102,3 +102,37 @@ def test_shingle_explode_not_pushed_below_exchange(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     below = plan.split("Exchange", 1)[1] if "Exchange" in plan else ""
     assert "concat_ws" not in below, "shingle expression sank below the exchange"
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """At 100 TB the win on a selective fact⋈fact join is pruning the
+    big side BEFORE the shuffle: Spark's runtime Bloom filter builds
+    a filter from the selective side and applies might_contain on the
+    other side's scan. Verify the engine setup can inject it (thresholds
+    lowered; broadcast disabled so the shuffle join makes it relevant)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold"]}
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+               .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
