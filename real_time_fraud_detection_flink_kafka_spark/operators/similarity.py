@@ -249,7 +249,8 @@ def ann_lsh_fast(embeddings: DataFrame,
 
 def ann_ivf(embeddings: DataFrame, k: int = TOP_K,
             n_queries: int = N_QUERIES, n_cells: int = IVF_K,
-            nprobe: int = NPROBE) -> DataFrame:
+            nprobe: int = NPROBE,
+            centroids: DataFrame | None = None) -> DataFrame:
     """IVF-Flat ANN: coarse-quantize the corpus into `n_cells` cells,
     probe the `nprobe` nearest cells per query, exact-cosine re-rank
     within the probed cells only.
@@ -273,9 +274,17 @@ def ann_ivf(embeddings: DataFrame, k: int = TOP_K,
     Tie-breaks (equal cosine) go to the lower cell / neighbor id,
     mirrored exactly in the oracle SQL."""
     e = _vecs(embeddings)
-    cents = e.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
-        F.col("v_norm").alias("c_norm"))
+    if centroids is None:
+        cents = e.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+            F.col("v_norm").alias("c_norm"))
+    else:
+        # learned centroids: any (cell, cv) relation — e.g. the
+        # kmeans_centroids output re-assembled — is a drop-in; the
+        # probe/assign/re-rank plan is unchanged (it's just a small
+        # broadcast relation either way)
+        cents = centroids.select(
+            "cell", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm"))
     cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
     assigned = (e.join(F.broadcast(cents))
                  .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
@@ -366,3 +375,47 @@ def dedup_embedding_cosine(embeddings: DataFrame,
                          cos.alias("cos_raw"))
                  .where(F.col("cos_raw") >= threshold)
                  .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+KM_K = 8       # learned-centroid count (per-cell relation feeds ann_ivf)
+KM_ITERS = 2   # Lloyd iterations (driver loop, each fully declarative)
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = KM_K,
+                     iters: int = KM_ITERS) -> DataFrame:
+    """Spherical k-means centroids (cosine assignment, seeded with the
+    first k vectors) — the offline job whose output table replaces
+    `ann_ivf`'s seeded centroid relation at scale.
+
+    Iterative, but each Lloyd iteration is a fully DECLARATIVE
+    broadcast-assign + aggregate pass driven by a plain Python loop —
+    the idiomatic Spark shape for bounded-iteration ML (the loop count
+    is a constant; no RDD lineage explosion at 2 iterations).
+    Engine-determinism: assignment ties break to the lower cell
+    (`max_by` on struct(cos, -cell)), and the centroid update is a
+    per-dimension FIXED-POINT mean (sum of round(v*1e6) ints / n), so
+    partial-aggregation order cannot change the result and the DuckDB
+    oracle replays the identical iterations as chained CTEs."""
+    scale = 1_000_000
+    e = _vecs(embeddings)
+    cents = e.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    for _ in range(iters):
+        cn = cents.select("cell", "cv",
+                          F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm"))
+        cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+        assigned = (e.join(F.broadcast(cn))
+                     .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
+                     .groupBy("vec_id")
+                     .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
+                          F.first("v").alias("v")))
+        sums = [F.sum(F.round(F.col("v")[i] * scale).cast("bigint")).alias(f"s{i}")
+                for i in range(DIM)]
+        upd = assigned.groupBy("cell").agg(*sums, F.count(F.lit(1)).alias("n"))
+        cents = upd.select("cell", F.array(*[
+            (F.col(f"s{i}") / float(scale)) / F.col("n") for i in range(DIM)
+        ]).alias("cv"))
+    # exploded (cell, dim, value) rows: scalar columns sort/hash
+    # cleanly in the compare harness, unlike array cells
+    return (cents.select("cell", F.posexplode("cv").alias("dim", "centroid_val"))
+                 .orderBy("cell", "dim"))

@@ -109,7 +109,49 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         **_text_oracles(),
         **_multimodal_oracles(),
         **_pipeline_oracles(),
+        "kmeans_centroids": _kmeans_oracle(),
     }
+
+
+
+def _kmeans_oracle() -> str:
+    """Replays kmeans_centroids' Lloyd iterations as chained CTEs:
+    per iteration an argmax assignment (row_number with the same
+    cos-desc, cell-asc tie-break as max_by(struct(cos, -cell))) and a
+    per-dimension fixed-point mean (zipped unnests -> integer sums)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+    )
+
+    scale = 1_000_000
+    ctes = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+            f"c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {KM_K})"]
+    for i in range(1, KM_ITERS + 1):
+        prev, cur = f"c{i - 1}", f"c{i}"
+        cos = ("(list_dot_product(e.v, c.cv) / "
+               "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))))")
+        ctes.append(f"""a{i} AS (
+  SELECT e.vec_id, e.v, c.cell, {cos} AS cos_c
+  FROM e CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY cos_c DESC, c.cell) = 1
+)""")
+        ctes.append(f"""x{i} AS (
+  SELECT cell, unnest(v) AS val, unnest(generate_series(1, len(v))) AS d FROM a{i}
+)""")
+        ctes.append(f"""u{i} AS (
+  SELECT cell, d, sum(CAST(round(val * {scale}) AS BIGINT)) AS s, count(*) AS n
+  FROM x{i} GROUP BY 1, 2
+)""")
+        ctes.append(f"""{cur} AS (
+  SELECT cell, list((CAST(s AS DOUBLE) / {float(scale)!r}) / n ORDER BY d) AS cv
+  FROM u{i} GROUP BY cell
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT cell, unnest(generate_series(0, len(cv) - 1)) AS dim,
+       unnest(cv) AS centroid_val
+FROM c{KM_ITERS} ORDER BY cell, dim""")
 
 
 def _pipeline_oracles() -> dict[str, str]:

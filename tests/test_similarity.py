@@ -44,3 +44,23 @@ def test_lsh_candidates_are_bounded(spark, sf_dir):
     assert occ.pairs / brute_pairs < bound, (
         f"candidate ratio {occ.pairs / brute_pairs:.4f} exceeds {bound:.4f}")
     assert occ.max_occ < n / 4, "one bucket swallowed the corpus"
+
+
+def test_ann_ivf_with_learned_centroids(spark, sf_dir):
+    """kmeans_centroids output is a drop-in centroid relation for
+    ann_ivf: full top-k per query, self-excluding, cos in [-1,1]."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators import similarity as sim
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    learned = (sim.kmeans_centroids(emb)
+               .groupBy("cell")
+               .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val")))
+                    .alias("pairs"))
+               .select("cell", F.expr("transform(pairs, p -> p.centroid_val)").alias("cv")))
+    out = sim.ann_ivf(emb, centroids=learned).toPandas()
+    assert (out.groupby("query_id").rnk.count() == sim.TOP_K).all()
+    assert (out.query_id != out.neighbor_id).all()
+    assert out.cos_sim.between(-1.0, 1.0).all()
