@@ -136,3 +136,34 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+TPCH_PLAN_GOLDENS = {
+    # query -> (max SortMergeJoins allowed, min BroadcastHashJoins, a
+    # column whose filter must reach a parquet scan)
+    "q3_shipping_priority": (1, 1, "o_orderdate"),
+    "q4_order_priority": (0, 1, "o_orderdate"),
+    "q5_local_supplier": (1, 3, "o_orderdate"),
+    "q7_nation_volume": (1, 3, "l_shipdate"),
+    "q8_market_share": (1, 4, "o_orderdate"),
+    "q10_returned_items": (1, 2, "l_returnflag"),
+    "q14_promo_revenue": (0, 1, "l_shipdate"),
+    "q18_large_orders": (0, 2, None),
+    "q19_discounted_revenue": (0, 1, "l_quantity"),
+    "q22_sales_opportunity": (1, 1, "c_acctbal"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(TPCH_PLAN_GOLDENS))
+def test_tpch_plan_goldens(spark, sf_dir, name):
+    """Join-strategy + pushdown goldens for the TPC-H family: dims
+    must broadcast (SMJ only where two fact-sized inputs meet) and
+    the selective predicate must reach its parquet scan."""
+    max_smj, min_bhj, pushed_col = TPCH_PLAN_GOLDENS[name]
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("SortMergeJoin") <= max_smj, name
+    assert plan.count("BroadcastHashJoin") >= min_bhj, name
+    if pushed_col:
+        pushed = [l for l in plan.splitlines()
+                  if "PushedFilters" in l and pushed_col in l]
+        assert pushed, f"{name}: no pushed filter on {pushed_col}"
