@@ -234,3 +234,34 @@ def bigram_topk(documents: DataFrame, k: int = BIGRAM_K) -> DataFrame:
     top = agg.orderBy(F.desc("tf"), F.asc("pair")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("pair"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --- full intake composition ------------------------------------------------
+
+
+def corpus_to_packs(documents: DataFrame,
+                    jaccard_threshold: float = JACCARD_THRESHOLD,
+                    min_quality: float = MIN_QUALITY) -> DataFrame:
+    """The COMPLETE training-data intake as one declarative DAG:
+    exact dedup → MinHash near-dup removal → benchmark
+    decontamination (flagged train docs AND the eval slice itself
+    dropped) → stratified language sampling → quality gate → greedy
+    sequence packing. Every stage is the scale-path variant of its
+    operator family; the whole composition is one oracle-checked
+    query (the oracle chains the same six stages, ending in the
+    recursive packing CTE)."""
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+    d1 = documents.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    pairs = dedup_minhash_lsh_fast(d1, threshold=jaccard_threshold)
+    d2 = d1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                 "doc_id", "left_anti")
+    flagged = decontaminate(d2).select(
+        F.col("train_doc_id").alias("doc_id"))
+    d3 = (d2.where(F.col("doc_id") % EVAL_MOD != 0)
+            .join(flagged, "doc_id", "left_anti"))
+    d4 = d3.join(stratified_sample(d3).select("doc_id"), "doc_id", "left_semi")
+    good = quality_score(d4).where(F.col("quality") >= min_quality).select("doc_id")
+    d5 = d4.join(good, "doc_id", "left_semi")
+    return pack_sequences(d5)

@@ -483,6 +483,79 @@ FROM d2
 WHERE round({p['score']}, 6) >= {min_quality!r}"""
 
 
+
+def corpus_to_packs_oracle(min_quality: float) -> str:
+    """Six-stage intake mirror ending in the recursive packing CTE."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        DECON_NGRAM,
+        EVAL_MOD,
+        PACK_BUDGET,
+        PACK_SHARDS,
+        SAMPLE_MOD,
+        SAMPLE_RATES_BP,
+    )
+
+    p = _quality_parts()
+    grams8 = " || ' ' || ".join(f"ws8[i + {j}]" for j in range(DECON_NGRAM))
+    rate = str(SAMPLE_MOD)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = f"(CASE WHEN lang = '{lang}' THEN {bp} ELSE {rate} END)"
+    bucket = f"({md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD})"
+    return f"""
+WITH RECURSIVE
+kept1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
+w AS (SELECT doc_id, {WS} AS ws FROM d1),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SHINGLE_N - 1})) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle FROM ex),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+neardup AS (
+  SELECT doc_b FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM neardup)),
+w8 AS (SELECT doc_id, {WS} AS ws8 FROM d2),
+ex8 AS (SELECT doc_id, ws8, unnest(generate_series(1, len(ws8) - {DECON_NGRAM - 1})) AS i FROM w8),
+sh8 AS (SELECT DISTINCT doc_id, {grams8} AS shingle FROM ex8),
+flagged AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT * FROM sh8 WHERE doc_id % {EVAL_MOD} <> 0) tr
+  JOIN (SELECT * FROM sh8 WHERE doc_id % {EVAL_MOD} = 0) ev
+    ON tr.shingle = ev.shingle
+),
+d3 AS (SELECT * FROM d2 WHERE doc_id % {EVAL_MOD} <> 0
+       AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+d4 AS (SELECT * FROM d3 WHERE {bucket} < {rate}),
+d5 AS (SELECT * FROM d4 WHERE round({p['score']}, 6) >= {min_quality!r}),
+t AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len({WS}) AS INTEGER) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM d5
+),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS INTEGER) AS pack_id, n_tokens AS acc
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CAST(CASE WHEN rec.acc + t.n_tokens > {PACK_BUDGET}
+                   THEN rec.pack_id + 1 ELSE rec.pack_id END AS INTEGER),
+         CASE WHEN rec.acc + t.n_tokens > {PACK_BUDGET}
+              THEN t.n_tokens ELSE rec.acc + t.n_tokens END
+  FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM rec"""
+
+
 def _multimodal_oracles() -> dict[str, str]:
     from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import FRAME_INTERVAL
 

@@ -366,11 +366,20 @@ from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
     MIN_QUALITY,
     corpus_prep,
 )
-from real_time_fraud_detection_flink_kafka_spark.oracles_llm import corpus_prep_oracle
+from real_time_fraud_detection_flink_kafka_spark.oracles_llm import (
+    corpus_prep_oracle,
+    corpus_to_packs_oracle,
+)
 
 register("corpus_prep",
          lambda s, d: corpus_prep(load_table(s, d, "documents")),
          corpus_prep_oracle(MIN_QUALITY))
+
+from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import corpus_to_packs
+
+register("corpus_to_packs",
+         lambda s, d: corpus_to_packs(load_table(s, d, "documents")),
+         corpus_to_packs_oracle(MIN_QUALITY))
 
 # DISTINCT, not a row_number() pick: redelivered duplicates are
 # byte-identical rows, and dropDuplicatesWithinWatermark keeps an
