@@ -24,11 +24,12 @@ import pandas as pd
 REPO = Path(__file__).resolve().parent.parent
 
 # Representative slice: batch windowed scoring, gap sessionization,
-# date_trunc (tz-sensitive), HLL sketch, a stateful stream drain, and a
-# mapInPandas op (workers must be able to import the package).
+# date_trunc (tz-sensitive), HLL sketch, a stateful stream drain, a
+# mapInPandas op (workers must be able to import the package), an
+# applyInPandas op (r3 packing), and a native session_window drain.
 NAMES = ["fraud_scores", "sessionize", "distinct_users_daily",
          "distinct_users_approx", "stream_windowed_counts",
-         "multimodal_decode"]
+         "multimodal_decode", "pack_sequences", "stream_session_counts"]
 
 CHILD = r"""
 import json, sys
