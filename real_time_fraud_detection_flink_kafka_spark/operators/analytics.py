@@ -483,3 +483,16 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
     ]
     return (ranked.groupBy("event_type").agg(*aggs)
                   .orderBy("event_type"))
+
+
+def cube_orders(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority) with an explicit grouping_id —
+    all four aggregation levels (full, per-status, per-priority,
+    grand total) in ONE pass with map-side partial aggregation;
+    grouping_id disambiguates real NULL keys from subtotal rows."""
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+                  .agg(F.grouping_id().cast("int").alias("gid"),
+                       F.count(F.lit(1)).alias("n_orders"),
+                       fsum(F.col("o_totalprice")).alias("total_price"))
+                  .select("gid", "o_orderstatus", "o_orderpriority",
+                          "n_orders", "total_price"))

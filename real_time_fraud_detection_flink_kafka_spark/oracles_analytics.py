@@ -218,6 +218,11 @@ FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
             for t in EVENT_TYPES
         )
         + " FROM events GROUP BY 1",
+        "cube_orders": f"""
+SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {_fsum('o_totalprice')} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "rollup_orders": f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        {_fsum('o_totalprice')} AS total_price
