@@ -63,6 +63,25 @@ def customers_with_big_orders(customer: DataFrame, orders: DataFrame,
                     .select("c_custkey", "c_name", "c_acctbal"))
 
 
+def customer_order_semijoins(customer: DataFrame, orders: DataFrame,
+                             min_total: float = 400_000.0) -> DataFrame:
+    """Anti + semi join coverage as ONE tagged relation: customers
+    with no URGENT order (left_anti) unioned with customers having at
+    least one order above min_total (left_semi). Both branches
+    broadcast the filtered orders side."""
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    big = orders.where(F.col("o_totalprice") > min_total)
+    anti = (customer.join(urgent, customer["c_custkey"] == urgent["o_custkey"],
+                          "left_anti")
+                    .select(F.lit("anti_no_urgent").alias("join_type"),
+                            "c_custkey", "c_name", "c_mktsegment"))
+    semi = (customer.join(big, customer["c_custkey"] == big["o_custkey"],
+                          "left_semi")
+                    .select(F.lit("semi_big_order").alias("join_type"),
+                            "c_custkey", "c_name", "c_mktsegment"))
+    return anti.unionAll(semi)
+
+
 def distinct_users_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     """HyperLogLog distinct users per event_type (the at-scale
     companion to the exact count; sketch values are engine-specific →

@@ -128,6 +128,27 @@ def rule_impossible_travel(events: DataFrame, cfg: RuleConfig) -> DataFrame:
                       "ts_us"))
 
 
+def fraud_rules(events: DataFrame, cfg: RuleConfig) -> DataFrame:
+    """All three reference rules (fraud_detection.py:87-111) as ONE
+    tagged relation: (rule, event_id, card_id, measure, ts_us), where
+    measure is the rule's own evidence (amount / trailing count /
+    travel km). Union of three filters over one scored lineage — the
+    scoring exchange is shared, so this stays a single shuffle per
+    branch on the same partitioning."""
+    df = with_rule_columns(transactions_from_events(events), cfg)
+    high = (df.where(df["r_high_amount"])
+              .select(F.lit(REASON_HIGH).alias("rule"), "event_id", "card_id",
+                      df["amount"].alias("measure"), "ts_us"))
+    rapid = (df.where(df["r_rapid"])
+               .select(F.lit(REASON_RAPID).alias("rule"), "event_id", "card_id",
+                       df["velocity_cnt"].cast("double").alias("measure"), "ts_us"))
+    travel = (df.where(df["r_travel"])
+                .select(F.lit(REASON_TRAVEL).alias("rule"), "event_id", "card_id",
+                        F.round(haversine_between_locations(df["prev_loc"], df["location"]), 3)
+                         .alias("measure"), "ts_us"))
+    return high.unionAll(rapid).unionAll(travel)
+
+
 def fraud_alerts(events: DataFrame, cfg: RuleConfig) -> DataFrame:
     """Side-output analog: FRAUD_ALERT_TAG rows (score >= threshold),
     fraud_detector_TAG.py:134-135."""

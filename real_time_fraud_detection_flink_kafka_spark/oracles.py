@@ -112,6 +112,17 @@ def fraud_oracles(cfg: RuleConfig) -> dict[str, str]:
 SELECT event_id, card_id, amount, location, velocity_cnt, score,
        {status} AS status, {severity} AS severity, reasons, ts_us
 FROM final""",
+        "fraud_rules": f"""{base}
+SELECT 'HIGH_AMOUNT' AS rule, event_id, card_id, amount AS measure, ts_us
+FROM final WHERE r_high
+UNION ALL
+SELECT 'RAPID_TRANSACTIONS' AS rule, event_id, card_id,
+       CAST(velocity_cnt AS DOUBLE) AS measure, ts_us
+FROM final WHERE r_rapid
+UNION ALL
+SELECT 'IMPOSSIBLE_TRAVEL' AS rule, event_id, card_id,
+       round({hav}, 3) AS measure, ts_us
+FROM final WHERE r_travel""",
         "rule_high_amount": f"""WITH {TX_CTE}
 SELECT event_id, card_id, amount, location, ts_us
 FROM tx WHERE amount > {cfg.max_amount!r}""",

@@ -53,6 +53,15 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
 SELECT c_custkey, c_name, c_acctbal
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""",
+        "customer_order_semijoins": """
+SELECT 'anti_no_urgent' AS join_type, c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'semi_big_order' AS join_type, c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""",
         "asof_event_order": """
 WITH u AS (
   SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_order, event_id,

@@ -1,11 +1,18 @@
 """Parquet table loaders.
 
-The testdata parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as long
-nanoseconds; we normalize to microsecond TimestampType here (all
-generated values are µs-aligned, so ``DIV 1000`` is lossless and
-matches DuckDB's read of the same files).
+The driver-generated testdata has shipped timestamps two ways across
+rounds, and we normalize BOTH to session-UTC microsecond
+TimestampType here so every operator sees one type:
+
+- INT64 TIMESTAMP(NANOS) (rounds 1-3): Spark's vectorized reader
+  rejects it outright; with ``spark.sql.legacy.parquet.nanosAsLong=
+  true`` it arrives as long nanoseconds (µs-aligned, so ``DIV 1000``
+  is lossless and matches DuckDB's read of the same files).
+- TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 4+): arrives as
+  TIMESTAMP_NTZ, which ``unix_micros``/watermarks won't take; the
+  NTZ wall-clock is cast to an instant under the session tz, which
+  ``ensure_session_confs`` pins to UTC — the same interpretation
+  DuckDB's ``epoch_us`` gives the naive value.
 """
 
 from __future__ import annotations
@@ -19,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# table -> columns stored as TIMESTAMP(NANOS)
+# table -> timestamp columns needing normalization on read
 NS_TIMESTAMP_COLS: dict[str, list[str]] = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -32,8 +39,13 @@ TABLE_NAMES = ["region", "nation", "customer", "supplier", "part",
 
 def _normalize_ns(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):  # TIMESTAMP(MICROS) unadjusted
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
@@ -96,8 +108,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def raw_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """Schema of events.parquet as stored (ts as long ns) — for
-    ``readStream`` schema inference in the streaming runners."""
+    """Schema of events.parquet as stored (ts as long ns or NTZ,
+    format-dependent) — for ``readStream`` schema inference in the
+    streaming runners, which normalize with ``_normalize_ns``."""
     ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 

@@ -187,7 +187,7 @@ def run_stream_over_events_dir(spark, sf_dir: str, cfg: RuleConfig,
     (Bounded input → the stream drains and stops.)"""
     from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
 
-    raw_schema = raw_events_schema(spark, sf_dir)  # ts as long ns
+    raw_schema = raw_events_schema(spark, sf_dir)  # ts as stored
     stream = (spark.readStream.schema(raw_schema)
               .option("maxFilesPerTrigger", "1")
               .option("pathGlobFilter", "events.parquet")
