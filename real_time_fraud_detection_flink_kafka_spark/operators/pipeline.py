@@ -16,7 +16,7 @@ from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import s
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     dedup_minhash_lsh_fast,
-    shingles,
+    shingle_hashes_arrow,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
     _words,
@@ -77,9 +77,13 @@ def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD,
     thousands of docs against a 100 TB corpus — so its shingle set is
     BROADCAST and the training corpus streams through map-side; the
     only shuffle is the per-train-doc overlap aggregation, keyed on
-    doc_id (never text). The join carries shingle strings; at bigger
-    shingle sizes hash them first (same md5 trick as MinHash)."""
-    sh = shingles(spread(documents), n)
+    doc_id (never text). The join carries 60-bit md5 shingle HASHES
+    (Arrow-batched stage, same md5 identity the MinHash path uses):
+    overlap counts equal the string version short of 2⁻⁶⁰ collisions,
+    the broadcast side shrinks to fixed-width ints, and shingling
+    runs at C speed instead of the interpreted 8-term transform
+    (measured ~4× at sf0.1)."""
+    sh = shingle_hashes_arrow(spread(documents), n)
     ev = (sh.where(F.col("doc_id") % eval_mod == 0)
             .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
     tr = sh.where(F.col("doc_id") % eval_mod != 0)
@@ -234,6 +238,131 @@ def bigram_topk(documents: DataFrame, k: int = BIGRAM_K) -> DataFrame:
     top = agg.orderBy(F.desc("tf"), F.asc("pair")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("pair"))
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+# --- intra-document repetition filter ----------------------------------------
+
+TOP_TOK_MAX = 0.2    # max share of the single most frequent token
+DUP_BIGRAM_MAX = 0.2  # max share of repeated (non-first-occurrence) bigrams
+
+
+def repetition_stats(documents: DataFrame,
+                     top_tok_max: float = TOP_TOK_MAX,
+                     dup_bigram_max: float = DUP_BIGRAM_MAX) -> DataFrame:
+    """Per-document repetition metrics — the boilerplate/spam filter
+    class applied before pretraining (most-frequent-token share and
+    repeated-bigram share), with a flag at the standard thresholds.
+
+    Scale shape: the top-token share is explode → per-(doc, token)
+    count → per-doc max, i.e. ONE shuffle keyed by doc_id with
+    map-side partial aggregation; the bigram duplication share is
+    entirely row-local (zip the token array with its tail,
+    array_distinct). Nothing carries text bodies across the wire
+    except the exploded tokens."""
+    ws = _words(F.col("text"))
+    toks = (spread(documents)
+            .select("doc_id", F.explode(ws).alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    top = toks.groupBy("doc_id").agg(F.max("tf").alias("top_tf"),
+                                     F.sum("tf").alias("n_tokens"))
+    n_pairs = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(ws, 1, n_pairs), F.slice(ws, 2, n_pairs),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    row_local = documents.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"))
+    j = top.join(row_local, "doc_id")
+    top_frac = F.round(F.col("top_tf") / F.col("n_tokens"), 6)
+    dup_frac = F.when(F.col("n_bigrams") > 0,
+                      F.round((F.col("n_bigrams") - F.col("n_uniq_bigrams"))
+                              / F.col("n_bigrams"), 6)).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id", "n_tokens",
+        top_frac.alias("top_tok_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac > top_tok_max) | (dup_frac > dup_bigram_max)).alias("flagged"))
+
+
+# --- source / domain mixing ---------------------------------------------------
+
+
+def source_mix(documents: DataFrame) -> DataFrame:
+    """Per-source corpus composition: document and token counts plus
+    each source's token share — the numbers behind domain-mixing
+    weights when assembling a pretraining blend. One groupBy(source)
+    over row-local token counts; the share divides by a broadcast
+    1-row total, never a second scan."""
+    per = (documents
+           .select("source", F.size(_words(F.col("text"))).alias("nt"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return (per.crossJoin(F.broadcast(total))
+               .select("source", "n_docs", "n_tokens",
+                       F.round(F.col("n_tokens") / F.col("tot"), 6)
+                        .alias("token_share")))
+
+
+N_MERGES = 4
+MERGE_JOINER = "_"  # corpus charset is [a-y ]: '_' can never collide
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Multi-round BPE merge-rule training: each round counts adjacent
+    token pairs corpus-wide, picks the most frequent (ties to the
+    lexicographically first pair), and MERGES every occurrence before
+    the next round counts — the actual training loop of a BPE
+    tokenizer, where round i's counts depend on rounds 1..i-1's
+    merges. Output: one (merge_rank, pair, tf) row per learned rule.
+
+    Iterative-algorithm shape (like `kmeans_centroids`): a driver
+    loop over fully declarative passes. The winning pair is a 1-ROW
+    RELATION crossJoin-broadcast into the next round's merge
+    expression — never collected to the driver, so the whole loop is
+    one lazy DAG and each round is one corpus scan + one pair-count
+    shuffle (inherent to BPE: counts after a merge are not derivable
+    without applying it).
+
+    Greedy left-to-right merge == plain non-overlapping string
+    replace, via a double-space encoding: tokens are separated by two
+    spaces and a pair pattern ``" a  b "`` claims ONE boundary space
+    per side, so adjacent occurrences share the two-space gap and
+    self-overlapping matches (``b b b`` with rule ``b b``) are
+    impossible — exactly BPE's greedy scan, and identical semantics
+    in Spark and the DuckDB oracle (which replays every round as
+    chained CTEs)."""
+    t = documents.select(
+        F.concat(F.lit(" "),
+                 F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("  ")),
+                 F.lit(" ")).alias("t"))
+    outs = []
+    for i in range(n_merges):
+        ws = F.split(F.trim(F.col("t")), "  ")
+        n_pairs = F.greatest(F.size(ws) - 1, F.lit(0))
+        pairs = F.zip_with(F.slice(ws, 1, n_pairs), F.slice(ws, 2, n_pairs),
+                           lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        cnt = (t.select(F.explode(pairs).alias("p"))
+                .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+                .agg(F.count(F.lit(1)).alias("tf")))
+        best = (cnt.orderBy(F.desc("tf"), F.asc("tok_a"), F.asc("tok_b"))
+                   .limit(1))
+        outs.append(best.select(
+            F.lit(i + 1).alias("merge_rank"),
+            F.concat_ws(" ", "tok_a", "tok_b").alias("pair"),
+            "tf"))
+        t = (t.crossJoin(F.broadcast(best))
+              .select(F.replace(
+                  F.col("t"),
+                  F.concat(F.lit(" "), F.col("tok_a"), F.lit("  "),
+                           F.col("tok_b"), F.lit(" ")),
+                  F.concat(F.lit(" "), F.col("tok_a"), F.lit(MERGE_JOINER),
+                           F.col("tok_b"), F.lit(" "))).alias("t")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 # --- full intake composition ------------------------------------------------

@@ -160,11 +160,13 @@ def _pipeline_oracles() -> dict[str, str]:
         CHUNK_LEN,
         CHUNK_STRIDE,
         DECON_NGRAM,
+        DUP_BIGRAM_MAX,
         EVAL_MOD,
         PACK_BUDGET,
         PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
+        TOP_TOK_MAX,
         VOCAB_K,
     )
 
@@ -220,6 +222,40 @@ WITH w AS (
 SELECT pair, tf,
        CAST(row_number() OVER (ORDER BY tf DESC, pair) AS INTEGER) AS rnk
 FROM top""",
+        "bpe_merges": _bpe_merges_sql(),
+        "repetition_stats": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(tf) AS top_tf, sum(tf) AS n_tokens FROM tf GROUP BY 1
+), rl AS (
+  SELECT doc_id,
+         len(ws) - 1 AS n_bigrams,
+         (SELECT count(DISTINCT ws[i] || ' ' || ws[i + 1])
+          FROM unnest(generate_series(1, len(ws) - 1)) AS u(i)) AS n_uniq_bigrams
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+)
+SELECT t.doc_id, t.n_tokens,
+       round(t.top_tf / t.n_tokens, 6) AS top_tok_frac,
+       CASE WHEN rl.n_bigrams > 0
+            THEN round((rl.n_bigrams - rl.n_uniq_bigrams) / rl.n_bigrams, 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       (round(t.top_tf / t.n_tokens, 6) > {TOP_TOK_MAX!r}
+        OR CASE WHEN rl.n_bigrams > 0
+                THEN round((rl.n_bigrams - rl.n_uniq_bigrams) / rl.n_bigrams, 6)
+                ELSE 0.0 END > {DUP_BIGRAM_MAX!r}) AS flagged
+FROM top t JOIN rl USING (doc_id)""",
+        "source_mix": """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(trim(text), ' '))) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / (SELECT sum(n_tokens) FROM per), 6) AS token_share
+FROM per""",
         "stratified_sample": f"""
 SELECT doc_id, lang, {bucket} AS sample_bucket
 FROM documents WHERE {bucket} < {rate}""",
@@ -260,6 +296,35 @@ rec AS (
 )
 SELECT doc_id, shard, pack_id, n_tokens FROM rec""",
     }
+
+
+def _bpe_merges_sql() -> str:
+    """Chained-CTE replay of operators/pipeline.py:bpe_merges — each
+    round re-counts pairs on the PREVIOUS round's merged text (same
+    double-space encoding, same replace semantics, same tie-break)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        MERGE_JOINER,
+        N_MERGES,
+    )
+
+    ctes = ["it0 AS (SELECT ' ' || replace(trim(text), ' ', '  ') || ' ' AS t FROM documents)"]
+    selects = []
+    for i in range(N_MERGES):
+        ctes.append(f"""c{i} AS (
+  SELECT ws[i] AS tok_a, ws[i + 1] AS tok_b, count(*) AS tf
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM (SELECT string_split(trim(t), '  ') AS ws FROM it{i}))
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"b{i} AS (SELECT * FROM c{i} ORDER BY tf DESC, tok_a, tok_b LIMIT 1)")
+        selects.append(f"SELECT {i + 1} AS merge_rank, tok_a || ' ' || tok_b AS pair, tf FROM b{i}")
+        if i + 1 < N_MERGES:
+            ctes.append(f"""it{i + 1} AS (
+  SELECT replace(t, ' ' || b.tok_a || '  ' || b.tok_b || ' ',
+                    ' ' || b.tok_a || '{MERGE_JOINER}' || b.tok_b || ' ') AS t
+  FROM it{i}, b{i} b
+)""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 
 
 def _cos_sql(a: str, b: str) -> str:

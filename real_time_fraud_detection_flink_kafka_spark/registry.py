@@ -160,6 +160,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
     "pack_sequences": lambda s, d: pipeline_ops.pack_sequences(load_table(s, d, "documents")),
     "bigram_topk": lambda s, d: pipeline_ops.bigram_topk(load_table(s, d, "documents")),
+    "bpe_merges": lambda s, d: pipeline_ops.bpe_merges(load_table(s, d, "documents")),
+    "repetition_stats": lambda s, d: pipeline_ops.repetition_stats(load_table(s, d, "documents")),
+    "source_mix": lambda s, d: pipeline_ops.source_mix(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the
@@ -446,7 +449,7 @@ DRIVER_WINDOW: list[str] = [
     # LLM-data-pipeline: multimodal
     "multimodal_meta", "multimodal_resize", "multimodal_frame_sample",
     # LLM-data-pipeline: corpus ops
-    "vocab_topk", "chunk_documents", "bigram_topk", "distinct_users_kmv",
+    "vocab_topk", "chunk_documents", "bpe_merges", "distinct_users_kmv",
     "corpus_to_packs",
     # structured streaming (drained, held to batch oracles)
     "stream_fraud_detector", "stream_windowed_counts", "stream_sources",

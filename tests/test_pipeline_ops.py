@@ -132,3 +132,60 @@ def test_pack_sequences_budget_and_contiguity(docs):
         assert ids == list(range(len(ids)))
         # greedy invariant: pack_id is non-decreasing in doc_id order
         assert (grp.pack_id.diff().dropna() >= 0).all()
+
+
+def test_bpe_merges_greedy_and_compounding(spark):
+    """Greedy left-to-right merge semantics on hand-built docs:
+    self-overlapping occurrences merge non-overlapping (b b b → one
+    merge), and round 2 counts pairs built from round 1's MERGED
+    token, proving the rounds compound instead of re-counting raw
+    bigrams."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "b b b"), (2, "b b b"), (3, "a b b c"), (4, "x b b y")],
+        "doc_id long, text string")
+    got = {r["merge_rank"]: (r["pair"], r["tf"])
+           for r in bpe_merges(docs, n_merges=2).collect()}
+    # raw "b b" occurs: doc1 2x, doc2 2x, doc3 1x, doc4 1x = 6
+    assert got[1] == ("b b", 6)
+    # after greedy merge: doc1/2 = [b_b, b], doc3 = [a, b_b, c],
+    # doc4 = [x, b_b, y] — "b b" merged ONCE in "b b b" (no overlap).
+    # Round-2 pairs involve the merged token; "b_b b" wins (tf 2,
+    # lexicographically before "b_b c"/"b_b y"/"a b_b"? tie-break is
+    # tf first: b_b b has tf 2, all others tf 1).
+    assert got[2] == ("b_b b", 2)
+
+
+def test_bpe_merges_rank_count(docs):
+    out = bpe_merges_import(docs).toPandas()
+    assert list(out.merge_rank) == [1, 2, 3, 4]
+    # merged rules must be distinct pairs
+    assert out.pair.nunique() == 4
+
+
+def bpe_merges_import(d):
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import bpe_merges
+    return bpe_merges(d)
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),     # top_tok_frac 1.0, dup bigrams
+         (2, "a b c d e f g h i j"),          # all unique
+         (3, "x y x y x y x y")],             # dup bigrams dominate
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["flagged"] and got[1]["top_tok_frac"] == 1.0
+    assert not got[2]["flagged"] and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["flagged"] and got[3]["dup_bigram_frac"] > 0.5
+
+
+def test_source_mix_shares_sum_to_one(docs):
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import source_mix
+
+    out = source_mix(docs).toPandas()
+    assert abs(out.token_share.sum() - 1.0) < 1e-4
+    assert (out.n_docs > 0).all() and (out.n_tokens > 0).all()
