@@ -132,21 +132,30 @@ def fraud_rules(events: DataFrame, cfg: RuleConfig) -> DataFrame:
     """All three reference rules (fraud_detection.py:87-111) as ONE
     tagged relation: (rule, event_id, card_id, measure, ts_us), where
     measure is the rule's own evidence (amount / trailing count /
-    travel km). Union of three filters over one scored lineage — the
-    scoring exchange is shared, so this stays a single shuffle per
-    branch on the same partitioning."""
+    travel km). A row-local explode of a 3-struct rules array over
+    one scored lineage — ONE scan, one card_id exchange, one window
+    pass, versus 3× each for a union of per-rule filters.
+    explode_outer, not explode: the same pre-filter-sinking trap as
+    dedup.shingles (plain explode plants a size()>0 pre-filter whose
+    array expression re-evaluates below the exchange)."""
     df = with_rule_columns(transactions_from_events(events), cfg)
-    high = (df.where(df["r_high_amount"])
-              .select(F.lit(REASON_HIGH).alias("rule"), "event_id", "card_id",
-                      df["amount"].alias("measure"), "ts_us"))
-    rapid = (df.where(df["r_rapid"])
-               .select(F.lit(REASON_RAPID).alias("rule"), "event_id", "card_id",
-                       df["velocity_cnt"].cast("double").alias("measure"), "ts_us"))
-    travel = (df.where(df["r_travel"])
-                .select(F.lit(REASON_TRAVEL).alias("rule"), "event_id", "card_id",
-                        F.round(haversine_between_locations(df["prev_loc"], df["location"]), 3)
-                         .alias("measure"), "ts_us"))
-    return high.unionAll(rapid).unionAll(travel)
+    rules = F.array(
+        F.struct(F.lit(REASON_HIGH).alias("rule"),
+                 df["r_high_amount"].alias("fired"),
+                 df["amount"].alias("measure")),
+        F.struct(F.lit(REASON_RAPID).alias("rule"),
+                 df["r_rapid"].alias("fired"),
+                 df["velocity_cnt"].cast("double").alias("measure")),
+        F.struct(F.lit(REASON_TRAVEL).alias("rule"),
+                 df["r_travel"].alias("fired"),
+                 F.round(haversine_between_locations(df["prev_loc"], df["location"]), 3)
+                  .alias("measure")),
+    )
+    return (df.select("event_id", "card_id", "ts_us",
+                      F.explode_outer(rules).alias("r"))
+              .where(F.col("r.fired"))
+              .select(F.col("r.rule").alias("rule"), "event_id", "card_id",
+                      F.col("r.measure").alias("measure"), "ts_us"))
 
 
 def fraud_alerts(events: DataFrame, cfg: RuleConfig) -> DataFrame:

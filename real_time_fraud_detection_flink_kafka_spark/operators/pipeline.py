@@ -83,10 +83,15 @@ def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD,
     the broadcast side shrinks to fixed-width ints, and shingling
     runs at C speed instead of the interpreted 8-term transform
     (measured ~4× at sf0.1)."""
-    sh = shingle_hashes_arrow(spread(documents), n)
-    ev = (sh.where(F.col("doc_id") % eval_mod == 0)
-            .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
-    tr = sh.where(F.col("doc_id") % eval_mod != 0)
+    base = spread(documents)
+    # split BEFORE the Python stage: filters on an opaque mapInPandas
+    # can't push through it, so shingling after the split would run
+    # the full corpus twice (once per side); shingling each disjoint
+    # slice keeps the total at one corpus pass and the eval-side
+    # Python stage at benchmark size
+    ev = (shingle_hashes_arrow(base.where(F.col("doc_id") % eval_mod == 0), n)
+          .select(F.col("doc_id").alias("eval_doc_id"), "shingle"))
+    tr = shingle_hashes_arrow(base.where(F.col("doc_id") % eval_mod != 0), n)
     j = tr.join(F.broadcast(ev), "shingle")
     return (j.groupBy(F.col("doc_id").alias("train_doc_id"))
              .agg(F.count_distinct("shingle").alias("n_shared_shingles"),

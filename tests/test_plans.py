@@ -167,3 +167,48 @@ def test_tpch_plan_goldens(spark, sf_dir, name):
         pushed = [l for l in plan.splitlines()
                   if "PushedFilters" in l and pushed_col in l]
         assert pushed, f"{name}: no pushed filter on {pushed_col}"
+
+
+def test_fraud_rules_single_pass(spark, sf_dir):
+    """The tagged-union rules relation is ONE scored lineage (one
+    card_id exchange, the two shared window passes) with a row-local
+    explode — never three filtered copies of the pipeline."""
+    plan = _plan(spark, sf_dir, "fraud_rules")
+    import re
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 2
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_customer_order_semijoins_broadcast(spark, sf_dir):
+    """Both branches broadcast the filtered orders side: one
+    BroadcastHashJoin LeftAnti + one LeftSemi, no sort-merge."""
+    plan = _plan(spark, sf_dir, "customer_order_semijoins")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_merges_winner_broadcast_not_collected(spark, sf_dir):
+    """Each round's winning pair enters the next round's replace as a
+    broadcast 1-row relation (4 broadcast nested-loop joins for 4
+    rounds), all Python-free."""
+    plan = _plan(spark, sf_dir, "bpe_merges")
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_arrow_stage_and_broadcast(spark, sf_dir):
+    """Shingling runs as Arrow-batched Python over two DISJOINT
+    pre-filtered slices (eval/train split happens before the opaque
+    mapInPandas, so the corpus is shingled exactly once in total);
+    the eval side of the overlap join is broadcast."""
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert plan.count("MapInPandas") == 2
+    assert "BroadcastHashJoin" in plan
+    # each Python stage is fed by its own filtered scan, not a rescan
+    # of the other side's output
+    import re
+    filters = re.findall(r"\(doc_id#\d+L % 50\)", plan)
+    assert len(filters) >= 2
