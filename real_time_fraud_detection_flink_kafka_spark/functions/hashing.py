@@ -80,6 +80,17 @@ def minhash_sig_array(shingle_set: Column) -> Column:
                                                  lambda x, y: F.least(x, y)))
 
 
+def minhash_sig_from_hashes(hash_set: Column) -> Column:
+    """`minhash_sig_array` over PRE-HASHED shingles (md5_int60 values):
+    identical minima — base_mod_p(s) == md5_int60(s) % P — without
+    re-running md5 inside the fold."""
+    bases = F.transform(hash_set, lambda h: h % P)
+    init = F.array(*[F.lit(P).cast("bigint")] * N_PERM)
+    return F.aggregate(bases, init,
+                       lambda acc, b: F.zip_with(acc, perm_array(b),
+                                                 lambda x, y: F.least(x, y)))
+
+
 def perm_hash_sql(base_expr: str, i: int) -> str:
     a, b = PERMS[i]
     return f"(({a} * {base_expr} + {b}) % {P})"

@@ -141,13 +141,18 @@ def dedup_ngram_jaccard(documents: DataFrame,
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """doc_id + sh_set + m0..m{N_PERM-1} minhash columns (portable
-    md5-based). Entirely row-local and single-pass: one fused fold
-    computes the md5 base per shingle ONCE and element-wise-mins all
-    permutations (see hashing.minhash_sig_array) — separate per-perm
+    md5-based). Entirely row-local and single-pass: shingles are
+    md5-hashed to 60-bit ints ONCE, then one fused fold element-wise-
+    mins all permutations over the hash set (separate per-perm
     expressions would get their md5 subtrees re-inlined by Catalyst's
-    projection collapse and cost N_PERM× the hashing."""
-    sets = shingle_sets(documents).withColumn(
-        "sig", H.minhash_sig_array(F.col("sh_set")))
+    projection collapse and cost N_PERM× the hashing). sh_set carries
+    the HASHES, not the gram strings — bit-identical to the Arrow
+    path's output, ~8 bytes/shingle through the persist + candidate
+    joins + per-pair intersections instead of the gram text."""
+    sets = shingle_sets(documents).select(
+        "doc_id",
+        F.transform("sh_set", lambda s: H.md5_int60(s)).alias("sh_set"))
+    sets = sets.withColumn("sig", H.minhash_sig_from_hashes(F.col("sh_set")))
     return sets.select("doc_id", "sh_set",
                        *[F.col("sig")[i].alias(f"m{i}") for i in range(H.N_PERM)])
 
