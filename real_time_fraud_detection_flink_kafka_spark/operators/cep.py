@@ -68,9 +68,11 @@ def customer_order_semijoins(customer: DataFrame, orders: DataFrame,
     """Anti + semi join coverage as ONE tagged relation: customers
     with no URGENT order (left_anti) unioned with customers having at
     least one order above min_total (left_semi). Both branches
-    broadcast the filtered orders side."""
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
-    big = orders.where(F.col("o_totalprice") > min_total)
+    broadcast the filtered orders side — hinted explicitly so the
+    plan shape holds above autoBroadcastJoinThreshold too (the
+    filtered key set stays small even when raw orders does not)."""
+    urgent = F.broadcast(orders.where(F.col("o_orderpriority") == "1-URGENT"))
+    big = F.broadcast(orders.where(F.col("o_totalprice") > min_total))
     anti = (customer.join(urgent, customer["c_custkey"] == urgent["o_custkey"],
                           "left_anti")
                     .select(F.lit("anti_no_urgent").alias("join_type"),

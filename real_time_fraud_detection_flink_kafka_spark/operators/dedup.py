@@ -88,7 +88,9 @@ def shingle_hashes_arrow(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             ids: list[int] = []
             hs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = text.strip().split(" ")
+                # NULL text yields no shingles, matching the expression
+                # path (split(trim(NULL)) -> NULL -> empty gram array)
+                ws = text.strip().split(" ") if text is not None else []
                 grams = ({" ".join(ws[i:i + n])
                           for i in range(len(ws) - n + 1)}
                          if len(ws) >= n else set())
@@ -146,12 +148,14 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     mins all permutations over the hash set (separate per-perm
     expressions would get their md5 subtrees re-inlined by Catalyst's
     projection collapse and cost N_PERM× the hashing). sh_set carries
-    the HASHES, not the gram strings — bit-identical to the Arrow
-    path's output, ~8 bytes/shingle through the persist + candidate
-    joins + per-pair intersections instead of the gram text."""
+    the HASHES, not the gram strings, SORTED (array_sort) so the
+    column is bit-identical to the Arrow path's sorted sh_set —
+    ~8 bytes/shingle through the persist + candidate joins + per-pair
+    intersections instead of the gram text."""
     sets = shingle_sets(documents).select(
         "doc_id",
-        F.transform("sh_set", lambda s: H.md5_int60(s)).alias("sh_set"))
+        F.array_sort(
+            F.transform("sh_set", lambda s: H.md5_int60(s))).alias("sh_set"))
     sets = sets.withColumn("sig", H.minhash_sig_from_hashes(F.col("sh_set")))
     return sets.select("doc_id", "sh_set",
                        *[F.col("sig")[i].alias(f"m{i}") for i in range(H.N_PERM)])
@@ -278,7 +282,9 @@ def minhash_signatures_arrow(documents: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ws = text.strip().split(" ")
+                # NULL text -> empty shingle set -> all-P signature,
+                # matching the expression path's treatment of NULLs
+                ws = text.strip().split(" ") if text is not None else []
                 grams = ({" ".join(ws[i:i + SHINGLE_N])
                           for i in range(len(ws) - SHINGLE_N + 1)}
                          if len(ws) >= SHINGLE_N else set())

@@ -142,6 +142,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": lambda s, d: similarity.ann_lsh(load_table(s, d, "embeddings")),
     "ann_lsh_fast": lambda s, d: similarity.ann_lsh_fast(load_table(s, d, "embeddings")),
     "ann_ivf": lambda s, d: similarity.ann_ivf(load_table(s, d, "embeddings")),
+    "ann_ivf_learned": lambda s, d: similarity.ann_ivf_learned(load_table(s, d, "embeddings")),
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
@@ -158,7 +159,11 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": lambda s, d: pipeline_ops.vocab_topk(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
-    "pack_sequences": lambda s, d: pipeline_ops.pack_sequences(load_table(s, d, "documents")),
+    # n_shards pinned: pack assignment depends on the shard count and
+    # the recursive-CTE oracle replays the fold at PACK_SHARDS; the
+    # operator's own default scales with the cluster's parallelism
+    "pack_sequences": lambda s, d: pipeline_ops.pack_sequences(
+        load_table(s, d, "documents"), n_shards=pipeline_ops.PACK_SHARDS),
     "bigram_topk": lambda s, d: pipeline_ops.bigram_topk(load_table(s, d, "documents")),
     "bpe_merges": lambda s, d: pipeline_ops.bpe_merges(load_table(s, d, "documents")),
     "repetition_stats": lambda s, d: pipeline_ops.repetition_stats(load_table(s, d, "documents")),
@@ -387,7 +392,9 @@ register("corpus_prep",
 from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import corpus_to_packs
 
 register("corpus_to_packs",
-         lambda s, d: corpus_to_packs(load_table(s, d, "documents")),
+         lambda s, d: corpus_to_packs(
+             load_table(s, d, "documents"),
+             n_shards=pipeline_ops.PACK_SHARDS),
          corpus_to_packs_oracle(MIN_QUALITY))
 
 # DISTINCT, not a row_number() pick: redelivered duplicates are
@@ -456,11 +463,17 @@ DRIVER_WINDOW: list[str] = [
     "stream_dedup_events", "stream_interval_join",
 ]
 
-assert len(DRIVER_WINDOW) == 50, f"window must fill all 50 driver slots, got {len(DRIVER_WINDOW)}"
+# explicit raises (not asserts): these invariants must hold even
+# under `python -O`
+if len(DRIVER_WINDOW) != 50:
+    raise RuntimeError(
+        f"window must fill all 50 driver slots, got {len(DRIVER_WINDOW)}")
 _missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-assert not _missing, f"window names not registered: {_missing}"
+if _missing:
+    raise RuntimeError(f"window names not registered: {_missing}")
 _unchecked = [n for n in DRIVER_WINDOW if n not in ORACLES]
-assert not _unchecked, f"window entries must all be oracle-backed: {_unchecked}"
+if _unchecked:
+    raise RuntimeError(f"window entries must all be oracle-backed: {_unchecked}")
 
 _ordered = {n: QUERIES[n] for n in DRIVER_WINDOW}
 _ordered.update({n: f for n, f in QUERIES.items() if n not in _ordered})

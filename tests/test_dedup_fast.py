@@ -22,10 +22,17 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def test_signatures_bit_identical(spark, sf_dir):
+    """ALL columns including sh_set: both paths emit the sorted 60-bit
+    shingle hashes, so the frames must be exactly equal."""
     docs = load_table(spark, sf_dir, "documents")
-    cols = ["doc_id"] + [f"m{i}" for i in range(H.N_PERM)]
-    slow = _norm(minhash_signatures(docs).select(cols).toPandas())
-    fast = _norm(minhash_signatures_arrow(docs).select(cols).toPandas())
+    cols = ["doc_id", "sh_set"] + [f"m{i}" for i in range(H.N_PERM)]
+    slow = minhash_signatures(docs).select(cols).toPandas()
+    fast = minhash_signatures_arrow(docs).select(cols).toPandas()
+    slow["sh_set"] = slow["sh_set"].apply(list)
+    fast["sh_set"] = fast["sh_set"].apply(list)
+    order = ["doc_id"]
+    slow = slow.sort_values(order, kind="mergesort").reset_index(drop=True)
+    fast = fast.sort_values(order, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(slow, fast)
 
 
