@@ -179,11 +179,11 @@ def chunk_documents(documents: DataFrame, chunk_len: int = CHUNK_LEN,
 # --- sequence packing -------------------------------------------------------
 
 PACK_BUDGET = 512  # max tokens per training sequence pack
-PACK_SHARDS = 8    # independent packing shards
+PACK_SHARDS = 8    # oracle-pinned shard count (registry/oracle use this)
 
 
 def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET,
-                   n_shards: int = PACK_SHARDS) -> DataFrame:
+                   n_shards: int | None = None) -> DataFrame:
     """Greedy sequential bin packing of documents into training
     sequences: within a shard, docs are taken in doc_id order and a
     new pack starts whenever the running token count would exceed
@@ -194,10 +194,21 @@ def pack_sequences(documents: DataFrame, budget: int = PACK_BUDGET,
     `applyInPandas`: shards pack independently — exactly how a
     distributed packer works at scale, where shard = worker and the
     only shuffle is the groupBy(shard). The per-shard loop is O(rows)
-    Python over Arrow batches. Deterministic: shard and order are
-    pure functions of doc_id, so the oracle (a recursive CTE) replays
-    the identical fold."""
+    Python over Arrow batches. Deterministic GIVEN the shard count:
+    shard and order are pure functions of (doc_id, n_shards), so the
+    oracle (a recursive CTE) replays the identical fold at the pinned
+    PACK_SHARDS.
+
+    `n_shards` defaults to the cluster's default parallelism (floored
+    at PACK_SHARDS): a fixed 8 would cap the entire packing stage at
+    8 tasks on a 1000-executor cluster. The registry/oracle pin
+    n_shards=PACK_SHARDS because pack assignments depend on the shard
+    count and the oracle must replay the same fold."""
     import pandas as pd
+
+    if n_shards is None:
+        n_shards = max(
+            PACK_SHARDS, documents.sparkSession.sparkContext.defaultParallelism)
 
     ws = _words(F.col("text"))
     base = documents.select(
@@ -330,6 +341,17 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     shuffle (inherent to BPE: counts after a merge are not derivable
     without applying it).
 
+    Each round's merged corpus is persist()ed: the final union of
+    per-round winners has round i's relation in EVERY later round's
+    lineage, so without the persist the worst case is O(rounds²)
+    corpus scans (exchange reuse is not guaranteed across the union
+    branches). With it, the documents parquet is scanned exactly once
+    and each round's merge applied exactly once —
+    tests/test_pipeline_ops.py asserts the scan count in the plan. At
+    100 TB the same move is checkpointing the merged corpus between
+    rounds (or training merges on a sampled slice, which changes
+    nothing here but the input).
+
     Greedy left-to-right merge == plain non-overlapping string
     replace, via a double-space encoding: tokens are separated by two
     spaces and a pair pattern ``" a  b "`` claims ONE boundary space
@@ -341,7 +363,7 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     t = documents.select(
         F.concat(F.lit(" "),
                  F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("  ")),
-                 F.lit(" ")).alias("t"))
+                 F.lit(" ")).alias("t")).persist()
     outs = []
     for i in range(n_merges):
         ws = F.split(F.trim(F.col("t")), "  ")
@@ -363,7 +385,7 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
                   F.concat(F.lit(" "), F.col("tok_a"), F.lit("  "),
                            F.col("tok_b"), F.lit(" ")),
                   F.concat(F.lit(" "), F.col("tok_a"), F.lit(MERGE_JOINER),
-                           F.col("tok_b"), F.lit(" "))).alias("t")))
+                           F.col("tok_b"), F.lit(" "))).alias("t")).persist())
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
@@ -375,7 +397,8 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
 
 def corpus_to_packs(documents: DataFrame,
                     jaccard_threshold: float = JACCARD_THRESHOLD,
-                    min_quality: float = MIN_QUALITY) -> DataFrame:
+                    min_quality: float = MIN_QUALITY,
+                    n_shards: int | None = None) -> DataFrame:
     """The COMPLETE training-data intake as one declarative DAG:
     exact dedup → MinHash near-dup removal → benchmark
     decontamination (flagged train docs AND the eval slice itself
@@ -389,8 +412,14 @@ def corpus_to_packs(documents: DataFrame,
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
     d1 = documents.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
     pairs = dedup_minhash_lsh_fast(d1, threshold=jaccard_threshold)
+    # d2 feeds FOUR downstream consumers (decontaminate's eval + train
+    # shingle slices and the d3 anti-join, then transitively the
+    # sample/quality/pack stages): persist() computes the exact-dedup
+    # + near-dup anti-join prefix once instead of once per consumer.
+    # At 100 TB the same boundary is where a real intake pipeline
+    # checkpoints to parquet between stages.
     d2 = d1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-                 "doc_id", "left_anti")
+                 "doc_id", "left_anti").persist()
     flagged = decontaminate(d2).select(
         F.col("train_doc_id").alias("doc_id"))
     d3 = (d2.where(F.col("doc_id") % EVAL_MOD != 0)
@@ -398,4 +427,4 @@ def corpus_to_packs(documents: DataFrame,
     d4 = d3.join(stratified_sample(d3).select("doc_id"), "doc_id", "left_semi")
     good = quality_score(d4).where(F.col("quality") >= min_quality).select("doc_id")
     d5 = d4.join(good, "doc_id", "left_semi")
-    return pack_sequences(d5)
+    return pack_sequences(d5, n_shards=n_shards)

@@ -189,3 +189,51 @@ def test_source_mix_shares_sum_to_one(docs):
     out = source_mix(docs).toPandas()
     assert abs(out.token_share.sum() - 1.0) < 1e-4
     assert (out.n_docs > 0).all() and (out.n_tokens > 0).all()
+
+
+# --- persist / scan-count audits (multi-consumer compositions) --------------
+
+
+def _physical_node_names(df) -> list[str]:
+    """Class names of every node in the pre-adaptive physical plan.
+    InMemoryTableScanExec is a physical LEAF, so the walk sees only
+    the top-level tree — cached subplans (and their file scans) are
+    correctly excluded."""
+    def walk(p):
+        yield p.getClass().getSimpleName()
+        ch = p.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+    return list(walk(df._jdf.queryExecution().sparkPlan()))
+
+
+def test_corpus_to_packs_consumers_hit_cache(spark, sf_dir):
+    """d2 (the exact-dedup + near-dup anti-join prefix) is persisted:
+    every downstream consumer (decontaminate's two shingle slices,
+    the eval-slice filter, sampling, quality, packing) must read the
+    cache — the top-level physical plan contains ZERO direct parquet
+    scans and ≥3 InMemoryTableScans. Without the persist each
+    consumer re-derives the prefix from the documents scan."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import corpus_to_packs
+
+    df = corpus_to_packs(load_table(spark, sf_dir, "documents"))
+    nodes = _physical_node_names(df)
+    assert nodes.count("FileSourceScanExec") == 0, nodes
+    assert nodes.count("InMemoryTableScanExec") >= 3
+
+
+def test_bpe_merges_rounds_hit_cache(spark, sf_dir):
+    """Each BPE round's merged corpus is persisted: the final union of
+    per-round winners reads each round's relation from cache instead
+    of re-deriving rounds 1..i-1 per branch (worst case O(rounds²)
+    corpus scans). Top-level plan: zero direct parquet scans, one
+    InMemoryTableScan per round."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        N_MERGES,
+        bpe_merges,
+    )
+
+    df = bpe_merges(load_table(spark, sf_dir, "documents"))
+    nodes = _physical_node_names(df)
+    assert nodes.count("FileSourceScanExec") == 0, nodes
+    assert nodes.count("InMemoryTableScanExec") >= N_MERGES
