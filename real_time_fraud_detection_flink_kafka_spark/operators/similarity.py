@@ -381,11 +381,12 @@ KM_K = 8       # learned-centroid count (per-cell relation feeds ann_ivf)
 KM_ITERS = 2   # Lloyd iterations (driver loop, each fully declarative)
 
 
-def kmeans_centroids(embeddings: DataFrame, k: int = KM_K,
-                     iters: int = KM_ITERS) -> DataFrame:
-    """Spherical k-means centroids (cosine assignment, seeded with the
-    first k vectors) — the offline job whose output table replaces
-    `ann_ivf`'s seeded centroid relation at scale.
+def kmeans_cells(embeddings: DataFrame, k: int = KM_K,
+                 iters: int = KM_ITERS) -> DataFrame:
+    """(cell, cv) spherical k-means centroid relation (cosine
+    assignment, seeded with the first k vectors) — the offline job
+    whose output table replaces `ann_ivf`'s seeded centroid relation
+    at scale (`ann_ivf_learned` is exactly that wiring).
 
     Iterative, but each Lloyd iteration is a fully DECLARATIVE
     broadcast-assign + aggregate pass driven by a plain Python loop —
@@ -415,7 +416,28 @@ def kmeans_centroids(embeddings: DataFrame, k: int = KM_K,
         cents = upd.select("cell", F.array(*[
             (F.col(f"s{i}") / float(scale)) / F.col("n") for i in range(DIM)
         ]).alias("cv"))
-    # exploded (cell, dim, value) rows: scalar columns sort/hash
-    # cleanly in the compare harness, unlike array cells
-    return (cents.select("cell", F.posexplode("cv").alias("dim", "centroid_val"))
-                 .orderBy("cell", "dim"))
+    return cents
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = KM_K,
+                     iters: int = KM_ITERS) -> DataFrame:
+    """`kmeans_cells` exploded to (cell, dim, centroid_val) rows:
+    scalar columns sort/hash cleanly in the compare harness, unlike
+    array cells."""
+    return (kmeans_cells(embeddings, k, iters)
+            .select("cell", F.posexplode("cv").alias("dim", "centroid_val"))
+            .orderBy("cell", "dim"))
+
+
+def ann_ivf_learned(embeddings: DataFrame, k: int = TOP_K,
+                    n_queries: int = N_QUERIES, n_cells: int = KM_K,
+                    nprobe: int = NPROBE) -> DataFrame:
+    """IVF-Flat over LEARNED centroids: the `kmeans_cells` Lloyd job
+    feeds `ann_ivf`'s centroid hook — the full production IVF
+    pipeline (train coarse quantizer → build inverted lists → probe)
+    as one declarative DAG. The centroid relation stays k rows, so it
+    broadcasts exactly like the seeded one; assignment, probing and
+    re-rank plans are unchanged. Oracle: the k-means CTE chain
+    composed with the IVF probe SQL (oracles_llm._ivf_sql)."""
+    return ann_ivf(embeddings, k=k, n_queries=n_queries, n_cells=n_cells,
+                   nprobe=nprobe, centroids=kmeans_cells(embeddings, k=n_cells))

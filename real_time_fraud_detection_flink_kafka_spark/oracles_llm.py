@@ -110,15 +110,19 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         **_multimodal_oracles(),
         **_pipeline_oracles(),
         "kmeans_centroids": _kmeans_oracle(),
+        "ann_ivf_learned": _ann_ivf_learned_oracle(),
     }
 
 
 
-def _kmeans_oracle() -> str:
-    """Replays kmeans_centroids' Lloyd iterations as chained CTEs:
-    per iteration an argmax assignment (row_number with the same
-    cos-desc, cell-asc tie-break as max_by(struct(cos, -cell))) and a
-    per-dimension fixed-point mean (zipped unnests -> integer sums)."""
+def _kmeans_ctes() -> tuple[list[str], str]:
+    """The Lloyd-iteration CTE chain shared by the kmeans_centroids
+    oracle and the ann_ivf_learned composition: per iteration an
+    argmax assignment (row_number with the same cos-desc, cell-asc
+    tie-break as max_by(struct(cos, -cell))) and a per-dimension
+    fixed-point mean (zipped unnests -> integer sums). Returns (ctes,
+    final_centroid_cte_name); the chain also defines `e` (vec_id, v
+    as DOUBLE[])."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         KM_ITERS,
         KM_K,
@@ -148,10 +152,23 @@ def _kmeans_oracle() -> str:
   SELECT cell, list((CAST(s AS DOUBLE) / {float(scale)!r}) / n ORDER BY d) AS cv
   FROM u{i} GROUP BY cell
 )""")
+    return ctes, f"c{KM_ITERS}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, final = _kmeans_ctes()
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT cell, unnest(generate_series(0, len(cv) - 1)) AS dim,
        unnest(cv) AS centroid_val
-FROM c{KM_ITERS} ORDER BY cell, dim""")
+FROM {final} ORDER BY cell, dim""")
+
+
+def _ann_ivf_learned_oracle() -> str:
+    """kmeans CTE chain composed with the IVF probe SQL — mirrors
+    operators/similarity.ann_ivf_learned (same centroids, same
+    assignment/probe/re-rank tie-breaks)."""
+    ctes, final = _kmeans_ctes()
+    return "WITH " + ",\n".join(ctes) + ",\n" + _ivf_tail(final)
 
 
 def _pipeline_oracles() -> dict[str, str]:
@@ -332,6 +349,44 @@ def _cos_sql(a: str, b: str) -> str:
             f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
 
 
+def _ivf_tail(cents: str) -> str:
+    """IVF assignment/probe/re-rank CTE tail over a centroid CTE
+    `cents` (cell, cv) and the shared `e` (vec_id, v) relation —
+    mirrors operators/similarity.ann_ivf exactly, incl. tie-breaks to
+    the lower cell / neighbor id. Used with both the seeded centroid
+    CTE (ann_ivf) and the k-means chain (ann_ivf_learned)."""
+    return f"""ac AS (
+  SELECT e.vec_id, cell, {_cos_sql('e.v', 'cv')} AS cos_c,
+         row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, {cents} c
+),
+assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pr AS (
+  SELECT query_id, cell,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY {_cos_sql('qv', 'cv')} DESC, cell) AS prn
+  FROM q, {cents} c
+),
+probes AS (SELECT query_id, cell FROM pr WHERE prn <= {NPROBE}),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id, {_cos_sql('qv', 'e.v')} AS cos_raw
+  FROM probes JOIN assigned a USING (cell)
+  JOIN q USING (query_id)
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOP_K}"""
+
+
 def _hp_literal(hp: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in hp) + "]"
 
@@ -379,40 +434,12 @@ SELECT vec_a, vec_b, round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos_sim
 FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
 WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}""",
         # assignment/probe/re-rank mirror operators/similarity.ann_ivf
-        # exactly, incl. tie-breaks to the lower cell / neighbor id
-        "ann_ivf": f"""
+        # exactly (see _ivf_tail), seeded centroid CTE
+        "ann_ivf": ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),
-ac AS (
-  SELECT e.vec_id, cell, {_cos_sql('e.v', 'cv')} AS cos_c,
-         row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
-  FROM e, c
-),
-assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
-pr AS (
-  SELECT query_id, cell,
-         row_number() OVER (PARTITION BY query_id
-              ORDER BY {_cos_sql('qv', 'cv')} DESC, cell) AS prn
-  FROM q, c
-),
-probes AS (SELECT query_id, cell FROM pr WHERE prn <= {NPROBE}),
-scored AS (
-  SELECT query_id, a.vec_id AS neighbor_id, {_cos_sql('qv', 'e.v')} AS cos_raw
-  FROM probes JOIN assigned a USING (cell)
-  JOIN q USING (query_id)
-  JOIN e ON e.vec_id = a.vec_id
-  WHERE a.vec_id <> query_id
-),
-r AS (
-  SELECT query_id, neighbor_id, cos_raw,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
-  FROM scored
-)
-SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk
-FROM r WHERE rnk <= {TOP_K}""",
+"""
+                    + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
+                    + _ivf_tail("c")),
         "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}
