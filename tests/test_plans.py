@@ -138,9 +138,54 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SURVEY §4 claims "AQE handles skew" — prove it: on a join with
+    one hot key (and no downstream requirement on the join's
+    partitioning — OptimizeSkewedJoin declines when splitting would
+    force an extra shuffle), the finalized adaptive plan must carry
+    the skew=true marker on the sort-merge join, i.e. the hot
+    partition was split into parallel tasks. Thresholds are lowered
+    to make test-scale data register as skewed; the mechanism is
+    identical at 100 TB with the defaults."""
+    from pyspark.sql import functions as F
+
+    keys = ["spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold"]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(0, 300_000).select(
+            F.when(F.col("id") < 290_000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("payload"))
+        small = spark.range(0, 5_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("v"))
+        j = big.join(small, "k").agg(F.sum("payload").alias("s"))
+        j.collect()  # AQE finalizes the plan during execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 TPCH_PLAN_GOLDENS = {
     # query -> (max SortMergeJoins allowed, min BroadcastHashJoins, a
     # column whose filter must reach a parquet scan)
+    "q1_pricing_summary": (0, 0, "l_shipdate"),
+    "q2_top_supplier_per_nation": (0, 1, "s_suppkey"),
+    "q6_forecast_revenue": (0, 0, "l_discount"),
+    "q13_customer_distribution": (1, 1, None),
     "q3_shipping_priority": (1, 1, "o_orderdate"),
     "q4_order_priority": (0, 1, "o_orderdate"),
     "q5_local_supplier": (1, 3, "o_orderdate"),
