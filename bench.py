@@ -2,10 +2,18 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
- "queries": {name: sec}, "sf": <sf>}
+ "queries": {name: sec}, "sf": <sf>,
+ "scale": {"replicas": R, "queries": {...}, "ratio_per_replica": {...}}}
 
 Each query is forced end-to-end with a noop sink (full computation,
 no driver collect).
+
+The "scale" section is the measured scaling curve: a re-keyed
+REPLICAS× copy of the base sf (see scale_testdata.py) is built once
+into /tmp and a representative query subset re-run against it.
+ratio_per_replica = t_scaled / t_base / replicas — 1.0 is perfectly
+linear scaling, >1 flags super-linear plans. Disable with
+SPARK_GRAFT_SCALE=0 (replicas default 10).
 """
 
 from __future__ import annotations
@@ -51,6 +59,23 @@ HEADLINE = [
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
 ]
 
+# representative subset re-run at REPLICAS× the base sf: one per
+# heavyweight operator family (keyed windows, joins/agg, pushdown,
+# group-HAVING, hash dedup, banded LSH dedup, hyperplane LSH, corpus
+# top-k, 8-gram decontamination)
+SCALE_SUBSET = [
+    "fraud_scores",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh_fast",
+    "ann_lsh_fast",
+    "vocab_topk",
+    "decontaminate",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,15 +100,41 @@ def main() -> None:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
-
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+
+    result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    replicas = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+    if replicas > 1:
+        from scale_testdata import build_scaled
+
+        out_dir = (f"/tmp/spark_graft_scale{replicas}_"
+                   f"{os.path.basename(sf_dir.rstrip('/'))}")
+        t0 = time.monotonic()
+        build_scaled(spark, sf_dir, replicas, out_dir)
+        build_s = round(time.monotonic() - t0, 3)
+        stimes: dict[str, float] = {}
+        for name in SCALE_SUBSET:
+            t0 = time.monotonic()
+            QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            stimes[name] = round(time.monotonic() - t0, 3)
+        result["scale"] = {
+            "replicas": replicas,
+            "build_seconds": build_s,
+            "value": round(sum(stimes.values()), 3),
+            "queries": stimes,
+            "ratio_per_replica": {
+                n: round(stimes[n] / max(times[n], 1e-9) / replicas, 3)
+                for n in SCALE_SUBSET},
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
