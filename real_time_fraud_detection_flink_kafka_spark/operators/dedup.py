@@ -310,6 +310,66 @@ def dedup_minhash_lsh_fast(documents: DataFrame,
     return _minhash_lsh_pipeline(documents, minhash_signatures_arrow, threshold)
 
 
+CLUSTER_MAX_ITERS = 20  # safety bound; convergence check exits earlier
+
+
+def dedup_clusters(documents: DataFrame,
+                   threshold: float = JACCARD_THRESHOLD,
+                   max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
+    """Near-duplicate CLUSTERS from the verified MinHash-LSH pairs:
+    connected components with the minimum doc_id as the canonical
+    representative — the step a real dedup pipeline runs after pair
+    mining to decide which copies to keep (one canonical per cluster).
+    Output: (doc_id, canonical_id, cluster_size) for every doc in at
+    least one near-dup pair (singletons are their own canonical and
+    are omitted, matching the oracle's pair-derived node set).
+
+    Spark-first iterative-graph shape: min-label propagation over the
+    pair graph — each round is one join + one min-aggregate, with the
+    label relation persisted per round, until a fixpoint. The driver
+    checks CONVERGENCE (one count per round, the standard control
+    loop of distributed connected components — GraphX/Pregel do the
+    same); labels themselves never leave the executors. Rounds needed
+    = graph diameter, which for near-dup clusters (dense, small) is
+    almost always ≤3; `max_iters` is a safety bound only, and the
+    loop raises if it is ever hit un-converged rather than return
+    wrong labels. The edge relation is O(near-dup pairs) — tiny
+    relative to the corpus — so per-round cost is bounded by pair
+    count, not corpus size.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    pairs, min reachable id per node."""
+    pairs = dedup_minhash_lsh_fast(documents, threshold)
+    edges = pairs.select("doc_a", "doc_b").persist()
+    adj = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+           .unionAll(edges.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst"))))
+    labels = (adj.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label")).persist())
+    for _ in range(max_iters):
+        nb = (adj.join(labels.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min("label").alias("nb_min")))
+        new = (labels.join(nb, "id", "left")
+               .select("id", F.least(
+                   "label", F.coalesce("nb_min", "label")).alias("label"))
+               .persist())
+        changed = (new.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .where(F.col("new_label") != F.col("label")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds")
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("canonical_id"), "cluster_size"))
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """60-bit SimHash per doc over word tokens (term-frequency weighted).
 

@@ -256,6 +256,83 @@ def bigram_topk(documents: DataFrame, k: int = BIGRAM_K) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+# --- corpus-trained bigram-LM fluency score ----------------------------------
+
+LM_FP = 1_000_000_000  # fixed-point scale for per-doc probability sums
+
+
+def bigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Statistical-LM fluency scoring — the CCNet/Gopher-class filter
+    that trains a language model ON the corpus and scores each
+    document's fluency under it (low scores = unnatural token
+    sequences → filter candidates). Model: bigram LM with Laplace
+    smoothing, score = mean smoothed bigram probability
+    p(b|a) = (count(a,b) + 1) / (count(a) + |V|).
+
+    The MEAN probability (not mean log-prob) ranks the same direction
+    and keeps the oracle value-exact: probabilities are one IEEE
+    division of exact integer counts, while ln/log2 is libm-dependent
+    across engines (last-ulp drift would break the hash gate).
+
+    Engine-determinism: per-doc sums accumulate FIXED-POINT integers
+    (round(p·1e9), the `kmeans_centroids` move), so partial-agg order
+    cannot change the result.
+
+    Scale shape: unigram and bigram counts are two groupBys with
+    map-side partial aggregation (shuffle keys are tokens/pairs,
+    never documents); the probability join carries fixed-width ints;
+    |V| rides as a 1-row broadcast (the `source_mix` move); the final
+    per-doc aggregation is ONE doc_id-keyed shuffle. Docs with fewer
+    than 2 tokens have no bigrams and are absent from the output (the
+    oracle's inner joins agree)."""
+    pairs = doc_bigrams(documents)
+    uni, big = lm_model(documents)
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    j = (pairs.join(big, ["a", "b"])
+              .join(uni, "a")
+              .crossJoin(F.broadcast(vocab)))
+    return score_pairs_with_lm(j, F.col("v"))
+
+
+def doc_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, a, b) — one row per adjacent token pair, built
+    row-local (zip against the array's own tail, no self-join)."""
+    ws = _words(F.col("text"))
+    n_pairs = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(ws, 1, n_pairs), F.slice(ws, 2, n_pairs),
+                         lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    return (documents.select("doc_id", F.explode(bigrams).alias("p"))
+                     .select("doc_id", F.col("p.a").alias("a"),
+                             F.col("p.b").alias("b")))
+
+
+def lm_model(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The 'trained' bigram LM: (unigram counts, bigram counts) —
+    reused by the streaming twin, which applies the batch-trained
+    model to a document stream (stream-static join)."""
+    ws = _words(F.col("text"))
+    uni = (documents.select(F.explode(ws).alias("a"))
+                    .groupBy("a").agg(F.count(F.lit(1)).alias("cnt_a")))
+    big = doc_bigrams(documents).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cnt_ab"))
+    return uni, big
+
+
+def score_pairs_with_lm(joined: DataFrame, v_col) -> DataFrame:
+    """Per-doc mean smoothed probability over a (doc_id, cnt_ab,
+    cnt_a) joined relation; `v_col` is the vocabulary size as a
+    Column (1-row-relation column batch-side, literal stream-side —
+    same value, same IEEE ops)."""
+    p = (F.col("cnt_ab") + 1) / (F.col("cnt_a") + v_col)
+    pf = F.round(p * F.lit(LM_FP)).cast("bigint")
+    per = joined.groupBy("doc_id").agg(F.sum(pf).alias("s"),
+                                       F.count(F.lit(1)).alias("n_bigrams"))
+    return per.select(
+        "doc_id", "n_bigrams",
+        F.round(F.col("s") / F.lit(float(LM_FP)) / F.col("n_bigrams"), 6)
+         .alias("avg_bigram_p"))
+
+
 # --- intra-document repetition filter ----------------------------------------
 
 TOP_TOK_MAX = 0.2    # max share of the single most frequent token
@@ -360,7 +437,20 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     impossible — exactly BPE's greedy scan, and identical semantics
     in Spark and the DuckDB oracle (which replays every round as
     chained CTEs)."""
+    outs, _ = _bpe_train(documents, n_merges)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _bpe_train(documents: DataFrame,
+               n_merges: int) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training loop: returns (per-round winner frames,
+    the fully-merged corpus after all rounds — i.e. the ENCODED
+    corpus, consumed by `bpe_apply`)."""
     t = documents.select(
+        "doc_id",
         F.concat(F.lit(" "),
                  F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("  ")),
                  F.lit(" ")).alias("t")).persist()
@@ -380,16 +470,29 @@ def bpe_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
             F.concat_ws(" ", "tok_a", "tok_b").alias("pair"),
             "tf"))
         t = (t.crossJoin(F.broadcast(best))
-              .select(F.replace(
+              .select("doc_id", F.replace(
                   F.col("t"),
                   F.concat(F.lit(" "), F.col("tok_a"), F.lit("  "),
                            F.col("tok_b"), F.lit(" ")),
                   F.concat(F.lit(" "), F.col("tok_a"), F.lit(MERGE_JOINER),
                            F.col("tok_b"), F.lit(" "))).alias("t")).persist())
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return outs, t
+
+
+def bpe_apply(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Tokenizer ENCODE pass: apply the learned merge rules to every
+    document — greedy left-to-right, rules in rank order, exactly the
+    corpus state after the training loop's final merge (training and
+    encoding share `_bpe_train`, so the rules enter the replace as
+    broadcast 1-row relations here too; nothing is collected).
+    Output per doc: post-merge token count and an md5 of the encoded
+    text, so the wide encoded strings never leave the executors (the
+    `chunk_documents` move). Oracle replays the same chain and ends
+    with the same projection."""
+    _, t = _bpe_train(documents, n_merges)
+    ws = F.split(F.trim(F.col("t")), "  ")
+    return t.select("doc_id", F.size(ws).alias("n_tokens"),
+                    F.md5(F.array_join(ws, " ")).alias("encoded_md5"))
 
 
 # --- full intake composition ------------------------------------------------

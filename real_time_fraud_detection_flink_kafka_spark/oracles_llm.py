@@ -105,6 +105,27 @@ cand AS (
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
+        # transitive closure over the same verified pairs, min
+        # reachable id per node — mirrors dedup_clusters' label
+        # propagation fixpoint
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) q
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+labels AS (SELECT id, min(r) AS canonical FROM reach GROUP BY 1),
+sizes AS (SELECT canonical, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.id AS doc_id, l.canonical AS canonical_id, s.cluster_size
+FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_similarity_oracles(),
         **_text_oracles(),
         **_multimodal_oracles(),
@@ -240,6 +261,29 @@ SELECT pair, tf,
        CAST(row_number() OVER (ORDER BY tf DESC, pair) AS INTEGER) AS rnk
 FROM top""",
         "bpe_merges": _bpe_merges_sql(),
+        "bpe_apply": _bpe_apply_sql(),
+        # mirrors pipeline.bigram_lm_score: Laplace-smoothed bigram
+        # probabilities over exact integer counts, fixed-point per-doc
+        # sums (round(p*1e9) bigints) so agg order is irrelevant
+        "bigram_lm_score": """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM ex),
+unic AS (
+  SELECT a, count(*) AS cnt_a
+  FROM (SELECT unnest(ws) AS a FROM w) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM unic),
+big AS (SELECT a, b, count(*) AS cnt_ab FROM pr GROUP BY 1, 2),
+j AS (
+  SELECT doc_id,
+         CAST(round(CAST(cnt_ab + 1 AS DOUBLE) / CAST(cnt_a + v AS DOUBLE)
+                    * 1000000000) AS BIGINT) AS pf
+  FROM pr JOIN big USING (a, b) JOIN unic USING (a) CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_bigram_p
+FROM j GROUP BY 1""",
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
@@ -315,17 +359,21 @@ SELECT doc_id, shard, pack_id, n_tokens FROM rec""",
     }
 
 
-def _bpe_merges_sql() -> str:
-    """Chained-CTE replay of operators/pipeline.py:bpe_merges — each
+def _bpe_ctes(all_merges: bool) -> tuple[list[str], list[str], int]:
+    """Chained-CTE replay of operators/pipeline.py:_bpe_train — each
     round re-counts pairs on the PREVIOUS round's merged text (same
-    double-space encoding, same replace semantics, same tie-break)."""
+    double-space encoding, same replace semantics, same tie-break).
+    Returns (ctes, per-round winner selects, last it index). With
+    `all_merges` the chain materializes the replace after the final
+    rule too (the encoded corpus `bpe_apply` reads)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         MERGE_JOINER,
         N_MERGES,
     )
 
-    ctes = ["it0 AS (SELECT ' ' || replace(trim(text), ' ', '  ') || ' ' AS t FROM documents)"]
+    ctes = ["it0 AS (SELECT doc_id, ' ' || replace(trim(text), ' ', '  ') || ' ' AS t FROM documents)"]
     selects = []
+    last = 0
     for i in range(N_MERGES):
         ctes.append(f"""c{i} AS (
   SELECT ws[i] AS tok_a, ws[i + 1] AS tok_b, count(*) AS tf
@@ -335,13 +383,29 @@ def _bpe_merges_sql() -> str:
 )""")
         ctes.append(f"b{i} AS (SELECT * FROM c{i} ORDER BY tf DESC, tok_a, tok_b LIMIT 1)")
         selects.append(f"SELECT {i + 1} AS merge_rank, tok_a || ' ' || tok_b AS pair, tf FROM b{i}")
-        if i + 1 < N_MERGES:
+        if all_merges or i + 1 < N_MERGES:
             ctes.append(f"""it{i + 1} AS (
-  SELECT replace(t, ' ' || b.tok_a || '  ' || b.tok_b || ' ',
+  SELECT doc_id, replace(t, ' ' || b.tok_a || '  ' || b.tok_b || ' ',
                     ' ' || b.tok_a || '{MERGE_JOINER}' || b.tok_b || ' ') AS t
   FROM it{i}, b{i} b
 )""")
+            last = i + 1
+    return ctes, selects, last
+
+
+def _bpe_merges_sql() -> str:
+    ctes, selects, _ = _bpe_ctes(all_merges=False)
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_apply_sql() -> str:
+    """Mirror of pipeline.bpe_apply: the fully-merged corpus projected
+    to per-doc token count + md5 of the encoded text."""
+    ctes, _, last = _bpe_ctes(all_merges=True)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
+       md5(array_to_string(ws, ' ')) AS encoded_md5
+FROM (SELECT doc_id, string_split(trim(t), '  ') AS ws FROM it{last})""")
 
 
 def _cos_sql(a: str, b: str) -> str:

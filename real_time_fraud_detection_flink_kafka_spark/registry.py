@@ -168,6 +168,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": lambda s, d: pipeline_ops.bpe_merges(load_table(s, d, "documents")),
     "repetition_stats": lambda s, d: pipeline_ops.repetition_stats(load_table(s, d, "documents")),
     "source_mix": lambda s, d: pipeline_ops.source_mix(load_table(s, d, "documents")),
+    "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
+    "bpe_apply": lambda s, d: pipeline_ops.bpe_apply(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the
@@ -315,6 +318,23 @@ def _stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the drained state equals batch dedup_exact — same oracle
 register("stream_dedup_corpus", _stream_corpus_dedup,
          _LLM_ORACLES["dedup_exact"])
+
+
+def _stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_lm_score_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_lm_score_stream(
+        spark, sf_dir, query_name=f"lm_stream_{_STREAM_COUNTER['n']}")
+
+
+# stream-static join: the batch-trained bigram LM applied to a
+# document stream; fixed-point sums make the drained state
+# arrival-order free — same oracle as the batch scorer
+register("stream_lm_score", _stream_lm_score,
+         _LLM_ORACLES["bigram_lm_score"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.

@@ -58,3 +58,44 @@ def run_corpus_dedup_stream(spark, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_lm_score_stream(spark, sf_dir: str,
+                        query_name: str = "lm_stream") -> DataFrame:
+    """STREAM-STATIC join coverage: documents arriving as a file
+    stream are scored against the bigram LM trained on the BATCH
+    corpus — the model-trained-offline / applied-online shape every
+    production quality filter runs. The static count relations are
+    broadcast into each micro-batch; |V| is collected once as model
+    metadata (a constant of the trained model, not per-row data).
+    Per-doc aggregation is a stateful streaming agg (complete mode) —
+    fixed-point integer sums make the drained state arrival-order
+    free, so it equals the batch `bigram_lm_score` exactly and shares
+    its oracle."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        doc_bigrams,
+        lm_model,
+        score_pairs_with_lm,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    import os
+
+    batch = load_table(spark, sf_dir, "documents")
+    uni, big = lm_model(batch)
+    v = uni.count()  # model metadata: vocabulary size
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    pairs = doc_bigrams(stream)
+    j = pairs.join(F.broadcast(big), ["a", "b"]).join(F.broadcast(uni), "a")
+    out = score_pairs_with_lm(j, F.lit(v))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

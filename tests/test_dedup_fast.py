@@ -75,3 +75,22 @@ def test_ann_lsh_fast_equals_expression_path(spark, sf_dir):
     slow = sim.ann_lsh(emb).toPandas().sort_values(cols).reset_index(drop=True)
     fast = sim.ann_lsh_fast(emb).toPandas().sort_values(cols).reset_index(drop=True)
     assert slow.equals(fast)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """Label propagation must merge a-b-c chains where a-c is itself
+    below threshold (transitivity through b), pick the min id as
+    canonical, and omit docs with no near-dup pair."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import dedup_clusters
+
+    w = [f"w{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [(10, " ".join(w[0:12])),    # a: w0..w11
+         (11, " ".join(w[1:13])),    # b: w1..w12 (j(a,b) = 9/11 >= 0.8)
+         (12, " ".join(w[2:14])),    # c: w2..w13 (j(a,c) = 8/12 < 0.8)
+         (13, "solo doc with nothing similar at all")],
+        "doc_id long, text string")
+    out = dedup_clusters(docs).toPandas().set_index("doc_id")
+    assert sorted(out.index) == [10, 11, 12]
+    assert (out.canonical_id == 10).all()
+    assert (out.cluster_size == 3).all()

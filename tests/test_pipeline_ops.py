@@ -237,3 +237,39 @@ def test_bpe_merges_rounds_hit_cache(spark, sf_dir):
     nodes = _physical_node_names(df)
     assert nodes.count("FileSourceScanExec") == 0, nodes
     assert nodes.count("InMemoryTableScanExec") >= N_MERGES
+
+
+def test_bigram_lm_score_ranks_fluency(spark):
+    """A document made of the corpus's dominant bigram must score
+    higher than one made of bigrams seen nowhere else."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the rug"),
+         (3, "the cat sat on the bed"),
+         (4, "zq xv wk jm pq rs")],      # bigrams unique to doc 4
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 5
+    # docs 1-3 share 4 of 5 bigrams; doc 4 shares none
+    assert got[1]["avg_bigram_p"] > got[4]["avg_bigram_p"]
+    assert got[2]["avg_bigram_p"] > got[4]["avg_bigram_p"]
+
+
+def test_bpe_apply_encodes_with_learned_rules(spark):
+    """Encoding must apply the learned rules in rank order with the
+    training loop's greedy semantics: 'b b b' under rules
+    ('b b', 'b_b b') collapses to the single token 'b_b_b'."""
+    import hashlib
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "b b b"), (2, "b b b"), (3, "a b b c"), (4, "x b b y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bpe_apply(docs, n_merges=2).collect()}
+    assert out[1]["n_tokens"] == 1
+    assert out[1]["encoded_md5"] == hashlib.md5(b"b_b_b").hexdigest()
+    assert out[3]["n_tokens"] == 3  # a b_b c — rule 2 doesn't apply
+    assert out[3]["encoded_md5"] == hashlib.md5(b"a b_b c").hexdigest()
