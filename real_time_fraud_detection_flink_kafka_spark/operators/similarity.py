@@ -377,6 +377,44 @@ def dedup_embedding_cosine(embeddings: DataFrame,
                  .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")))
 
 
+RECALL_BAND_EDGES = (0.95, 0.80, 0.60)  # cos bands for recall accounting
+
+
+def ann_lsh_recall(embeddings: DataFrame,
+                   threshold: float = COS_THRESHOLD,
+                   max_id: int = BRUTE_MAX_ID) -> DataFrame:
+    """MEASURED recall of the banded sign-LSH candidate generator
+    against the exact cosine baseline, per cosine band — the recall
+    curve every production ANN deployment monitors, built in as an
+    oracle-checked query instead of a docstring claim. Sign-LSH
+    recall falls with cosine (collision p = 1 - θ/π per bit), so
+    the bands make the honest profile visible: near-1.0 at cos≥0.95,
+    degrading toward the low threshold where `ann_topk` is the right
+    tool.
+
+    Runs on the same bounded slice as the exact baseline (the
+    quadratic side is the BASELINE's cost, not LSH's); counts are
+    integers and recall one rounded division, so the whole metric is
+    value-exact against the oracle."""
+    sl = embeddings.where(F.col("vec_id") < max_id)
+    exact = dedup_embedding_cosine(embeddings, threshold, max_id)
+    lsh = ann_lsh(sl, threshold).select("vec_a", "vec_b",
+                                        F.lit(1).alias("found"))
+    hi, mid, lo = RECALL_BAND_EDGES
+    band = (F.when(F.col("cos_sim") >= hi, "band_095_100")
+             .when(F.col("cos_sim") >= mid, "band_080_095")
+             .when(F.col("cos_sim") >= lo, "band_060_080")
+             .otherwise("band_thr_060"))
+    j = exact.join(lsh, ["vec_a", "vec_b"], "left")
+    agg = (j.groupBy(band.alias("cos_band"))
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum(F.coalesce(F.col("found"), F.lit(0))).alias("n_found")))
+    return agg.select(
+        "cos_band", "n_true", "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6)
+         .alias("recall"))
+
+
 KM_K = 8       # learned-centroid count (per-cell relation feeds ann_ivf)
 KM_ITERS = 2   # Lloyd iterations (driver loop, each fully declarative)
 

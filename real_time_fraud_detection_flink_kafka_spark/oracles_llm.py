@@ -27,6 +27,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     N_QUERIES,
     N_TABLES,
     NPROBE,
+    RECALL_BAND_EDGES,
     TOP_K,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
@@ -512,6 +513,37 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}""",
+        # measured LSH recall vs the exact baseline on the same slice,
+        # per cosine band — mirrors similarity.ann_lsh_recall
+        "ann_lsh_recall": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}
+), buck AS (
+{bucket_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), lsh AS (
+  SELECT vec_a, vec_b, 1 AS found
+  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+  WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}
+), exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}
+), j AS (
+  SELECT CASE WHEN cos_sim >= {RECALL_BAND_EDGES[0]!r} THEN 'band_095_100'
+              WHEN cos_sim >= {RECALL_BAND_EDGES[1]!r} THEN 'band_080_095'
+              WHEN cos_sim >= {RECALL_BAND_EDGES[2]!r} THEN 'band_060_080'
+              ELSE 'band_thr_060' END AS cos_band,
+         coalesce(found, 0) AS found
+  FROM exact LEFT JOIN lsh USING (vec_a, vec_b)
+)
+SELECT cos_band, count(*) AS n_true, sum(found) AS n_found,
+       round(CAST(sum(found) AS DOUBLE) / count(*), 6) AS recall
+FROM j GROUP BY 1""",
     }
 
 

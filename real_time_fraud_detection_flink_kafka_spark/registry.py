@@ -143,6 +143,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_fast": lambda s, d: similarity.ann_lsh_fast(load_table(s, d, "embeddings")),
     "ann_ivf": lambda s, d: similarity.ann_ivf(load_table(s, d, "embeddings")),
     "ann_ivf_learned": lambda s, d: similarity.ann_ivf_learned(load_table(s, d, "embeddings")),
+    "ann_lsh_recall": lambda s, d: similarity.ann_lsh_recall(load_table(s, d, "embeddings")),
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
