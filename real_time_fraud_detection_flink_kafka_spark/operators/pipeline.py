@@ -510,6 +510,15 @@ def corpus_to_packs(documents: DataFrame,
     operator family; the whole composition is one oracle-checked
     query (the oracle chains the same six stages, ending in the
     recursive packing CTE)."""
+    *_, d5 = _intake_stages(documents, jaccard_threshold, min_quality)
+    return pack_sequences(d5, n_shards=n_shards)
+
+
+def _intake_stages(documents: DataFrame, jaccard_threshold: float,
+                   min_quality: float) -> tuple[DataFrame, ...]:
+    """The shared intake stage chain (d1..d5), consumed by
+    `corpus_to_packs` (packs d5) and `corpus_filter_funnel` (counts
+    every stage)."""
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
@@ -530,4 +539,32 @@ def corpus_to_packs(documents: DataFrame,
     d4 = d3.join(stratified_sample(d3).select("doc_id"), "doc_id", "left_semi")
     good = quality_score(d4).where(F.col("quality") >= min_quality).select("doc_id")
     d5 = d4.join(good, "doc_id", "left_semi")
-    return pack_sequences(d5, n_shards=n_shards)
+    return d1, d2, d3, d4, d5
+
+
+def corpus_filter_funnel(documents: DataFrame,
+                         jaccard_threshold: float = JACCARD_THRESHOLD,
+                         min_quality: float = MIN_QUALITY) -> DataFrame:
+    """Per-stage ATTRITION report over the intake chain: document and
+    token counts after every filter stage — the observability piece a
+    production pipeline ships next to the pipeline itself (how much
+    did dedup / decontamination / sampling / the quality gate each
+    cost?). Six tiny aggregates over the shared stage chain; the
+    persisted d2 prefix bounds recomputation, and each stage count is
+    one map-side partial aggregation."""
+    d1, d2, d3, d4, d5 = _intake_stages(documents, jaccard_threshold,
+                                        min_quality)
+    stages = [("00_raw", documents), ("01_exact_dedup", d1),
+              ("02_near_dup", d2), ("03_decontaminated", d3),
+              ("04_sampled", d4), ("05_quality", d5)]
+    ws = _words(F.col("text"))
+    outs = [
+        df.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum(F.size(ws)).alias("n_tokens"))
+          .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+        for name, df in stages
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -672,13 +672,14 @@ WHERE round({p['score']}, 6) >= {min_quality!r}"""
 
 
 
-def corpus_to_packs_oracle(min_quality: float) -> str:
-    """Six-stage intake mirror ending in the recursive packing CTE."""
+def _intake_ctes(min_quality: float) -> str:
+    """The shared six-stage intake CTE chain (raw → exact dedup d1 →
+    near-dup d2 → decontaminated d3 → sampled d4 → quality-gated d5)
+    — consumed by both corpus_to_packs_oracle (which packs d5) and
+    corpus_filter_funnel_oracle (which counts every stage)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         DECON_NGRAM,
         EVAL_MOD,
-        PACK_BUDGET,
-        PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
     )
@@ -689,9 +690,7 @@ def corpus_to_packs_oracle(min_quality: float) -> str:
     for lang, bp in SAMPLE_RATES_BP.items():
         rate = f"(CASE WHEN lang = '{lang}' THEN {bp} ELSE {rate} END)"
     bucket = f"({md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {SAMPLE_MOD})"
-    return f"""
-WITH RECURSIVE
-kept1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    return f"""kept1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
 d1 AS (SELECT d.* FROM documents d JOIN kept1 USING (doc_id)),
 w AS (SELECT doc_id, {WS} AS ws FROM d1),
 ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {SHINGLE_N - 1})) AS i FROM w),
@@ -721,7 +720,19 @@ flagged AS (
 d3 AS (SELECT * FROM d2 WHERE doc_id % {EVAL_MOD} <> 0
        AND doc_id NOT IN (SELECT doc_id FROM flagged)),
 d4 AS (SELECT * FROM d3 WHERE {bucket} < {rate}),
-d5 AS (SELECT * FROM d4 WHERE round({p['score']}, 6) >= {min_quality!r}),
+d5 AS (SELECT * FROM d4 WHERE round({p['score']}, 6) >= {min_quality!r})"""
+
+
+def corpus_to_packs_oracle(min_quality: float) -> str:
+    """Six-stage intake mirror ending in the recursive packing CTE."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+
+    return f"""
+WITH RECURSIVE
+{_intake_ctes(min_quality)},
 t AS (
   SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
          CAST(len({WS}) AS INTEGER) AS n_tokens,
@@ -742,6 +753,21 @@ rec AS (
   FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
 )
 SELECT doc_id, shard, pack_id, n_tokens FROM rec"""
+
+
+def corpus_filter_funnel_oracle(min_quality: float) -> str:
+    """Per-stage attrition mirror: doc and token counts after every
+    intake stage (same shared CTE chain as corpus_to_packs)."""
+    nt = f"sum(len({WS}))"
+    stages = [("00_raw", "documents"), ("01_exact_dedup", "d1"),
+              ("02_near_dup", "d2"), ("03_decontaminated", "d3"),
+              ("04_sampled", "d4"), ("05_quality", "d5")]
+    selects = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS stage, count(*) AS n_docs, {nt} AS n_tokens FROM {rel}"
+        for name, rel in stages)
+    return f"""
+WITH {_intake_ctes(min_quality)}
+{selects}"""
 
 
 def _multimodal_oracles() -> dict[str, str]:

@@ -402,6 +402,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
     corpus_prep,
 )
 from real_time_fraud_detection_flink_kafka_spark.oracles_llm import (
+    corpus_filter_funnel_oracle,
     corpus_prep_oracle,
     corpus_to_packs_oracle,
 )
@@ -409,6 +410,10 @@ from real_time_fraud_detection_flink_kafka_spark.oracles_llm import (
 register("corpus_prep",
          lambda s, d: corpus_prep(load_table(s, d, "documents")),
          corpus_prep_oracle(MIN_QUALITY))
+register("corpus_filter_funnel",
+         lambda s, d: pipeline_ops.corpus_filter_funnel(
+             load_table(s, d, "documents")),
+         corpus_filter_funnel_oracle(MIN_QUALITY))
 
 from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import corpus_to_packs
 
