@@ -8,12 +8,21 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full computation,
 no driver collect).
 
-The "scale" section is the measured scaling curve: a re-keyed
-REPLICAS× copy of the base sf (see scale_testdata.py) is built once
-into /tmp and a representative query subset re-run against it.
-ratio_per_replica = t_scaled / t_base / replicas — 1.0 is perfectly
-linear scaling, >1 flags super-linear plans. Disable with
-SPARK_GRAFT_SCALE=0 (replicas default 10).
+The "scale" section is the measured scaling curve: for each factor R
+in SPARK_GRAFT_SCALE (comma-separated, default "10,30") a re-keyed
+R× copy of the base sf (see scale_testdata.py) is built once into
+/tmp and a representative query subset re-run against it.
+ratio_per_replica = t_scaled / t_base / R — 1.0 is perfectly linear
+scaling, >1 flags super-linear plans. Two factors give the curve a
+SHAPE: a query whose ratio grows from 10× to 30× is super-linear
+even if both points are individually < 1. Disable with
+SPARK_GRAFT_SCALE=0.
+
+Cache hygiene: tracked persisted intermediates are released after
+every query, and spark.catalog.clearCache() runs between the base
+pass and each scale pass — without this the scaled runs inherit the
+base pass's hot caches and ratio_per_replica is systematically
+flattered (fixed-cost amortization masking a real regression).
 """
 
 from __future__ import annotations
@@ -95,11 +104,18 @@ def main() -> None:
      .mapInPandas(_warm, "id long")
      .write.format("noop").mode("overwrite").save())
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+    from real_time_fraud_detection_flink_kafka_spark.cache import release_caches
+
+    def run_suite(names, data_dir):
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.monotonic()
+            QUERIES[name](spark, data_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.monotonic() - t0, 3)
+            release_caches()  # no query's persisted intermediates leak into the next timing
+        return out
+
+    times = run_suite(HEADLINE, sf_dir)
     total = round(sum(times.values()), 3)
 
     result = {
@@ -110,29 +126,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    replicas = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
-    if replicas > 1:
+    factors = [int(r) for r in
+               os.environ.get("SPARK_GRAFT_SCALE", "10,30").split(",")
+               if int(r) > 1]
+    if factors:
         from scale_testdata import build_scaled
 
-        out_dir = (f"/tmp/spark_graft_scale{replicas}_"
-                   f"{os.path.basename(sf_dir.rstrip('/'))}")
-        t0 = time.monotonic()
-        build_scaled(spark, sf_dir, replicas, out_dir)
-        build_s = round(time.monotonic() - t0, 3)
-        stimes: dict[str, float] = {}
-        for name in SCALE_SUBSET:
+        result["scale"] = []
+        for replicas in factors:
+            out_dir = (f"/tmp/spark_graft_scale{replicas}_"
+                       f"{os.path.basename(sf_dir.rstrip('/'))}")
             t0 = time.monotonic()
-            QUERIES[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-            stimes[name] = round(time.monotonic() - t0, 3)
-        result["scale"] = {
-            "replicas": replicas,
-            "build_seconds": build_s,
-            "value": round(sum(stimes.values()), 3),
-            "queries": stimes,
-            "ratio_per_replica": {
-                n: round(stimes[n] / max(times[n], 1e-9) / replicas, 3)
-                for n in SCALE_SUBSET},
-        }
+            build_scaled(spark, sf_dir, replicas, out_dir)
+            build_s = round(time.monotonic() - t0, 3)
+            # cold caches: the scaled pass must not inherit the prior
+            # pass's persisted/LRU state or ratios are flattered
+            spark.catalog.clearCache()
+            stimes = run_suite(SCALE_SUBSET, out_dir)
+            result["scale"].append({
+                "replicas": replicas,
+                "build_seconds": build_s,
+                "cold_caches": True,
+                "value": round(sum(stimes.values()), 3),
+                "queries": stimes,
+                "ratio_per_replica": {
+                    n: round(stimes[n] / max(times[n], 1e-9) / replicas, 3)
+                    for n in SCALE_SUBSET},
+            })
 
     print(json.dumps(result))
     spark.stop()

@@ -32,6 +32,32 @@ def _bytes_conf(spark, key: str, default: int) -> int:
     return int(s)
 
 
+# logical nodes whose presence means the frame's OUTPUT width is the
+# shuffle width (spark.sql.shuffle.partitions), not the scan's split
+# count — matched EXACTLY against node class names from a plan walk
+# (never substrings of the plan string: an attribute named "JoinDate"
+# must not disable widening)
+_SHUFFLE_NODE_NAMES = frozenset({
+    "Repartition", "RepartitionByExpression", "RebalancePartitions",
+    "Aggregate", "Join", "Window", "Sort", "Deduplicate",
+})
+
+
+def _logical_node_names(optimized) -> list[str]:
+    """Exact class names of every node in the optimized logical plan
+    (py4j tree walk, same move as the cache-audit tests' physical
+    walk — no string parsing)."""
+    names = []
+    stack = [optimized]
+    while stack:
+        p = stack.pop()
+        names.append(p.getClass().getSimpleName())
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return names
+
+
 def _estimated_scan_splits(df: DataFrame) -> int:
     """Estimate how many input partitions the file scan will yield,
     WITHOUT touching `df.rdd` (which forces physical planning + RDD
@@ -41,10 +67,18 @@ def _estimated_scan_splits(df: DataFrame) -> int:
     / maxPartitionBytes, floored at 1. Size comes from the optimized
     plan's statistics (for parquet relations: actual on-disk bytes),
     file count from `inputFiles()` — both analysis-level, no job, no
-    physical plan. Returns 0 for non-file-backed frames (caller then
-    leaves the input untouched: `spread` is documented for scan-rooted
-    inputs, and shuffle-produced frames are already
-    `spark.sql.shuffle.partitions` wide)."""
+    physical plan.
+
+    Returns 0 (caller leaves the input untouched) for frames whose
+    width is NOT the scan's split count:
+    - shuffle-downstream frames — already shuffle-partitions wide
+      (inputFiles() traverses through shuffles, so the file estimate
+      would be wrong);
+    - non-file-backed frames — LocalRelation scans self-parallelize
+      (LocalTableScanExec slices rows across min(n_rows,
+      defaultParallelism) partitions), so a CPU-heavy stage over a
+      local test frame is already as wide as the cluster; ranges
+      likewise default to defaultParallelism slices."""
     try:
         n_files = len(df.inputFiles())
     except Exception:
@@ -53,13 +87,7 @@ def _estimated_scan_splits(df: DataFrame) -> int:
         return 0
     spark = df.sparkSession
     optimized = df._jdf.queryExecution().optimizedPlan()
-    plan_str = optimized.toString()
-    # a shuffle-introducing node anywhere means the OUTPUT width is
-    # spark.sql.shuffle.partitions, not the scan's split count
-    # (inputFiles() traverses through shuffles, so the file estimate
-    # below would be wrong for such frames)
-    if any(node in plan_str for node in
-           ("Repartition", "Aggregate", "Join", "Window", "Sort")):
+    if any(n in _SHUFFLE_NODE_NAMES for n in _logical_node_names(optimized)):
         return 0
     size = int(str(optimized.stats().sizeInBytes()))
     max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)

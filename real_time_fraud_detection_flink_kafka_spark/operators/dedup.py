@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.cache import (
+    tracked_persist,
+    untrack_unpersist,
+)
 from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
 from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
 
@@ -224,7 +228,7 @@ def _minhash_lsh_pipeline(documents: DataFrame, sig_fn, threshold: float
     # signature cost at sf0.1. At cluster scale the same move is
     # persisting (or writing) the signature table before the
     # candidate join; size is O(docs × N_PERM), never the texts.
-    sig = sig_fn(rep_docs).persist()
+    sig = tracked_persist(sig_fn(rep_docs))
     cand = lsh_candidates(sig)
     sets = sig.select("doc_id", "sh_set")
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
@@ -340,24 +344,25 @@ def dedup_clusters(documents: DataFrame,
     Oracle: DuckDB recursive-CTE transitive closure over the same
     pairs, min reachable id per node."""
     pairs = dedup_minhash_lsh_fast(documents, threshold)
-    edges = pairs.select("doc_a", "doc_b").persist()
+    edges = tracked_persist(pairs.select("doc_a", "doc_b"))
     adj = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
            .unionAll(edges.select(F.col("doc_b").alias("src"),
                                   F.col("doc_a").alias("dst"))))
-    labels = (adj.select(F.col("src").alias("id")).distinct()
-              .select("id", F.col("id").alias("label")).persist())
+    labels = tracked_persist(
+        adj.select(F.col("src").alias("id")).distinct()
+           .select("id", F.col("id").alias("label")))
     for _ in range(max_iters):
         nb = (adj.join(labels.withColumnRenamed("id", "src"), "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("label").alias("nb_min")))
-        new = (labels.join(nb, "id", "left")
-               .select("id", F.least(
-                   "label", F.coalesce("nb_min", "label")).alias("label"))
-               .persist())
+        new = tracked_persist(
+            labels.join(nb, "id", "left")
+                  .select("id", F.least(
+                      "label", F.coalesce("nb_min", "label")).alias("label")))
         changed = (new.withColumnRenamed("label", "new_label")
                    .join(labels, "id")
                    .where(F.col("new_label") != F.col("label")).count())
-        labels.unpersist()
+        untrack_unpersist(labels)
         labels = new
         if changed == 0:
             break

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
 from real_time_fraud_detection_flink_kafka_spark.functions.hashing import md5_int60
 from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
@@ -284,12 +285,25 @@ def bigram_lm_score(documents: DataFrame) -> DataFrame:
     |V| rides as a 1-row broadcast (the `source_mix` move); the final
     per-doc aggregation is ONE doc_id-keyed shuffle. Docs with fewer
     than 2 tokens have no bigrams and are absent from the output (the
-    oracle's inner joins agree)."""
+    oracle's inner joins agree).
+
+    Join strategy: the unigram relation is |V| rows (fixed-width, far
+    under any broadcast threshold) while its join key `a` is
+    stopword-skewed — a handful of tokens dominate every
+    natural-language corpus — so the unigram join is an explicit
+    broadcast (skew is irrelevant map-side; also removes one full
+    shuffle of the occurrence-level token stream). This matches the
+    streaming twin's plan (streaming/corpus.py:96): batch and stream
+    now execute the same join strategy for the same oracle. The
+    bigram-count join stays a shuffle join: at 100 TB corpus scale
+    the distinct-pair relation can exceed executor memory, and its
+    composite (a, b) key dilutes the stopword skew (AQE skew-join
+    covers the residual hot pairs)."""
     pairs = doc_bigrams(documents)
     uni, big = lm_model(documents)
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     j = (pairs.join(big, ["a", "b"])
-              .join(uni, "a")
+              .join(F.broadcast(uni), "a")
               .crossJoin(F.broadcast(vocab)))
     return score_pairs_with_lm(j, F.col("v"))
 
@@ -449,11 +463,11 @@ def _bpe_train(documents: DataFrame,
     """Shared BPE training loop: returns (per-round winner frames,
     the fully-merged corpus after all rounds — i.e. the ENCODED
     corpus, consumed by `bpe_apply`)."""
-    t = documents.select(
+    t = tracked_persist(documents.select(
         "doc_id",
         F.concat(F.lit(" "),
                  F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("  ")),
-                 F.lit(" ")).alias("t")).persist()
+                 F.lit(" ")).alias("t")))
     outs = []
     for i in range(n_merges):
         ws = F.split(F.trim(F.col("t")), "  ")
@@ -469,13 +483,14 @@ def _bpe_train(documents: DataFrame,
             F.lit(i + 1).alias("merge_rank"),
             F.concat_ws(" ", "tok_a", "tok_b").alias("pair"),
             "tf"))
-        t = (t.crossJoin(F.broadcast(best))
-              .select("doc_id", F.replace(
-                  F.col("t"),
-                  F.concat(F.lit(" "), F.col("tok_a"), F.lit("  "),
-                           F.col("tok_b"), F.lit(" ")),
-                  F.concat(F.lit(" "), F.col("tok_a"), F.lit(MERGE_JOINER),
-                           F.col("tok_b"), F.lit(" "))).alias("t")).persist())
+        t = tracked_persist(
+            t.crossJoin(F.broadcast(best))
+             .select("doc_id", F.replace(
+                 F.col("t"),
+                 F.concat(F.lit(" "), F.col("tok_a"), F.lit("  "),
+                          F.col("tok_b"), F.lit(" ")),
+                 F.concat(F.lit(" "), F.col("tok_a"), F.lit(MERGE_JOINER),
+                          F.col("tok_b"), F.lit(" "))).alias("t")))
     return outs, t
 
 
@@ -515,10 +530,15 @@ def corpus_to_packs(documents: DataFrame,
 
 
 def _intake_stages(documents: DataFrame, jaccard_threshold: float,
-                   min_quality: float) -> tuple[DataFrame, ...]:
+                   min_quality: float,
+                   persist_all_stages: bool = False) -> tuple[DataFrame, ...]:
     """The shared intake stage chain (d1..d5), consumed by
-    `corpus_to_packs` (packs d5) and `corpus_filter_funnel` (counts
-    every stage)."""
+    `corpus_to_packs` (packs d5 — the default single-consumer-per-
+    stage shape) and `corpus_filter_funnel` (counts EVERY stage —
+    passes `persist_all_stages=True` so d3/d4 are also cached:
+    without it the funnel's six count branches re-derive the suffix
+    independently and `decontaminate` — the 8-gram shingle job, the
+    costliest stage — runs up to 3×)."""
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
@@ -530,13 +550,18 @@ def _intake_stages(documents: DataFrame, jaccard_threshold: float,
     # + near-dup anti-join prefix once instead of once per consumer.
     # At 100 TB the same boundary is where a real intake pipeline
     # checkpoints to parquet between stages.
-    d2 = d1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-                 "doc_id", "left_anti").persist()
+    d2 = tracked_persist(
+        d1.join(pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+                "doc_id", "left_anti"))
     flagged = decontaminate(d2).select(
         F.col("train_doc_id").alias("doc_id"))
     d3 = (d2.where(F.col("doc_id") % EVAL_MOD != 0)
             .join(flagged, "doc_id", "left_anti"))
+    if persist_all_stages:
+        d3 = tracked_persist(d3)
     d4 = d3.join(stratified_sample(d3).select("doc_id"), "doc_id", "left_semi")
+    if persist_all_stages:
+        d4 = tracked_persist(d4)
     good = quality_score(d4).where(F.col("quality") >= min_quality).select("doc_id")
     d5 = d4.join(good, "doc_id", "left_semi")
     return d1, d2, d3, d4, d5
@@ -549,11 +574,16 @@ def corpus_filter_funnel(documents: DataFrame,
     token counts after every filter stage — the observability piece a
     production pipeline ships next to the pipeline itself (how much
     did dedup / decontamination / sampling / the quality gate each
-    cost?). Six tiny aggregates over the shared stage chain; the
-    persisted d2 prefix bounds recomputation, and each stage count is
-    one map-side partial aggregation."""
+    cost?). Six tiny aggregates over the shared stage chain, with
+    EVERY stage persisted (`persist_all_stages=True`): each count
+    branch reads its stage from cache, so the expensive interior
+    stages (decontaminate's shingle job above all) run exactly once
+    instead of once per downstream branch — the cache-audit test pins
+    the top-level plan to zero direct parquet scans. Each stage count
+    is one map-side partial aggregation."""
     d1, d2, d3, d4, d5 = _intake_stages(documents, jaccard_threshold,
-                                        min_quality)
+                                        min_quality,
+                                        persist_all_stages=True)
     stages = [("00_raw", documents), ("01_exact_dedup", d1),
               ("02_near_dup", d2), ("03_decontaminated", d3),
               ("04_sampled", d4), ("05_quality", d5)]

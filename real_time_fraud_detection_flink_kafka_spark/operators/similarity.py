@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
 from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
 
 N_QUERIES = 10
@@ -167,8 +168,8 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     # TWICE — persist() computes it once (rows are (id, tbl, bucket),
     # ~20 bytes; at cluster scale this is the persisted/written
     # signature table every LSH system maintains)
-    buckets = _with_hyperplanes(e).select("vec_id", F.posexplode(
-        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket")).persist()
+    buckets = tracked_persist(_with_hyperplanes(e).select("vec_id", F.posexplode(
+        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket")))
     return _lsh_candidates_verified(e, buckets, threshold)
 
 
@@ -243,7 +244,7 @@ def ann_lsh_fast(embeddings: DataFrame,
     buckets (see `lsh_signatures_arrow`), so it shares `ann_lsh`'s
     oracle; the verify stage is unchanged JVM-side expression code."""
     e = _vecs(spread(embeddings))
-    buckets = lsh_signatures_arrow(spread(embeddings)).persist()
+    buckets = tracked_persist(lsh_signatures_arrow(spread(embeddings)))
     return _lsh_candidates_verified(e, buckets, threshold)
 
 
@@ -476,6 +477,7 @@ def ann_ivf_learned(embeddings: DataFrame, k: int = TOP_K,
     as one declarative DAG. The centroid relation stays k rows, so it
     broadcasts exactly like the seeded one; assignment, probing and
     re-rank plans are unchanged. Oracle: the k-means CTE chain
-    composed with the IVF probe SQL (oracles_llm._ivf_sql)."""
+    composed with the IVF probe SQL (oracles_llm._ivf_tail, via
+    oracles_llm._ann_ivf_learned_oracle)."""
     return ann_ivf(embeddings, k=k, n_queries=n_queries, n_cells=n_cells,
                    nprobe=nprobe, centroids=kmeans_cells(embeddings, k=n_cells))

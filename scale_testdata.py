@@ -76,9 +76,14 @@ def _rotate_text(text_col, r: int):
     return F.when(n > 1, F.array_join(rotated, " ")).otherwise(text_col)
 
 
-def _rotate_vec(vec_col, r: int, dim: int = 64):
+def _rotate_vec(vec_col, r: int, dim: int | None = None):
     from pyspark.sql import functions as F
 
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import DIM
+
+    if dim is None:
+        dim = DIM  # track the engine's real dimensionality — a local
+        # default here would silently truncate if DIM ever changes
     if r == 0:
         return vec_col
     k = r % dim

@@ -214,12 +214,43 @@ def test_corpus_to_packs_consumers_hit_cache(spark, sf_dir):
     cache — the top-level physical plan contains ZERO direct parquet
     scans and ≥3 InMemoryTableScans. Without the persist each
     consumer re-derives the prefix from the documents scan."""
+    from real_time_fraud_detection_flink_kafka_spark.cache import release_caches
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import corpus_to_packs
 
+    # deterministic cache state (the funnel's persisted d4 from other
+    # tests would otherwise substitute into this plan and change the
+    # node counts)
+    release_caches()
+    spark.catalog.clearCache()
     df = corpus_to_packs(load_table(spark, sf_dir, "documents"))
     nodes = _physical_node_names(df)
     assert nodes.count("FileSourceScanExec") == 0, nodes
     assert nodes.count("InMemoryTableScanExec") >= 3
+
+
+def test_corpus_filter_funnel_stages_hit_cache(spark, sf_dir):
+    """The funnel persists EVERY interior stage (d2/d3/d4), so its six
+    count branches never re-derive the suffix — in particular
+    `decontaminate` (the 8-gram shingle job, the costliest stage) runs
+    exactly once instead of once per downstream branch. Pinned
+    top-level plan: exactly TWO direct parquet scans (the 00_raw count
+    and the cheap d1 window re-derivation — d1 is one shuffle, not
+    worth caching) and ≥4 InMemoryTableScans (d2, d3, d4 ×2: its own
+    count + the d5 quality branch)."""
+    from real_time_fraud_detection_flink_kafka_spark.cache import release_caches
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        corpus_filter_funnel,
+    )
+
+    # deterministic cache state: CacheManager substitutes ANY matching
+    # cached subplan, so leftovers from other tests would serve even
+    # the raw/d1 branches from cache and break the exact scan pin
+    release_caches()
+    spark.catalog.clearCache()
+    df = corpus_filter_funnel(load_table(spark, sf_dir, "documents"))
+    nodes = _physical_node_names(df)
+    assert nodes.count("FileSourceScanExec") == 2, nodes
+    assert nodes.count("InMemoryTableScanExec") >= 4, nodes
 
 
 def test_bpe_merges_rounds_hit_cache(spark, sf_dir):

@@ -104,6 +104,23 @@ def test_shingle_explode_not_pushed_below_exchange(spark, sf_dir):
     assert "concat_ws" not in below, "shingle expression sank below the exchange"
 
 
+def test_spread_ignores_shuffle_words_in_identifiers(spark, sf_dir):
+    """spread()'s shuffle detection walks logical-plan node CLASSES —
+    an attribute merely NAMED like a shuffle node ("JoinSortWindow")
+    must not suppress widening of a narrow single-file scan."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .withColumnRenamed("text", "JoinSortWindowAggregate"))
+    out = spread(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, "narrow scan was not widened"
+    # and the same frame grouped (a REAL shuffle node) is left alone
+    grouped = docs.groupBy("doc_id").count()
+    assert spread(grouped) is grouped
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     """At 100 TB the win on a selective fact⋈fact join is pruning the
     big side BEFORE the shuffle: Spark's runtime Bloom filter builds
@@ -212,6 +229,24 @@ def test_tpch_plan_goldens(spark, sf_dir, name):
         pushed = [l for l in plan.splitlines()
                   if "PushedFilters" in l and pushed_col in l]
         assert pushed, f"{name}: no pushed filter on {pushed_col}"
+
+
+def test_bigram_lm_unigram_join_broadcasts(spark, sf_dir):
+    """The LM probability join must broadcast the |V|-row unigram
+    relation (stopword-skewed key; streaming twin already broadcasts
+    it at streaming/corpus.py:96 — batch and stream must run the same
+    strategy). Auto-broadcast is disabled so the explicit hint, not
+    size estimation, is what's under test: the only SortMergeJoin
+    allowed is the bigram-count join (its build side can exceed
+    memory at 100 TB vocab scale)."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "bigram_lm_score")
+        assert plan.count("BroadcastHashJoin") >= 1, plan[:3000]
+        assert plan.count("SortMergeJoin") <= 1, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 def test_fraud_rules_single_pass(spark, sf_dir):
