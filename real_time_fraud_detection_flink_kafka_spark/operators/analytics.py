@@ -496,3 +496,122 @@ def cube_orders(orders: DataFrame) -> DataFrame:
                        fsum(F.col("o_totalprice")).alias("total_price"))
                   .select("gid", "o_orderstatus", "o_orderpriority",
                           "n_orders", "total_price"))
+
+
+# --- partsupp (synthesized) + Q9 --------------------------------------------
+
+PS_PER_PART = 4          # suppliers per part — the TPC-H partsupp shape
+PS_COST_MOD = 20_000     # supplycost = ((31p + 7s) % MOD)/100 + 1
+PS_QTY_MOD = 9_999       # availqty   = (13p + 17s) % MOD + 1
+Q9_NAME_FRAG = "rod"     # p_name LIKE '%rod%' — Q9's '%green%' analog
+
+
+def partsupp_synth(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic `partsupp` derived from part × supplier — the
+    testdata ships no partsupp table, so both engines SYNTHESIZE the
+    same relation from the same parquet inputs (the oracle replays
+    this derivation as a CTE; cf. TPC-H dbgen, which also generates
+    partsupp from the part/supplier key spaces by modular striding).
+
+    Per part, PS_PER_PART suppliers: suppkey = (p_partkey + i·stride)
+    mod n_supp + min_supp, stride = max(n_supp div 4, 1) — all
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit;
+    supplycost/availqty are seeded integer formulas (one IEEE
+    division for the cost, identical across engines). The supplier
+    key-space parameters ride as a 1-row broadcast; generation is a
+    row-local explode over the part scan — no shuffle, scales with
+    |part| exactly like dbgen's streams."""
+    ks = supplier.agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.min("s_suppkey").alias("min_supp"))
+    stride = F.greatest(F.floor(F.col("n_supp") / PS_PER_PART), F.lit(1))
+    rows = (part.select("p_partkey")
+            .crossJoin(F.broadcast(ks))
+            .select("p_partkey", "n_supp", "min_supp",
+                    F.explode(F.sequence(
+                        F.lit(0), F.lit(PS_PER_PART - 1))).alias("i")))
+    suppkey = ((F.col("p_partkey") + F.col("i") * stride) % F.col("n_supp")
+               + F.col("min_supp"))
+    return (rows.select(F.col("p_partkey").alias("ps_partkey"),
+                        suppkey.cast("long").alias("ps_suppkey"))
+            .select("ps_partkey", "ps_suppkey",
+                    (((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7)
+                      % PS_COST_MOD) / 100.0 + 1.0).alias("ps_supplycost"),
+                    ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17)
+                     % PS_QTY_MOD + 1).cast("int").alias("ps_availqty")))
+
+
+def q9_product_type_profit(part: DataFrame, supplier: DataFrame,
+                           lineitem: DataFrame, orders: DataFrame,
+                           nation: DataFrame,
+                           name_frag: str = Q9_NAME_FRAG) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts matching a name fragment — the five-fact-dim join with a
+    derived cost input. Join strategy for 100 TB: the name-filtered
+    part key set broadcasts into the lineitem scan FIRST (prunes ~90%
+    of the fact before anything wider); partsupp is joined on the
+    composite (partkey, suppkey) — synthesized here it is |part|×4
+    rows and broadcasts, while a real materialized partsupp would be
+    fact-sized and AQE would pick the shuffle side; supplier/nation
+    dims broadcast; the orders join (orderkey → orderdate) is the one
+    fact⋈fact sort-merge. Profit is a fixed-point sum (fsum), so
+    partial-agg order cannot change the result."""
+    p = part.where(F.col("p_name").contains(name_frag)).select("p_partkey")
+    ps = partsupp_synth(part, supplier)
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    o = orders.select("o_orderkey", "o_orderdate")
+    j = (lineitem
+         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(ps), (F.col("l_partkey") == F.col("ps_partkey"))
+               & (F.col("l_suppkey") == F.col("ps_suppkey")))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    amount = (j["l_extendedprice"] * (1 - j["l_discount"])
+              - j["ps_supplycost"] * j["l_quantity"])
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").cast("int").alias("o_year"))
+             .agg(fsum(amount).alias("sum_profit"))
+             .orderBy("nation", F.desc("o_year")))
+
+
+Q20_NATION = "NATION_3"
+Q20_FROM, Q20_TO = "1995-01-01", "1996-01-01"
+
+
+def q20_potential_part_promotion(part: DataFrame, supplier: DataFrame,
+                                 lineitem: DataFrame, nation: DataFrame,
+                                 name_frag: str = Q9_NAME_FRAG,
+                                 nation_name: str = Q20_NATION,
+                                 from_date: str = Q20_FROM,
+                                 to_date: str = Q20_TO) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock
+    of name-matched parts — availqty > half the year's shipped
+    quantity for that (part, supplier). The correlated subquery
+    becomes one aggregate-then-join: shipped quantities groupBy
+    (partkey, suppkey) with map-side partials, the filtered part keys
+    and the synthesized partsupp broadcast, the nation filter
+    broadcasts into the supplier dim. Quantity sums are integral in
+    TPC-H (l_quantity is a whole number), so the half-comparison uses
+    the fixed-point sum and stays engine-exact."""
+    p = part.where(F.col("p_name").contains(name_frag)).select("p_partkey")
+    ps = (partsupp_synth(part, supplier)
+          .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+          .drop("p_partkey"))
+    shipped = (lineitem
+               .where((F.col("l_shipdate") >= ntz(from_date))
+                      & (F.col("l_shipdate") < ntz(to_date)))
+               .join(F.broadcast(ps.select("ps_partkey", "ps_suppkey")),
+                     (F.col("l_partkey") == F.col("ps_partkey"))
+                     & (F.col("l_suppkey") == F.col("ps_suppkey")))
+               .groupBy("ps_partkey", "ps_suppkey")
+               .agg(fsum(F.col("l_quantity")).alias("qty_shipped")))
+    excess = (ps.join(shipped, ["ps_partkey", "ps_suppkey"])
+                .where(F.col("ps_availqty") > 0.5 * F.col("qty_shipped"))
+                .select("ps_suppkey").distinct())
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    return (supplier
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))

@@ -416,6 +416,68 @@ def ann_lsh_recall(embeddings: DataFrame,
          .alias("recall"))
 
 
+def ann_recall_compare(embeddings: DataFrame,
+                       threshold: float = COS_THRESHOLD,
+                       max_id: int = BRUTE_MAX_ID,
+                       n_cells: int = IVF_K) -> DataFrame:
+    """Candidate-generator recall COMPARISON per cosine band: banded
+    sign-LSH next to IVF same-cell blocking, both against the exact
+    cosine baseline on the same slice — `ann_lsh_recall` extended to
+    answer "which index for which threshold" with one measured,
+    oracle-checked relation instead of two separate claims. Sign-LSH
+    recall decays smoothly with cosine; IVF cell-blocking is
+    all-or-nothing per pair (same coarse cell or not), so its recall
+    profile is flatter but bounded by cell granularity — seeing both
+    per band is the index-selection table a production ANN deployment
+    keeps.
+
+    IVF `found` means the pair lands in the SAME nearest-centroid
+    cell (nprobe=1 blocking — the pair-mining analog of the IVF
+    probe; assignment reuses `ann_ivf`'s broadcast-centroid argmax
+    with identical tie-breaks). The assignment relation is ≤max_id
+    rows and broadcasts into the ground-truth pairs, so the only
+    quadratic work remains the baseline's own. Counts are integers
+    and recall one rounded division — value-exact."""
+    exact = dedup_embedding_cosine(embeddings, threshold, max_id)
+    sl = embeddings.where(F.col("vec_id") < max_id)
+    lsh = ann_lsh(sl, threshold).select("vec_a", "vec_b",
+                                        F.lit(1).alias("lsh_found"))
+    e = _vecs(sl)
+    cn = (e.where(F.col("vec_id") < n_cells)
+           .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+                   F.col("v_norm").alias("c_norm")))
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+    assigned = (e.join(F.broadcast(cn))
+                 .select("vec_id", F.col("cell"), cos_c.alias("cos_c"))
+                 .groupBy("vec_id")
+                 .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell")))
+    j = (exact
+         .join(lsh, ["vec_a", "vec_b"], "left")
+         .join(F.broadcast(assigned.select(F.col("vec_id").alias("vec_a"),
+                                           F.col("cell").alias("cell_a"))),
+               "vec_a")
+         .join(F.broadcast(assigned.select(F.col("vec_id").alias("vec_b"),
+                                           F.col("cell").alias("cell_b"))),
+               "vec_b"))
+    hi, mid, lo = RECALL_BAND_EDGES
+    band = (F.when(F.col("cos_sim") >= hi, "band_095_100")
+             .when(F.col("cos_sim") >= mid, "band_080_095")
+             .when(F.col("cos_sim") >= lo, "band_060_080")
+             .otherwise("band_thr_060"))
+    per = (j.groupBy(band.alias("cos_band"))
+            .agg(F.count(F.lit(1)).alias("n_true"),
+                 F.sum(F.coalesce("lsh_found", F.lit(0))).alias("lsh_f"),
+                 F.sum((F.col("cell_a") == F.col("cell_b")).cast("long"))
+                  .alias("ivf_f")))
+    return (per.select(
+                "cos_band", "n_true",
+                F.expr("stack(2, 'lsh', lsh_f, 'ivf_cell', ivf_f)"
+                       " as (generator, n_found)"))
+            .select("generator", "cos_band", "n_true", "n_found",
+                    F.round(F.col("n_found").cast("double") / F.col("n_true"),
+                            6).alias("recall")))
+
+
 KM_K = 8       # learned-centroid count (per-cell relation feeds ann_ivf)
 KM_ITERS = 2   # Lloyd iterations (driver loop, each fully declarative)
 

@@ -31,11 +31,37 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q14_TO,
     Q18_MIN_QTY,
     Q19_BRANDS,
+    Q20_FROM,
+    Q20_NATION,
+    Q20_TO,
     PCTS,
+    PS_COST_MOD,
+    PS_PER_PART,
+    PS_QTY_MOD,
+    Q9_NAME_FRAG,
     SCALE,
     SESSION_GAP_US,
     WINDOW_US,
 )
+
+# partsupp synthesized from part × supplier exactly as
+# operators/analytics.partsupp_synth does it (integer modular
+# striding + seeded cost/qty formulas — bit-identical across engines)
+_PARTSUPP_CTES = f"""ks AS (
+  SELECT count(*) AS n_supp, min(s_suppkey) AS min_supp FROM supplier
+), ps AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey + t.i * greatest(n_supp // {PS_PER_PART}, 1))
+              % n_supp + min_supp AS BIGINT) AS ps_suppkey
+  FROM part, ks, range({PS_PER_PART}) t(i)
+), partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey * 31 + ps_suppkey * 7) % {PS_COST_MOD}) / 100.0 + 1.0
+           AS ps_supplycost,
+         CAST((ps_partkey * 13 + ps_suppkey * 17) % {PS_QTY_MOD} + 1
+              AS INTEGER) AS ps_availqty
+  FROM ps
+)"""
 
 
 def _fsum(expr: str) -> str:
@@ -291,4 +317,40 @@ GROUP BY 1 ORDER BY 1""",
 SELECT strftime(ts, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY 1""",
+        "q9_product_type_profit": f"""
+WITH {_PARTSUPP_CTES}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_fsum('l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity')}
+         AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{Q9_NAME_FRAG}%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+        "q20_potential_part_promotion": f"""
+WITH {_PARTSUPP_CTES},
+psf AS (
+  SELECT partsupp.* FROM partsupp
+  JOIN part ON ps_partkey = p_partkey
+  WHERE p_name LIKE '%{Q9_NAME_FRAG}%'
+), shipped AS (
+  SELECT ps_partkey, ps_suppkey, {_fsum('l_quantity')} AS qty_shipped
+  FROM lineitem JOIN psf ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE l_shipdate >= TIMESTAMP '{Q20_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q20_TO}'
+  GROUP BY 1, 2
+), excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM psf JOIN shipped USING (ps_partkey, ps_suppkey)
+  WHERE ps_availqty > 0.5 * qty_shipped
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN excess ON s_suppkey = ps_suppkey
+WHERE n_name = '{Q20_NATION}'
+ORDER BY s_suppkey""",
     }

@@ -544,6 +544,55 @@ WITH e AS (
 SELECT cos_band, count(*) AS n_true, sum(found) AS n_found,
        round(CAST(sum(found) AS DOUBLE) / count(*), 6) AS recall
 FROM j GROUP BY 1""",
+        # LSH vs IVF same-cell blocking, both against the exact
+        # baseline — mirrors similarity.ann_recall_compare (assignment
+        # ordering identical to _ivf_tail's arn=1)
+        "ann_recall_compare": f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}
+), buck AS (
+{bucket_union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), lsh AS (
+  SELECT vec_a, vec_b, 1 AS lsh_found
+  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+  WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}
+), ac AS (
+  SELECT e.vec_id, cell,
+         row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+), assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+exact AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {COS_THRESHOLD!r}
+), j AS (
+  SELECT CASE WHEN cos_sim >= {RECALL_BAND_EDGES[0]!r} THEN 'band_095_100'
+              WHEN cos_sim >= {RECALL_BAND_EDGES[1]!r} THEN 'band_080_095'
+              WHEN cos_sim >= {RECALL_BAND_EDGES[2]!r} THEN 'band_060_080'
+              ELSE 'band_thr_060' END AS cos_band,
+         coalesce(lsh_found, 0) AS lsh_found,
+         CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS ivf_found
+  FROM exact LEFT JOIN lsh USING (vec_a, vec_b)
+  JOIN assigned aa ON aa.vec_id = vec_a
+  JOIN assigned ab ON ab.vec_id = vec_b
+), g AS (
+  SELECT cos_band, count(*) AS n_true,
+         sum(lsh_found) AS lsh_f, sum(ivf_found) AS ivf_f
+  FROM j GROUP BY 1
+)
+SELECT 'lsh' AS generator, cos_band, n_true, lsh_f AS n_found,
+       round(CAST(lsh_f AS DOUBLE) / n_true, 6) AS recall FROM g
+UNION ALL
+SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
+       round(CAST(ivf_f AS DOUBLE) / n_true, 6) AS recall FROM g""",
     }
 
 

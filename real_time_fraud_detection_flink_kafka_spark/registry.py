@@ -116,6 +116,13 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_window_counts": lambda s, d: _batch_session_windows(s, d),
     "event_value_percentiles": lambda s, d: analytics.event_value_percentiles(
         load_table(s, d, "events")),
+    "q9_product_type_profit": lambda s, d: analytics.q9_product_type_profit(
+        load_table(s, d, "part"), load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+        load_table(s, d, "nation")),
+    "q20_potential_part_promotion": lambda s, d: analytics.q20_potential_part_promotion(
+        load_table(s, d, "part"), load_table(s, d, "supplier"),
+        load_table(s, d, "lineitem"), load_table(s, d, "nation")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
@@ -144,6 +151,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": lambda s, d: similarity.ann_ivf(load_table(s, d, "embeddings")),
     "ann_ivf_learned": lambda s, d: similarity.ann_ivf_learned(load_table(s, d, "embeddings")),
     "ann_lsh_recall": lambda s, d: similarity.ann_lsh_recall(load_table(s, d, "embeddings")),
+    "ann_recall_compare": lambda s, d: similarity.ann_recall_compare(load_table(s, d, "embeddings")),
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
@@ -318,6 +326,22 @@ def _stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min()-based streaming dedup aggregation is arrival-order-free, so
 # the drained state equals batch dedup_exact — same oracle
 register("stream_dedup_corpus", _stream_corpus_dedup,
+         _LLM_ORACLES["dedup_exact"])
+
+
+def _stream_corpus_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_corpus_dedup_stream_update,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_corpus_dedup_stream_update(
+        spark, sf_dir, query_name=f"corpus_dedup_upd_{_STREAM_COUNTER['n']}")
+
+
+# update-mode drain + upsert compaction reduces to the same final
+# state (monotone aggregates) — same oracle as the complete-mode twin
+register("stream_dedup_corpus_update", _stream_corpus_dedup_update,
          _LLM_ORACLES["dedup_exact"])
 
 

@@ -32,6 +32,24 @@ def run_corpus_quality_stream(spark, sf_dir: str,
     return spark.table(query_name)
 
 
+def _documents_stream(spark, sf_dir: str):
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def _dedup_agg(stream: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (stream.groupBy(F.md5("text").alias("text_md5"))
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("canonical_doc_id", "n_copies", "text_md5"))
+
+
 def run_corpus_dedup_stream(spark, sf_dir: str,
                             query_name: str = "corpus_dedup_stream") -> DataFrame:
     """Incremental exact dedup over the corpus stream: a streaming
@@ -39,25 +57,60 @@ def run_corpus_dedup_stream(spark, sf_dir: str,
     count. An AGGREGATION, not dropDuplicates — dropDuplicates keeps
     the first-ARRIVING row, which races across partitions; min() is
     order-free, so the drained state equals the batch `dedup_exact`
-    exactly and shares its oracle. Complete mode emits the final
-    state table."""
-    from pyspark.sql import functions as F
+    exactly and shares its oracle.
 
+    SCALE CONTRACT — bounded drain only: complete mode re-emits the
+    ENTIRE state table every trigger and keeps every key in state
+    forever. That is exactly right for this harness shape (drain a
+    bounded corpus, compare the final table to the batch oracle) and
+    exactly wrong for a genuinely continuous 100 TB intake, where the
+    per-trigger output volume alone is a scale-killer — use the
+    update-mode twin (`run_corpus_dedup_stream_update`) with an
+    upsert sink for that, and bound state with TTL/periodic
+    compaction (documents carry no event time, so watermark eviction
+    does not apply). The batch `dedup_exact` remains the production
+    path for full-corpus dedup."""
     ensure_session_confs(spark)
-    import os
-
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "documents.parquet")
-              .parquet(sf_dir))
-    out = (stream.groupBy(F.md5("text").alias("text_md5"))
-           .agg(F.min("doc_id").alias("canonical_doc_id"),
-                F.count(F.lit(1)).alias("n_copies"))
-           .select("canonical_doc_id", "n_copies", "text_md5"))
+    out = _dedup_agg(_documents_stream(spark, sf_dir))
     q = (out.writeStream.format("memory").queryName(query_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_corpus_dedup_stream_update(spark, sf_dir: str,
+                                   query_name: str = "corpus_dedup_update",
+                                   progress_out: list | None = None) -> DataFrame:
+    """UPDATE-mode twin of `run_corpus_dedup_stream` — the continuous-
+    intake shape: each trigger emits ONLY the keys whose state changed
+    (complete mode re-emits the whole state table, output volume
+    O(all keys) per trigger; update mode is O(changed keys)). Update
+    mode pairs with an idempotent upsert sink in production; the
+    memory-sink drain applies the same upsert compaction batch-side —
+    latest emission per key, expressed as min/max since both
+    aggregates are MONOTONE (canonical id only falls, copy count only
+    rises), so multi-batch drains reduce to the final state and the
+    result stays equal to batch `dedup_exact` (same shared oracle).
+
+    State is still one row per distinct text hash — `progress_out`
+    (appended with the final StreamingQueryProgress) lets tests pin
+    numRowsTotal to exactly that bound; a continuous deployment
+    bounds it further with state TTL or periodic compaction, since
+    no event time exists to watermark on."""
+    from pyspark.sql import functions as F
+
+    ensure_session_confs(spark)
+    out = _dedup_agg(_documents_stream(spark, sf_dir))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.append(q.lastProgress)
+    return (spark.table(query_name)
+            .groupBy("text_md5")
+            .agg(F.min("canonical_doc_id").alias("canonical_doc_id"),
+                 F.max("n_copies").alias("n_copies"))
+            .select("canonical_doc_id", "n_copies", "text_md5"))
 
 
 def run_lm_score_stream(spark, sf_dir: str,
@@ -71,7 +124,16 @@ def run_lm_score_stream(spark, sf_dir: str,
     Per-doc aggregation is a stateful streaming agg (complete mode) —
     fixed-point integer sums make the drained state arrival-order
     free, so it equals the batch `bigram_lm_score` exactly and shares
-    its oracle."""
+    its oracle.
+
+    SCALE CONTRACT — bounded drain only: complete mode re-emits all
+    per-doc state every trigger and retains it forever; right for
+    this harness (drain a bounded corpus, compare final state),
+    wrong for continuous 100 TB intake. The continuous shape is the
+    update-mode + upsert-sink pattern (`run_corpus_dedup_stream_update`
+    demonstrates it on the dedup agg; the per-doc sums here are
+    monotone the same way) with TTL-bounded state; the batch scorer
+    stays the production path for full-corpus scoring."""
     from pyspark.sql import functions as F
 
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (

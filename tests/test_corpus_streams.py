@@ -1,0 +1,41 @@
+"""Streaming corpus twins: update-mode drain semantics and the state
+bound the scale-contract docstrings promise (streaming/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+    run_corpus_dedup_stream_update,
+)
+
+
+def test_update_mode_dedup_equals_batch_and_bounds_state(spark, sf_dir):
+    """The update-mode drain (after upsert compaction) must equal the
+    batch exact-dedup relation, and the streaming state must hold
+    EXACTLY one row per distinct text hash — the documented bound
+    (complete and update mode share state size; update mode fixes the
+    per-trigger OUTPUT volume, TTL/compaction would bound state in a
+    continuous deployment)."""
+    progress: list = []
+    out = run_corpus_dedup_stream_update(spark, sf_dir,
+                                         query_name="corpus_dedup_upd_test",
+                                         progress_out=progress)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = (docs.groupBy(F.md5("text").alias("text_md5"))
+             .agg(F.min("doc_id").alias("canonical_doc_id"),
+                  F.count(F.lit(1)).alias("n_copies")))
+    n_distinct = batch.count()
+
+    got = {r["text_md5"]: (r["canonical_doc_id"], r["n_copies"])
+           for r in out.collect()}
+    want = {r["text_md5"]: (r["canonical_doc_id"], r["n_copies"])
+            for r in batch.collect()}
+    assert got == want
+
+    assert progress, "no final progress captured"
+    state_rows = progress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert state_rows == n_distinct, (
+        f"state holds {state_rows} rows, expected one per distinct "
+        f"text hash ({n_distinct})")

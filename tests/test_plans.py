@@ -213,6 +213,10 @@ TPCH_PLAN_GOLDENS = {
     "q18_large_orders": (0, 2, None),
     "q19_discounted_revenue": (0, 1, "l_quantity"),
     "q22_sales_opportunity": (1, 1, "c_acctbal"),
+    # the orders join is the one permitted fact⋈fact SMJ; filtered
+    # part keys + synthesized partsupp + dims all broadcast
+    "q9_product_type_profit": (1, 4, "p_name"),
+    "q20_potential_part_promotion": (1, 3, "p_name"),
 }
 
 
