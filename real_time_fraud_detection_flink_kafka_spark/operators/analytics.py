@@ -615,3 +615,219 @@ def q20_potential_part_promotion(part: DataFrame, supplier: DataFrame,
             .join(F.broadcast(excess), F.col("s_suppkey") == F.col("ps_suppkey"))
             .select("s_suppkey", "s_name")
             .orderBy("s_suppkey"))
+
+# --- Q11/Q12/Q15/Q16/Q17/Q21 — the rest of the TPC-H 22 ---------------------
+
+Q11_NATION = "NATION_1"
+Q11_MULT = 1.3  # threshold = MULT × mean per-part stock value (scale-free)
+
+
+def q11_important_stock(part: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        nation_name: str = Q11_NATION,
+                        mult: float = Q11_MULT) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation,
+    keeping parts whose value exceeds a global threshold. TPC-H's
+    `fraction/SF` cutoff is a scale normalization; here the threshold
+    is MULT × the mean per-part value — scale-free by construction,
+    so the selectivity is stable from sf0.001 to 100 TB. The scalar
+    subquery becomes a 1-row aggregate broadcast (crossJoin of a
+    single row, not a shuffle); the nation-filtered supplier keys
+    broadcast into the synthesized partsupp. One shuffle total: the
+    groupBy on ps_partkey."""
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = (supplier.join(F.broadcast(n),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    ps = (partsupp_synth(part, supplier)
+          .join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey")))
+    per_part = (ps.groupBy("ps_partkey")
+                  .agg(fsum(F.col("ps_supplycost") * F.col("ps_availqty"))
+                       .alias("value")))
+    thresh = per_part.agg(
+        (F.avg("value") * F.lit(mult)).alias("threshold"))
+    return (per_part.crossJoin(F.broadcast(thresh))
+            .where(F.col("value") > F.col("threshold"))
+            .select("ps_partkey", "value")
+            .orderBy(F.desc("value"), "ps_partkey"))
+
+
+Q12_MODES = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL"]
+Q12_PICKED = ["MAIL", "SHIP"]
+Q12_FROM, Q12_TO = "1996-01-01", "1997-01-01"
+Q12_LATE_DAYS = 60
+Q12_HIGH = ["1-URGENT", "2-HIGH"]
+
+
+def shipmode_synth(lineitem: DataFrame) -> Column:
+    """Deterministic `l_shipmode` (the testdata ships none): mode =
+    MODES[(7·orderkey + linenumber) mod 5] — pure integer arithmetic,
+    replayed identically by the oracle, row-local, no shuffle."""
+    idx = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % len(Q12_MODES)
+    return F.element_at(F.array(*[F.lit(m) for m in Q12_MODES]),
+                        (idx + 1).cast("int"))
+
+
+def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame,
+                          from_date: str = Q12_FROM,
+                          to_date: str = Q12_TO) -> DataFrame:
+    """TPC-H Q12 shape: late-line counts split by order priority per
+    ship mode. `l_shipdate > o_orderdate + 60 days` stands in for the
+    reference's receipt-after-commit lag (same adaptation as Q4/Q21);
+    the shipdate year-window pushes into the parquet scan. The
+    orders join carries only (orderkey, priority, orderdate); the
+    groupBy key is 2 modes wide, so the final agg is a near-free
+    shuffle after map-side partials."""
+    li = (lineitem
+          .where((F.col("l_shipdate") >= ntz(from_date))
+                 & (F.col("l_shipdate") < ntz(to_date)))
+          .withColumn("ship_mode", shipmode_synth(lineitem))
+          .where(F.col("ship_mode").isin(Q12_PICKED)))
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .where(F.col("l_shipdate")
+                  > F.col("o_orderdate")
+                  + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")))
+    high = F.col("o_orderpriority").isin(Q12_HIGH)
+    return (j.groupBy("ship_mode")
+             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                  F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+             .orderBy("ship_mode"))
+
+
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame,
+                     from_date: str = Q15_FROM,
+                     to_date: str = Q15_TO) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarter revenue.
+    The revenue view is one groupBy(l_suppkey) with map-side partials;
+    the MAX scalar subquery is a 1-row aggregate broadcast and the
+    equality filter is exact because revenue is a fixed-point sum
+    (`fsum`) — double-sum drift would make `= max` flaky across
+    partitionings, the classic Q15 pitfall."""
+    rev = (lineitem
+           .where((F.col("l_shipdate") >= ntz(from_date))
+                  & (F.col("l_shipdate") < ntz(to_date)))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(supplier),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+Q16_BRAND_EX = "Brand#45"
+Q16_TYPE_EX = "MEDIUM"
+Q16_SIZES = [1, 4, 9, 14, 19, 23, 36, 45]
+Q16_COMPLAINT_MOD = 7  # suppkey % 7 == 0 → 'complaints' analog
+
+
+def q16_parts_supplier_relationship(part: DataFrame,
+                                    supplier: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) over partsupp, excluding one brand, one type prefix, and
+    'complaint' suppliers. The slim supplier table has no s_comment,
+    so the complaint set is a deterministic key predicate
+    (suppkey % 7 == 0) — an anti-join against a broadcast of that
+    set, same plan shape as the reference's NOT IN. count(DISTINCT)
+    runs as Spark's two-phase distinct-aggregate: partial distinct on
+    (group key, suppkey), then the final count — no row ever carries
+    a set."""
+    p = (part.where((F.col("p_brand") != Q16_BRAND_EX)
+                    & (~F.col("p_type").startswith(Q16_TYPE_EX))
+                    & (F.col("p_size").isin(Q16_SIZES)))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (supplier.where(F.col("s_suppkey") % Q16_COMPLAINT_MOD == 0)
+           .select("s_suppkey"))
+    ps = (partsupp_synth(part, supplier)
+          .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+          .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey")))
+    return (ps.groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct(F.col("ps_suppkey"))
+                   .alias("supplier_cnt"))
+              .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+Q17_BRAND = "Brand#23"
+Q17_QTY_FRACTION = 0.2
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame,
+                               part: DataFrame,
+                               brand: str = Q17_BRAND) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts (brand stands in for brand+container — the slim
+    part table has no p_container). The correlated per-part AVG
+    decorrelates to one aggregate-then-join: per-part mean quantity
+    (fixed-point sum / count — bit-identical across engines) is a
+    |brand parts|-row relation that BROADCASTS back onto the same
+    filtered join, so the fact side is scanned twice but shuffled
+    zero times."""
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(p),
+                       F.col("l_partkey") == F.col("p_partkey"))
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg((fsum(F.col("l_quantity")) / F.count(F.lit(1)))
+                       .alias("avg_qty")))
+    return (li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+              .where(F.col("l_quantity")
+                     < F.lit(Q17_QTY_FRACTION) * F.col("avg_qty"))
+              .agg((fsum(F.col("l_extendedprice")) / 7.0)
+                   .alias("avg_yearly")))
+
+
+Q21_NATION = "NATION_1"
+Q21_LATE_DAYS = 30
+
+
+def q21_suppliers_kept_waiting(supplier: DataFrame, lineitem: DataFrame,
+                               orders: DataFrame, nation: DataFrame,
+                               nation_name: str = Q21_NATION,
+                               k: int = 100) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. Lateness is `l_shipdate >
+    o_orderdate + 30 days` (commit/receipt-lag adaptation, as Q4/Q12).
+    The EXISTS / NOT EXISTS pair decorrelates to ONE pass over the
+    order's lineitems: per orderkey count distinct suppliers, distinct
+    late suppliers, the (unique-when-count=1) late supplier, and that
+    supplier's late-row count — then filter n_supp ≥ 2 ∧ n_late = 1.
+    Instead of three self-joins of the fact (the naive plan), the
+    fact shuffles once on orderkey; numwait sums late rows exactly as
+    the reference counts qualifying l1 rows."""
+    o = (orders.where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .withColumn("is_late",
+                       F.col("l_shipdate")
+                       > F.col("o_orderdate")
+                       + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")))
+    per_order = (j.groupBy("o_orderkey")
+                 .agg(F.count_distinct("l_suppkey").alias("n_supp"),
+                      F.count_distinct(F.when(F.col("is_late"),
+                                              F.col("l_suppkey")))
+                       .alias("n_late_supp"),
+                      F.max(F.when(F.col("is_late"), F.col("l_suppkey")))
+                       .alias("late_supp"),
+                      F.count(F.when(F.col("is_late"), 1))
+                       .alias("late_rows")))
+    qualifying = per_order.where((F.col("n_supp") >= 2)
+                                 & (F.col("n_late_supp") == 1))
+    n = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+    s = (supplier.join(F.broadcast(n),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "s_name"))
+    return (qualifying
+            .groupBy("late_supp")
+            .agg(F.sum("late_rows").alias("numwait"))
+            .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+            .select("s_name", "numwait")
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(k))

@@ -26,6 +26,24 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q8_TO,
     Q10_FROM,
     Q10_TO,
+    Q11_MULT,
+    Q11_NATION,
+    Q12_FROM,
+    Q12_HIGH,
+    Q12_LATE_DAYS,
+    Q12_MODES,
+    Q12_PICKED,
+    Q12_TO,
+    Q15_FROM,
+    Q15_TO,
+    Q16_BRAND_EX,
+    Q16_COMPLAINT_MOD,
+    Q16_SIZES,
+    Q16_TYPE_EX,
+    Q17_BRAND,
+    Q17_QTY_FRACTION,
+    Q21_LATE_DAYS,
+    Q21_NATION,
     Q13_EXCLUDED_PRIORITY,
     Q14_FROM,
     Q14_TO,
@@ -62,6 +80,15 @@ _PARTSUPP_CTES = f"""ks AS (
               AS INTEGER) AS ps_availqty
   FROM ps
 )"""
+
+
+# Deterministic synthesized l_shipmode — replays
+# operators/analytics.shipmode_synth's integer arithmetic in SQL.
+_SHIPMODE_CASE = (
+    f"(CASE CAST((l_orderkey * 7 + l_linenumber) % {len(Q12_MODES)} AS INTEGER) "
+    + " ".join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(Q12_MODES))
+    + " END)"
+)
 
 
 def _fsum(expr: str) -> str:
@@ -353,4 +380,90 @@ JOIN nation ON n_nationkey = s_nationkey
 JOIN excess ON s_suppkey = ps_suppkey
 WHERE n_name = '{Q20_NATION}'
 ORDER BY s_suppkey""",
+        "q11_important_stock": f"""
+WITH {_PARTSUPP_CTES},
+per_part AS (
+  SELECT ps_partkey, {_fsum('ps_supplycost * ps_availqty')} AS value
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY 1
+)
+SELECT ps_partkey, value
+FROM per_part
+WHERE value > (SELECT {_favg('value')} * {Q11_MULT!r} FROM per_part)
+ORDER BY value DESC, ps_partkey""",
+        "q12_shipmode_priority": f"""
+SELECT {_SHIPMODE_CASE} AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN {tuple(Q12_HIGH)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN {tuple(Q12_HIGH)}
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q12_TO}'
+  AND {_SHIPMODE_CASE} IN {tuple(Q12_PICKED)}
+  AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1 ORDER BY 1""",
+        "q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {_fsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey""",
+        "q16_parts_supplier_relationship": f"""
+WITH {_PARTSUPP_CTES}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND_EX}'
+  AND p_type NOT LIKE '{Q16_TYPE_EX}%'
+  AND p_size IN {tuple(Q16_SIZES)}
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_suppkey % {Q16_COMPLAINT_MOD} = 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "q17_small_quantity_revenue": f"""
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+), per_part AS (
+  SELECT l_partkey AS pk, {_favg('l_quantity')} AS avg_qty
+  FROM li GROUP BY 1
+)
+SELECT ({_fsum('l_extendedprice')} / 7.0) AS avg_yearly
+FROM li JOIN per_part ON l_partkey = pk
+WHERE l_quantity < {Q17_QTY_FRACTION!r} * avg_qty""",
+        "q21_suppliers_kept_waiting": f"""
+WITH j AS (
+  SELECT o_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT o_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp,
+         max(CASE WHEN is_late THEN l_suppkey END) AS late_supp,
+         count(CASE WHEN is_late THEN 1 END) AS late_rows
+  FROM j GROUP BY 1
+)
+SELECT s_name, CAST(sum(late_rows) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE n_supp >= 2 AND n_late_supp = 1 AND n_name = '{Q21_NATION}'
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 100""",
     }

@@ -123,6 +123,20 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_potential_part_promotion": lambda s, d: analytics.q20_potential_part_promotion(
         load_table(s, d, "part"), load_table(s, d, "supplier"),
         load_table(s, d, "lineitem"), load_table(s, d, "nation")),
+    "q11_important_stock": lambda s, d: analytics.q11_important_stock(
+        load_table(s, d, "part"), load_table(s, d, "supplier"),
+        load_table(s, d, "nation")),
+    "q12_shipmode_priority": lambda s, d: analytics.q12_shipmode_priority(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+    "q15_top_supplier": lambda s, d: analytics.q15_top_supplier(
+        load_table(s, d, "supplier"), load_table(s, d, "lineitem")),
+    "q16_parts_supplier_relationship": lambda s, d: analytics.q16_parts_supplier_relationship(
+        load_table(s, d, "part"), load_table(s, d, "supplier")),
+    "q17_small_quantity_revenue": lambda s, d: analytics.q17_small_quantity_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")),
+    "q21_suppliers_kept_waiting": lambda s, d: analytics.q21_suppliers_kept_waiting(
+        load_table(s, d, "supplier"), load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"), load_table(s, d, "nation")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])

@@ -217,6 +217,16 @@ TPCH_PLAN_GOLDENS = {
     # part keys + synthesized partsupp + dims all broadcast
     "q9_product_type_profit": (1, 4, "p_name"),
     "q20_potential_part_promotion": (1, 3, "p_name"),
+    # Q11/Q15/Q16/Q17: every join side is either a dim, a filtered
+    # key set, or a 1-row scalar — all broadcast, zero SMJs at any
+    # scale. Q12/Q21 carry the one fact⋈fact orders join (BHJ at
+    # test scale, the permitted SMJ at 100 TB).
+    "q11_important_stock": (0, 2, "n_name"),
+    "q12_shipmode_priority": (1, 1, "l_shipdate"),
+    "q15_top_supplier": (0, 2, "l_shipdate"),
+    "q16_parts_supplier_relationship": (0, 2, "p_brand"),
+    "q17_small_quantity_revenue": (0, 2, "p_brand"),
+    "q21_suppliers_kept_waiting": (1, 2, "o_orderstatus"),
 }
 
 
