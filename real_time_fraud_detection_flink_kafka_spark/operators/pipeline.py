@@ -598,3 +598,58 @@ def corpus_filter_funnel(documents: DataFrame,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# --- target-mix rebalancing ---------------------------------------------------
+
+# target blend weights in ppm (sum ≤ 1e6); sources absent from the
+# dict are excluded from the blend
+MIX_TARGET_PPM: dict[str, int] = {
+    "src0": 400_000, "src1": 300_000, "src2": 200_000, "src3": 100_000,
+}
+
+
+def mix_rebalance(documents: DataFrame,
+                  target_ppm: dict[str, int] | None = None) -> DataFrame:
+    """Domain-mixing downsampler: given TARGET blend shares, derive
+    per-source keep rates from the data and hash-gate documents to
+    hit the blend — the step between `source_mix` (measure the
+    composition) and training (consume the blend).
+
+    The max feasible blend size is N* = min_s(tokens_s / w_s) (the
+    binding source is kept whole); every other source keeps
+    rate_s = w_s · N* / tokens_s of its tokens. Rates are derived in
+    ONE tiny aggregation (|sources| rows, broadcast back), the keep
+    decision is the same deterministic md5 gate as
+    `stratified_sample` — row-local, reproducible across engines,
+    retries and partitionings; all rate arithmetic is
+    identical-ordered IEEE doubles from exact integer token counts,
+    so the oracle replays it bit-for-bit.
+
+    Scale shape: one groupBy(source) with map-side partials over
+    row-local token counts, a 1-row global min, then a broadcast
+    join back onto the scan — the corpus itself never shuffles."""
+    target_ppm = MIX_TARGET_PPM if target_ppm is None else target_ppm
+    w = F.lit(None).cast("double")
+    for src, ppm in target_ppm.items():
+        w = F.when(F.col("source") == src,
+                   F.lit(ppm) / F.lit(1_000_000.0)).otherwise(w)
+    per_src = (documents
+               .select("source", F.size(_words(F.col("text"))).alias("nt"))
+               .groupBy("source")
+               .agg(F.sum("nt").alias("tokens_s"))
+               .withColumn("w", w)
+               .where(F.col("w").isNotNull()))
+    nstar = per_src.agg(F.min(F.col("tokens_s") / F.col("w")).alias("nstar"))
+    rates = (per_src.crossJoin(F.broadcast(nstar))
+             .select("source",
+                     F.least(F.lit(1.0),
+                             F.col("w") * F.col("nstar") / F.col("tokens_s"))
+                      .alias("rate")))
+    bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")),
+                    F.lit(SAMPLE_MOD))
+    return (documents.join(F.broadcast(rates), "source")
+            .where(bucket < F.floor(F.col("rate") * SAMPLE_MOD))
+            .select("doc_id", "source",
+                    F.floor(F.col("rate") * SAMPLE_MOD)
+                     .cast("int").alias("rate_bp")))

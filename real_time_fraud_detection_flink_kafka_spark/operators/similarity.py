@@ -543,3 +543,47 @@ def ann_ivf_learned(embeddings: DataFrame, k: int = TOP_K,
     oracles_llm._ann_ivf_learned_oracle)."""
     return ann_ivf(embeddings, k=k, n_queries=n_queries, n_cells=n_cells,
                    nprobe=nprobe, centroids=kmeans_cells(embeddings, k=n_cells))
+
+
+def dedup_embedding_blocked(embeddings: DataFrame,
+                            threshold: float = COS_THRESHOLD,
+                            n_cells: int = IVF_K) -> DataFrame:
+    """Cell-blocked semantic near-dup pairs — the SCALE path next to
+    the quadratic `dedup_embedding_cosine` baseline (SemDeDup-style:
+    coarse-quantize, then compare only within a cell).
+
+    Scale shape: assignment is broadcast(centroids) × ONE corpus scan
+    with a map-side `max_by` argmax (one shuffled row per vector,
+    identical to `ann_ivf`'s assignment); the pair join is a
+    self-join ON the cell key, so the shuffle is keyed by cell and
+    candidate count is bounded by Σ|cell|² / corpus — never the
+    global n². Misses cross-cell pairs by construction; that recall
+    trade is measured honestly by `ann_recall_compare`'s IVF rows.
+    Runs the FULL table (no slice bound) precisely because the
+    blocking keeps it sub-quadratic.
+
+    Centroids are the seeded first-`n_cells` vectors (deterministic,
+    oracle-replayable); swap in `kmeans_cells` for learned cells —
+    the plan is unchanged, exactly as `ann_ivf_learned` does."""
+    e = _vecs(embeddings)
+    cents = e.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"))
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+    assigned = (e.join(F.broadcast(cents))
+                 .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
+                 .groupBy("vec_id")
+                 .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
+                      F.first("v").alias("v"),
+                      F.first("v_norm").alias("v_norm")))
+    a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    pairs = a.join(b, "cell").where(F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (pairs.select("cell", "vec_a", "vec_b", cos.alias("cos_raw"))
+                 .where(F.col("cos_raw") >= threshold)
+                 .select("vec_a", "vec_b",
+                         F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                         F.col("cell").cast("long").alias("cell")))

@@ -134,3 +134,56 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.col("lang").alias("lang_declared"),
         best_lang.alias("lang_pred"), best_score.alias("tri_hits"))
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Alternation-free, lookaround-free patterns: Java regex (Spark,
+# backtracking leftmost-first) and RE2 (DuckDB, leftmost-longest)
+# agree on these because greedy character-class quantifiers have a
+# unique maximal match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+PII_INJECT_MOD = 3  # doc_id % 3 != 0 gets synthetic PII appended
+
+
+def _inject_pii(doc_id, text):
+    """Deterministic synthetic-PII injection (the corpus ships none):
+    docs with doc_id % 3 != 0 get an email, an IPv4, and a phone
+    appended — pure integer/concat arithmetic, replayed identically
+    by the oracle, so the scrub below is exercised on real match
+    positions instead of vacuously passing on clean text."""
+    tail = F.concat(
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@example.com from 10."), (doc_id % 256).cast("string"),
+        F.lit("."), ((doc_id * 7) % 256).cast("string"),
+        F.lit("."), ((doc_id * 13) % 256).cast("string"),
+        F.lit(" call +1-555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"))
+    return F.when(doc_id % PII_INJECT_MOD != 0, F.concat(text, tail)).otherwise(text)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII redaction over the corpus — the compliance pass every
+    training-data pipeline runs before anything else sees the text:
+    emails, IPv4s, and phone numbers replaced by typed placeholder
+    tags, with per-doc match counts and a digest of the scrubbed
+    text (the full body never leaves the executor).
+
+    Scale shape: entirely row-local regexp expressions inside
+    whole-stage codegen — zero shuffles, zero UDFs; at 100 TB this is
+    a pure map over the scan, and the md5 digest keeps the output row
+    ~50 bytes regardless of document size."""
+    did = F.col("doc_id")
+    t = _inject_pii(did, F.col("text"))
+    n_em = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    scrub1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(scrub1, F.lit(PII_IPV4), 0))
+    scrub2 = F.regexp_replace(scrub1, PII_IPV4, "<IP>")
+    n_ph = F.size(F.regexp_extract_all(scrub2, F.lit(PII_PHONE), 0))
+    scrub3 = F.regexp_replace(scrub2, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_em.alias("n_emails"), n_ip.alias("n_ips"), n_ph.alias("n_phones"),
+        F.md5(scrub3).alias("scrubbed_md5"),
+        F.length(scrub3).alias("scrubbed_len"))

@@ -201,6 +201,7 @@ def _pipeline_oracles() -> dict[str, str]:
         DECON_NGRAM,
         DUP_BIGRAM_MAX,
         EVAL_MOD,
+        MIX_TARGET_PPM,
         PACK_BUDGET,
         PACK_SHARDS,
         SAMPLE_MOD,
@@ -321,6 +322,27 @@ FROM per""",
         "stratified_sample": f"""
 SELECT doc_id, lang, {bucket} AS sample_bucket
 FROM documents WHERE {bucket} < {rate}""",
+        # mirrors pipeline.mix_rebalance: N* = min(tokens_s / w_s),
+        # rate_s = w_s·N*/tokens_s — identical-ordered IEEE doubles
+        # from exact integer token counts, then the md5 keep gate
+        "mix_rebalance": f"""
+WITH per AS (
+  SELECT source, sum(len(string_split(trim(text), ' '))) AS tokens_s
+  FROM documents GROUP BY 1
+), wts AS (
+  SELECT source, tokens_s,
+         (CASE {' '.join(f"WHEN source = '{s}' THEN {p}" for s, p in MIX_TARGET_PPM.items())}
+          END) / 1000000.0 AS w
+  FROM per
+  WHERE source IN ({', '.join(f"'{s}'" for s in MIX_TARGET_PPM)})
+), ns AS (SELECT min(tokens_s / w) AS nstar FROM wts),
+rates AS (
+  SELECT source, least(1.0, w * nstar / tokens_s) AS rate FROM wts, ns
+)
+SELECT doc_id, source,
+       CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
+FROM documents JOIN rates USING (source)
+WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
         "chunk_documents": f"""
 WITH w AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -593,6 +615,27 @@ SELECT 'lsh' AS generator, cos_band, n_true, lsh_f AS n_found,
 UNION ALL
 SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
        round(CAST(ivf_f AS DOUBLE) / n_true, 6) AS recall FROM g""",
+        # cell-blocked semantic near-dup pairs — mirrors
+        # similarity.dedup_embedding_blocked (assignment ordering
+        # identical to _ivf_tail's arn=1; full table, no slice)
+        "dedup_embedding_blocked": ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+"""
+            + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
+            + f"""ac AS (
+  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+),
+assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos_sim,
+       CAST(a.cell AS BIGINT) AS cell
+FROM assigned a JOIN assigned b USING (cell)
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE a.vec_id < b.vec_id
+  AND {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}"""),
     }
 
 
@@ -654,7 +697,57 @@ FROM documents""",
         "doc_fingerprint": f"""
 SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
         "lang_id_ngram": _lang_id_ngram_sql(),
+        "pii_scrub": _pii_scrub_sql(),
     }
+
+
+def _pii_scrub_sql() -> str:
+    """Mirror of textops.pii_scrub: deterministic PII injection, then
+    staged count-and-redact (emails on the injected text, IPs after
+    the email scrub, phones after the IP scrub — the staging order
+    matters and is replayed exactly). regexp_replace needs the 'g'
+    flag: DuckDB replaces first-match by default, Spark globally."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        PII_EMAIL,
+        PII_INJECT_MOD,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+        " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_INJECT_MOD} <> 0 THEN {inject}
+              ELSE text END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM t0
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{PII_IPV4}')) AS n_ips,
+         regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+         regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       md5(t) AS scrubbed_md5,
+       CAST(length(t) AS INTEGER) AS scrubbed_len
+FROM s3"""
 
 
 def _lang_id_ngram_sql() -> str:

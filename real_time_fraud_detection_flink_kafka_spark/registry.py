@@ -168,11 +168,13 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_compare": lambda s, d: similarity.ann_recall_compare(load_table(s, d, "embeddings")),
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
+    "dedup_embedding_blocked": lambda s, d: similarity.dedup_embedding_blocked(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
     "lang_id_ngram": lambda s, d: textops.lang_id_ngram(load_table(s, d, "documents")),
     "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
+    "pii_scrub": lambda s, d: textops.pii_scrub(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
@@ -191,6 +193,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": lambda s, d: pipeline_ops.bpe_merges(load_table(s, d, "documents")),
     "repetition_stats": lambda s, d: pipeline_ops.repetition_stats(load_table(s, d, "documents")),
     "source_mix": lambda s, d: pipeline_ops.source_mix(load_table(s, d, "documents")),
+    "mix_rebalance": lambda s, d: pipeline_ops.mix_rebalance(load_table(s, d, "documents")),
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "bpe_apply": lambda s, d: pipeline_ops.bpe_apply(load_table(s, d, "documents")),

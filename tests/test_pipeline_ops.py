@@ -304,3 +304,48 @@ def test_bpe_apply_encodes_with_learned_rules(spark):
     assert out[1]["encoded_md5"] == hashlib.md5(b"b_b_b").hexdigest()
     assert out[3]["n_tokens"] == 3  # a b_b c — rule 2 doesn't apply
     assert out[3]["encoded_md5"] == hashlib.md5(b"a b_b c").hexdigest()
+
+
+def test_mix_rebalance_hits_target_blend(docs):
+    """The binding source is kept whole (rate_bp == SAMPLE_MOD) and
+    every source's KEPT token share tracks its target weight within
+    hash-gate noise; unlisted sources are excluded entirely."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        MIX_TARGET_PPM,
+        SAMPLE_MOD,
+        mix_rebalance,
+    )
+
+    kept = mix_rebalance(docs).toPandas()
+    assert set(kept["source"]) <= set(MIX_TARGET_PPM)
+    rates = kept.groupby("source")["rate_bp"].first()
+    assert (rates == SAMPLE_MOD).any(), "no binding source kept whole"
+    assert (rates <= SAMPLE_MOD).all()
+    # the heaviest target weight keeps the largest rate and the
+    # lightest the smallest (token counts per source are near-uniform,
+    # so the 4:1 weight spread dominates any count noise)
+    w = {s: p for s, p in MIX_TARGET_PPM.items() if s in rates.index}
+    assert rates[max(w, key=w.get)] == rates.max()
+    assert rates[min(w, key=w.get)] == rates.min()
+    # deterministic: the same call yields the identical keep set
+    again = mix_rebalance(docs).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_pii_scrub_redacts_injected_pii(docs):
+    """Docs that get synthetic PII injected report ≥1 email/ip and
+    exactly one phone; uninjected docs (doc_id % 3 == 0) report zero
+    matches — the corpus itself is PII-free, so nonzero counts there
+    would mean the injection leaked into the wrong rows."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        PII_INJECT_MOD,
+        pii_scrub,
+    )
+
+    out = pii_scrub(docs).toPandas()
+    injected = out[out.doc_id % PII_INJECT_MOD != 0]
+    clean = out[out.doc_id % PII_INJECT_MOD == 0]
+    assert (injected.n_emails >= 1).all()
+    assert (injected.n_ips >= 1).all()
+    assert (injected.n_phones == 1).all()
+    assert (clean[["n_emails", "n_ips", "n_phones"]] == 0).all().all()

@@ -64,3 +64,31 @@ def test_ann_ivf_with_learned_centroids(spark, sf_dir):
     assert (out.groupby("query_id").rnk.count() == sim.TOP_K).all()
     assert (out.query_id != out.neighbor_id).all()
     assert out.cos_sim.between(-1.0, 1.0).all()
+
+
+def test_blocked_dedup_pairs_subset_of_exact(spark, sf_dir):
+    """Every cell-blocked near-dup pair must appear in the exact
+    quadratic baseline with the identical cosine (blocking changes
+    RECALL, never a surviving pair's value), and no emitted pair may
+    span two cells."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BRUTE_MAX_ID,
+        dedup_embedding_blocked,
+        dedup_embedding_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = dedup_embedding_blocked(emb).toPandas()
+    exact = dedup_embedding_cosine(emb).toPandas()
+    ex = exact.set_index(["vec_a", "vec_b"])["cos_sim"]
+    in_slice = blocked[(blocked.vec_a < BRUTE_MAX_ID)
+                       & (blocked.vec_b < BRUTE_MAX_ID)]
+    for row in in_slice.itertuples():
+        assert (row.vec_a, row.vec_b) in ex.index, row
+        assert abs(ex.loc[(row.vec_a, row.vec_b)] - row.cos_sim) < 1e-9
+    # one cell per vector: a vec_id appearing on either side always
+    # carries the same cell
+    cells = {}
+    for row in blocked.itertuples():
+        for vid in (row.vec_a, row.vec_b):
+            assert cells.setdefault(vid, row.cell) == row.cell
