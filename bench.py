@@ -106,22 +106,32 @@ def main() -> None:
 
     from real_time_fraud_detection_flink_kafka_spark.cache import release_caches
 
-    def run_suite(names, data_dir):
+    def run_suite(names, data_dir, reps=1):
+        """Per-query wall time; with reps > 1 the MIN over reps is
+        reported — the stable estimator under transient host load (a
+        co-tenant burst once produced a phantom 1.7× 'regression'
+        that isolated re-timing disproved)."""
         out: dict[str, float] = {}
         for name in names:
-            t0 = time.monotonic()
-            QUERIES[name](spark, data_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.monotonic() - t0, 3)
-            release_caches()  # no query's persisted intermediates leak into the next timing
+            best = None
+            for _ in range(reps):
+                t0 = time.monotonic()
+                QUERIES[name](spark, data_dir).write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+                release_caches()  # no persisted intermediates leak into the next timing
+            out[name] = round(best, 3)
         return out
 
-    times = run_suite(HEADLINE, sf_dir)
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    times = run_suite(HEADLINE, sf_dir, reps=reps)
     total = round(sum(times.values()), 3)
 
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "reps": reps,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
