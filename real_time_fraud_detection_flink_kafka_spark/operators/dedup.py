@@ -317,6 +317,44 @@ def dedup_minhash_lsh_fast(documents: DataFrame,
 CLUSTER_MAX_ITERS = 20  # safety bound; convergence check exits earlier
 
 
+def min_label_components(pairs: DataFrame, col_a: str = "doc_a",
+                         col_b: str = "doc_b",
+                         max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
+    """Connected components over an undirected pair relation via
+    min-label propagation → (id, label) with label = min id reachable.
+    The shared engine under `dedup_clusters` (text near-dups) and
+    `semantic_canonicalize` (embedding near-dups): each round is one
+    join + one min-aggregate with the label relation persisted;
+    rounds = component diameter; the driver-side per-round count is
+    the standard convergence control loop (GraphX/Pregel do the
+    same). Raises rather than return wrong labels if `max_iters` is
+    hit un-converged."""
+    edges = tracked_persist(pairs.select(col_a, col_b))
+    adj = (edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+           .unionAll(edges.select(F.col(col_b).alias("src"),
+                                  F.col(col_a).alias("dst"))))
+    labels = tracked_persist(
+        adj.select(F.col("src").alias("id")).distinct()
+           .select("id", F.col("id").alias("label")))
+    for _ in range(max_iters):
+        nb = (adj.join(labels.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min("label").alias("nb_min")))
+        new = tracked_persist(
+            labels.join(nb, "id", "left")
+                  .select("id", F.least(
+                      "label", F.coalesce("nb_min", "label")).alias("label")))
+        changed = (new.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .where(F.col("new_label") != F.col("label")).count())
+        untrack_unpersist(labels)
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min_label_components did not converge in {max_iters} rounds")
+
+
 def dedup_clusters(documents: DataFrame,
                    threshold: float = JACCARD_THRESHOLD,
                    max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
@@ -344,31 +382,7 @@ def dedup_clusters(documents: DataFrame,
     Oracle: DuckDB recursive-CTE transitive closure over the same
     pairs, min reachable id per node."""
     pairs = dedup_minhash_lsh_fast(documents, threshold)
-    edges = tracked_persist(pairs.select("doc_a", "doc_b"))
-    adj = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-           .unionAll(edges.select(F.col("doc_b").alias("src"),
-                                  F.col("doc_a").alias("dst"))))
-    labels = tracked_persist(
-        adj.select(F.col("src").alias("id")).distinct()
-           .select("id", F.col("id").alias("label")))
-    for _ in range(max_iters):
-        nb = (adj.join(labels.withColumnRenamed("id", "src"), "src")
-                 .groupBy(F.col("dst").alias("id"))
-                 .agg(F.min("label").alias("nb_min")))
-        new = tracked_persist(
-            labels.join(nb, "id", "left")
-                  .select("id", F.least(
-                      "label", F.coalesce("nb_min", "label")).alias("label")))
-        changed = (new.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .where(F.col("new_label") != F.col("label")).count())
-        untrack_unpersist(labels)
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} rounds")
+    labels = min_label_components(pairs, max_iters=max_iters)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (labels.join(sizes, "label")
             .select(F.col("id").alias("doc_id"),

@@ -587,3 +587,50 @@ def dedup_embedding_blocked(embeddings: DataFrame,
                  .select("vec_a", "vec_b",
                          F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                          F.col("cell").cast("long").alias("cell")))
+
+
+def semantic_canonicalize(documents: DataFrame,
+                          embeddings: DataFrame,
+                          threshold: float = COS_THRESHOLD,
+                          n_cells: int = IVF_K) -> DataFrame:
+    """Semantic dedup END-TO-END: cell-blocked embedding near-dup
+    pairs → connected components → one canonical doc per cluster,
+    chosen by QUALITY (`textops.quality_score`, ties to the lower
+    doc_id) rather than by id — keep the best-written copy, not the
+    first-crawled one. This is the composition a 100 TB curation
+    pipeline actually runs (SemDeDup: block, cluster, keep-best);
+    each piece is the already-scale-shaped operator, wired together:
+
+    - pairs: `dedup_embedding_blocked` (candidates bounded per cell);
+    - components: `dedup.min_label_components` (per-round join +
+      min-agg, persisted labels, convergence-checked);
+    - canonical: one `max_by(doc_id, struct(quality, -doc_id))`
+      aggregate per cluster — quality is the 6dp-rounded score, so
+      the argmax compares identical doubles in both engines.
+
+    `vec_id` is the document's embedding id (doc_id == vec_id in the
+    testdata). Output: every clustered doc with its cluster, the
+    cluster's canonical doc, and a `keep` flag; singletons never
+    enter the pair graph and are implicitly kept (same node-set
+    contract as `dedup_clusters`)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        min_label_components,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    pairs = dedup_embedding_blocked(embeddings, threshold, n_cells).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels = min_label_components(pairs)
+    q = quality_score(documents).select("doc_id", "quality")
+    member = (labels.join(q, labels["id"] == q["doc_id"])
+              .select(F.col("id").alias("doc_id"),
+                      F.col("label").alias("cluster_id"), "quality"))
+    canon = member.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("canonical_id"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (member.join(canon, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size", "quality",
+                    "canonical_id",
+                    (F.col("doc_id") == F.col("canonical_id")).alias("keep")))

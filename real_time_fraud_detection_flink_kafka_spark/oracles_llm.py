@@ -618,7 +618,15 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # cell-blocked semantic near-dup pairs — mirrors
         # similarity.dedup_embedding_blocked (assignment ordering
         # identical to _ivf_tail's arn=1; full table, no slice)
-        "dedup_embedding_blocked": ("""
+        "dedup_embedding_blocked": _blocked_pairs_sql(),
+        # blocked pairs → recursive-CTE closure → quality-argmax
+        # canonical per cluster — mirrors similarity.semantic_canonicalize
+        "semantic_canonicalize": _semantic_canonicalize_sql(),
+    }
+
+
+def _blocked_pairs_sql() -> str:
+    return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 """
             + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
@@ -635,8 +643,44 @@ FROM assigned a JOIN assigned b USING (cell)
 JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE a.vec_id < b.vec_id
-  AND {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}"""),
-    }
+  AND {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}""")
+
+
+def _semantic_canonicalize_sql() -> str:
+    score = _quality_parts()["score"]
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({_blocked_pairs_sql()}) bq
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+q AS (SELECT doc_id, round({score}, 6) AS quality FROM documents),
+member AS (
+  SELECT lab.id AS doc_id, cluster_id, quality
+  FROM lab JOIN q ON q.doc_id = lab.id
+),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id) AS rn
+    FROM member) t WHERE rn = 1
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM member GROUP BY 1)
+SELECT m.doc_id, m.cluster_id, s.cluster_size, m.quality,
+       c.canonical_id, (m.doc_id = c.canonical_id) AS keep
+FROM member m
+JOIN canon c USING (cluster_id)
+JOIN sizes s USING (cluster_id)"""
 
 
 def _str_list(xs: list[str]) -> str:

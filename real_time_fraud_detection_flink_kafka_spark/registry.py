@@ -169,6 +169,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(load_table(s, d, "embeddings")),
     "dedup_embedding_cosine": lambda s, d: similarity.dedup_embedding_cosine(load_table(s, d, "embeddings")),
     "dedup_embedding_blocked": lambda s, d: similarity.dedup_embedding_blocked(load_table(s, d, "embeddings")),
+    "semantic_canonicalize": lambda s, d: similarity.semantic_canonicalize(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
