@@ -379,6 +379,21 @@ def _stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrival-order free — same oracle as the batch scorer
 register("stream_lm_score", _stream_lm_score,
          _LLM_ORACLES["bigram_lm_score"])
+
+
+def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_pii_scrub_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_pii_scrub_stream(
+        spark, sf_dir, query_name=f"pii_stream_{_STREAM_COUNTER['n']}")
+
+
+# the compliance pass at intake: stateless row-local regexes, append
+# mode — drained stream must equal batch pii_scrub — same oracle
+register("stream_pii_scrub", _stream_pii, _LLM_ORACLES["pii_scrub"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.

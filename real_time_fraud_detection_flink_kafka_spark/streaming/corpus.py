@@ -161,3 +161,23 @@ def run_lm_score_stream(spark, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_pii_scrub_stream(spark, sf_dir: str,
+                         query_name: str = "pii_stream") -> DataFrame:
+    """Bounded drain of the PII scrubber over a documents file stream
+    — the compliance pass run AT INTAKE, where a production pipeline
+    wants it (scrub before anything else persists the raw text).
+    Stateless row-local regexes → append mode streams rows straight
+    through; the drained result must equal batch `pii_scrub` exactly
+    (shared oracle)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        pii_scrub,
+    )
+
+    ensure_session_confs(spark)
+    out = pii_scrub(_documents_stream(spark, sf_dir))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

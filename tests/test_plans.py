@@ -306,3 +306,21 @@ def test_decontaminate_arrow_stage_and_broadcast(spark, sf_dir):
     import re
     filters = re.findall(r"\(doc_id#\d+L % 50\)", plan)
     assert len(filters) >= 2
+
+
+def test_blocked_dedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    """dedup_embedding_blocked's assignment must broadcast the
+    centroid relation and the pair stage must join ON the cell key —
+    the plan may not contain a cartesian/broadcast-nested-loop pair
+    join (that would be the quadratic shape the operator exists to
+    avoid). The centroid crossJoin is a 16-row broadcast, so BNLJ is
+    permitted ONLY against the centroid scan, never assigned×assigned."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_blocked")
+    assert plan.count("BroadcastHashJoin") >= 1 or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the vec-pair join must be keyed by cell (hash or sort-merge on
+    # cell), visible as a join whose keys include the cell column
+    keyed = [l for l in plan.splitlines()
+             if ("SortMergeJoin" in l or "BroadcastHashJoin" in l
+                 or "ShuffledHashJoin" in l) and "cell" in l]
+    assert keyed, plan[:2000]
