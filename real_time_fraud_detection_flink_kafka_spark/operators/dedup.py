@@ -431,3 +431,53 @@ def dedup_simhash(documents: DataFrame, hamming_max: int = HAMMING_MAX) -> DataF
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
                 .where(F.col("hamming") <= hamming_max))
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+WINNOW_K = 5        # tokens per k-gram
+WINNOW_W = 4        # k-gram hashes per winnowing window
+WINNOW_MIN_SHARED = 2  # shared selected hashes to emit a pair
+
+
+def dedup_winnow(documents: DataFrame, k: int = WINNOW_K,
+                 w: int = WINNOW_W,
+                 min_shared: int = WINNOW_MIN_SHARED) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al.,
+    SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    window of `w` hashes, keep each window's minimum; documents
+    sharing ≥ `min_shared` selected hashes pair up. The guarantee the
+    window gives — any shared run of w+k-1 tokens yields at least one
+    shared selected hash — is what makes the sparse fingerprint safe
+    for plagiarism-style containment detection, a different axis from
+    MinHash (whole-doc resemblance) and SimHash (topic similarity).
+
+    Scale shape: selection is entirely ROW-LOCAL higher-order
+    expressions (transform over index sequences, array_min per
+    window) — ~2/w of the grams survive, so the exploded relation
+    shuffles a fraction of the corpus' grams; the pair stage is the
+    same bucketed join-on-hash as LSH banding (candidates bounded by
+    per-hash occupancy, never all-pairs). Docs shorter than k tokens
+    have no k-gram and are excluded (mirrored in the oracle)."""
+    ws = _words(F.col("text"))
+    g = (spread(documents)
+         .where(F.size(ws) >= k)
+         .select("doc_id",
+                 F.transform(
+                     F.sequence(F.lit(1), F.size(ws) - k + 1),
+                     lambda i: H.md5_int60(F.concat_ws(" ", F.slice(ws, i, k)))
+                 ).alias("grams")))
+    sels = F.when(
+        F.size("grams") >= w,
+        F.transform(F.sequence(F.lit(1), F.size("grams") - w + 1),
+                    lambda j: F.array_min(F.slice(F.col("grams"), j, w)))
+    ).otherwise(F.col("grams"))
+    e = (g.select("doc_id", F.array_distinct(sels).alias("sels"))
+          .select("doc_id", F.explode("sels").alias("h")))
+    a = e.select(F.col("doc_id").alias("doc_a"), "h")
+    b = e.select(F.col("doc_id").alias("doc_b"), "h")
+    return (a.join(b, "h")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))

@@ -16,6 +16,9 @@ from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     SHINGLE_N,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    WINNOW_K,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import MODALITIES
 from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
@@ -109,6 +112,30 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         # transitive closure over the same verified pairs, min
         # reachable id per node — mirrors dedup_clusters' label
         # propagation fixpoint
+        # winnowing fingerprints (Schleimer et al.) — k-gram hashes,
+        # per-window minima, pairs on shared selected hashes; mirrors
+        # dedup.dedup_winnow exactly (same guards, same md5 hashing)
+        "dedup_winnow": f"""
+WITH w0 AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - {WINNOW_K} + 1),
+            i -> {md5_int60_sql(
+                f"array_to_string(array_slice(ws, i, i + {WINNOW_K} - 1), ' ')")})
+           AS grams
+  FROM w0 WHERE len(ws) >= {WINNOW_K}
+), sel AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(grams) >= {WINNOW_W} THEN
+            list_transform(generate_series(1, len(grams) - {WINNOW_W} + 1),
+               j -> list_min(array_slice(grams, j, j + {WINNOW_W} - 1)))
+            ELSE grams END) AS sels
+  FROM g
+), e AS (SELECT doc_id, unnest(sels) AS h FROM sel)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}""",
         "dedup_clusters": f"""
 WITH RECURSIVE pairs AS (
   SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) q

@@ -25,6 +25,7 @@ PERSISTING_QUERIES = [
     "dedup_clusters",
     "ann_lsh_fast",
     "dedup_minhash_lsh_fast",
+    "semantic_canonicalize",  # shared label-propagation engine (r6)
 ]
 
 
