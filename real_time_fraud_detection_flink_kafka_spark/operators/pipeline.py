@@ -653,3 +653,58 @@ def mix_rebalance(documents: DataFrame,
             .select("doc_id", "source",
                     F.floor(F.col("rate") * SAMPLE_MOD)
                      .cast("int").alias("rate_bp")))
+
+
+# --- relative quality gating --------------------------------------------------
+
+QUALITY_GATE_Q = 0.30  # drop the bottom 30% by corpus quality
+
+
+def quality_percentile_gate(documents: DataFrame,
+                            q: float = QUALITY_GATE_Q) -> DataFrame:
+    """Keep documents at or above the corpus's q-th quality
+    percentile — RELATIVE gating (FineWeb-style "drop the worst
+    30%"), vs `corpus_to_packs`' absolute threshold. The threshold is
+    the exact DISCRETE percentile (an actual data value, so the gate
+    is engine-exact — interpolated percentiles differ in final-ulp FP
+    across engines).
+
+    Scale shape: the naive global row_number over all docs is a
+    single-task sort at 100 TB; instead the quantile runs over the
+    VALUE HISTOGRAM — groupBy(quality) with map-side partials, a
+    running sum over the distinct-value relation (hard-bounded at
+    ≤ 10⁶+1 rows: quality is 6dp-rounded in [0,1]), and a 1-row
+    threshold broadcast back. The corpus is scanned, never globally
+    sorted."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+    from pyspark.sql import Window
+
+    qd = quality_score(documents).select("doc_id", "quality")
+    counts = qd.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("quality", F.sum("c").over(w).alias("cum"))
+    n = qd.agg(F.count(F.lit(1)).alias("n"))
+    thr = (cum.crossJoin(F.broadcast(n))
+           .where(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")))
+           .agg(F.min("quality").alias("q_threshold")))
+    return (qd.crossJoin(F.broadcast(thr))
+            .where(F.col("quality") >= F.col("q_threshold"))
+            .select("doc_id", "quality", "q_threshold"))
+
+
+def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source exact-duplication observability: doc count, distinct
+    text count, dup rate — the number a curation dashboard tracks per
+    crawl/source to catch a misbehaving feed early. One groupBy with
+    a two-phase distinct aggregate on md5(text) (32-byte keys shuffle,
+    never bodies)."""
+    return (documents
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(F.md5("text")).alias("n_uniq"))
+            .select("source", "n_docs", "n_uniq",
+                    F.round(1 - F.col("n_uniq") / F.col("n_docs"), 6)
+                     .alias("dup_rate"))
+            .orderBy("source"))

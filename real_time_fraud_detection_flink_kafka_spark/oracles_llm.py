@@ -230,6 +230,7 @@ def _pipeline_oracles() -> dict[str, str]:
         EVAL_MOD,
         MIX_TARGET_PPM,
         PACK_BUDGET,
+        QUALITY_GATE_Q,
         PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
@@ -370,6 +371,30 @@ SELECT doc_id, source,
        CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
 FROM documents JOIN rates USING (source)
 WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
+        # mirrors pipeline.quality_percentile_gate: exact discrete
+        # quantile over the VALUE HISTOGRAM (never a global sort)
+        "quality_percentile_gate": f"""
+WITH qd AS (
+  SELECT doc_id, round({_quality_parts()['score']}, 6) AS quality FROM documents
+), counts AS (
+  SELECT quality, count(*) AS c FROM qd GROUP BY 1
+), cum AS (
+  SELECT quality,
+         sum(c) OVER (ORDER BY quality ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+), n AS (SELECT count(*) AS n FROM qd),
+thr AS (
+  SELECT min(quality) AS q_threshold FROM cum, n
+  WHERE cum >= ceil({QUALITY_GATE_Q!r} * n)
+)
+SELECT doc_id, quality, q_threshold
+FROM qd, thr WHERE quality >= q_threshold""",
+        # mirrors pipeline.dedup_rate_by_source
+        "dedup_rate_by_source": """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_uniq,
+       round(1 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+FROM documents GROUP BY 1 ORDER BY 1""",
         "chunk_documents": f"""
 WITH w AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
