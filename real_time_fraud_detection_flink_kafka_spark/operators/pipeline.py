@@ -634,12 +634,16 @@ def mix_rebalance(documents: DataFrame,
     for src, ppm in target_ppm.items():
         w = F.when(F.col("source") == src,
                    F.lit(ppm) / F.lit(1_000_000.0)).otherwise(w)
-    per_src = (documents
-               .select("source", F.size(_words(F.col("text"))).alias("nt"))
-               .groupBy("source")
-               .agg(F.sum("nt").alias("tokens_s"))
-               .withColumn("w", w)
-               .where(F.col("w").isNotNull()))
+    # persisted: both nstar and the rate projection consume this
+    # |sources|-row relation — without the persist the full corpus
+    # token-count scan runs twice (plan-audited)
+    per_src = tracked_persist(
+        documents
+        .select("source", F.size(_words(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("tokens_s"))
+        .withColumn("w", w)
+        .where(F.col("w").isNotNull()))
     nstar = per_src.agg(F.min(F.col("tokens_s") / F.col("w")).alias("nstar"))
     rates = (per_src.crossJoin(F.broadcast(nstar))
              .select("source",

@@ -26,6 +26,7 @@ PERSISTING_QUERIES = [
     "ann_lsh_fast",
     "dedup_minhash_lsh_fast",
     "semantic_canonicalize",  # shared label-propagation engine (r6)
+    "mix_rebalance",          # per-source token relation (r6)
 ]
 
 
