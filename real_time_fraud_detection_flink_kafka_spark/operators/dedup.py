@@ -460,17 +460,27 @@ def dedup_winnow(documents: DataFrame, k: int = WINNOW_K,
     per-hash occupancy, never all-pairs). Docs shorter than k tokens
     have no k-gram and are excluded (mirrored in the oracle)."""
     ws = _words(F.col("text"))
+    # the when-guard (not just the filter) protects the sequence from
+    # going descending on short docs — Catalyst may evaluate the
+    # projection expression on pre-filter rows after plan collapse
+    # (same pitfall shingle_sets guards against)
+    grams_expr = F.when(
+        F.size(ws) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - k + 1),
+            lambda i: H.md5_int60(F.concat_ws(" ", F.slice(ws, i, k))))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = (spread(documents)
          .where(F.size(ws) >= k)
-         .select("doc_id",
-                 F.transform(
-                     F.sequence(F.lit(1), F.size(ws) - k + 1),
-                     lambda i: H.md5_int60(F.concat_ws(" ", F.slice(ws, i, k)))
-                 ).alias("grams")))
+         .select("doc_id", grams_expr.alias("grams")))
+    # greatest(...,1) keeps the sequence ascending even if this branch
+    # is speculatively evaluated on a short-gram row (the when picks
+    # the otherwise branch for those rows regardless)
     sels = F.when(
         F.size("grams") >= w,
-        F.transform(F.sequence(F.lit(1), F.size("grams") - w + 1),
-                    lambda j: F.array_min(F.slice(F.col("grams"), j, w)))
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("grams") - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, w)))
     ).otherwise(F.col("grams"))
     e = (g.select("doc_id", F.array_distinct(sels).alias("sels"))
           .select("doc_id", F.explode("sels").alias("h")))

@@ -124,3 +124,63 @@ def test_stream_dedup_matches_distinct_on_redelivery(spark, tmp_path):
         [(1, 5, "click", 1.5, t0), (2, 6, "purchase", 9.0, t0 + 1_000_000)],
         columns=["event_id", "user_id", "event_type", "value", "ts_us"])
     pd.testing.assert_frame_equal(got, _norm(want), check_dtype=False)
+
+
+def test_winnow_short_docs_excluded_and_guarantee_holds(spark):
+    """(r6) Docs shorter than WINNOW_K tokens have no k-gram and must
+    vanish from the pair graph; and the winnowing guarantee — two
+    docs sharing a run of w+k-1 tokens share ≥1 selected hash —
+    must hold on a constructed containment case."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_winnow,
+    )
+
+    shared_run = " ".join(f"tok{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [
+        (0, "short doc"),                               # < k tokens
+        (1, shared_run + " aaa bbb ccc ddd eee fff"),   # contains the run
+        (2, "xxx yyy zzz www vvv uuu " + shared_run),   # contains it too
+        (3, " ".join(f"other{i}" for i in range(30))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup_winnow(docs, min_shared=1).toPandas()
+    assert 0 not in set(pairs.doc_a) | set(pairs.doc_b)
+    assert ((pairs.doc_a == 1) & (pairs.doc_b == 2)).any(), (
+        "winnowing guarantee violated: shared w+k-1 run yielded no pair")
+
+
+def test_quality_gate_uniform_quality_keeps_all(spark):
+    """(r6) When every doc has identical quality the threshold equals
+    that value and the gate must keep ALL docs (>=, not >)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        quality_percentile_gate,
+    )
+
+    text = " ".join(f"w{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(i, text, "en", "src0", len(text)) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    out = quality_percentile_gate(docs).toPandas()
+    assert len(out) == 8
+    assert out.quality.nunique() == 1
+    assert (out.q_threshold == out.quality).all()
+
+
+def test_mix_rebalance_absent_target_source_is_safe(spark):
+    """(r6) A target source with no documents must not break the
+    derivation (it simply never binds), and docs from unlisted
+    sources are excluded."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        mix_rebalance,
+    )
+
+    text = " ".join(f"w{i}" for i in range(40))
+    rows = ([(i, text, "en", "src0", 1) for i in range(10)]
+            + [(100 + i, text, "en", "unlisted", 1) for i in range(5)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    out = mix_rebalance(docs, {"src0": 500_000, "src1": 500_000}).toPandas()
+    assert set(out.source) <= {"src0"}
+    assert len(out) > 0

@@ -324,3 +324,17 @@ def test_blocked_dedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
              if ("SortMergeJoin" in l or "BroadcastHashJoin" in l
                  or "ShuffledHashJoin" in l) and "cell" in l]
     assert keyed, plan[:2000]
+
+
+def test_quality_gate_quantile_runs_on_histogram_not_corpus(spark, sf_dir):
+    """quality_percentile_gate's exact quantile must run over the
+    VALUE HISTOGRAM (groupBy quality, ≤1e6+1 rows), never as a global
+    row_number over the corpus — no range-partitioned global sort and
+    no per-row ranking anywhere in the plan; the one Window is the
+    running sum on the aggregated relation, and the threshold comes
+    back as a broadcast."""
+    plan = _plan(spark, sf_dir, "quality_percentile_gate")
+    assert "rangepartitioning" not in plan
+    assert "row_number" not in plan
+    assert plan.count("Window") == 1
+    assert "BroadcastExchange" in plan
