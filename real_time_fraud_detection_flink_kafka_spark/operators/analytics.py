@@ -644,8 +644,12 @@ def q11_important_stock(part: DataFrame, supplier: DataFrame,
     per_part = (ps.groupBy("ps_partkey")
                   .agg(fsum(F.col("ps_supplycost") * F.col("ps_availqty"))
                        .alias("value")))
+    # favg, not F.avg: the mean must be the fixed-point form so the
+    # threshold is bit-identical across engines AND partition orders
+    # (a plain double mean can drift an ulp with combine order, and a
+    # boundary part would then flip in/out of the result)
     thresh = per_part.agg(
-        (F.avg("value") * F.lit(mult)).alias("threshold"))
+        (favg(F.col("value")) * F.lit(mult)).alias("threshold"))
     return (per_part.crossJoin(F.broadcast(thresh))
             .where(F.col("value") > F.col("threshold"))
             .select("ps_partkey", "value")
