@@ -712,3 +712,43 @@ def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
                     F.round(1 - F.col("n_uniq") / F.col("n_docs"), 6)
                      .alias("dup_rate"))
             .orderBy("source"))
+
+
+# --- cross-document boilerplate detection -------------------------------------
+
+BOILER_N = 10    # tokens per n-gram
+BOILER_MIN_DF = 2  # docs an n-gram must appear in
+BOILER_K = 50    # report top-k by document frequency
+
+
+def boilerplate_ngrams(documents: DataFrame, n: int = BOILER_N,
+                       min_df: int = BOILER_MIN_DF,
+                       k: int = BOILER_K) -> DataFrame:
+    """Cross-document repeated n-gram report — the boilerplate signal
+    behind substring-level dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): long n-grams shared by many
+    documents are headers, footers, licenses, navigation chrome. The
+    report ranks n-gram HASHES by document frequency with an example
+    doc and total occurrence count; a removal pass would match on the
+    same hash.
+
+    Scale shape: row-local guarded gram transform (hashes only — the
+    gram text never leaves the executor), explode, one
+    groupBy(gram hash) with map-side partials, then distributed top-k
+    (TakeOrderedAndProject). Ties rank to the lower hash so the
+    cut is deterministic."""
+    ws = _words(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - n + 1),
+            lambda i: md5_int60(F.concat_ws(" ", F.slice(ws, i, n))))
+    ).otherwise(F.array().cast("array<bigint>"))
+    e = (spread(documents)
+         .select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
+         .groupBy("h")
+         .agg(F.count(F.lit(1)).alias("df"),
+              F.min("doc_id").alias("example_doc")))
+    return (e.where(F.col("df") >= min_df)
+             .orderBy(F.desc("df"), F.asc("h"))
+             .limit(k))

@@ -225,6 +225,9 @@ def _pipeline_oracles() -> dict[str, str]:
         BIGRAM_K,
         CHUNK_LEN,
         CHUNK_STRIDE,
+        BOILER_K,
+        BOILER_MIN_DF,
+        BOILER_N,
         DECON_NGRAM,
         DUP_BIGRAM_MAX,
         EVAL_MOD,
@@ -389,6 +392,26 @@ thr AS (
 )
 SELECT doc_id, quality, q_threshold
 FROM qd, thr WHERE quality >= q_threshold""",
+        # mirrors pipeline.boilerplate_ngrams: guarded gram-hash
+        # transform, distinct per doc, df ranking with hash tie-break
+        "boilerplate_ngrams": f"""
+WITH w0 AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= {BOILER_N} THEN
+            list_transform(generate_series(1, len(ws) - {BOILER_N} + 1),
+               i -> {md5_int60_sql(
+                   f"array_to_string(array_slice(ws, i, i + {BOILER_N} - 1), ' ')")})
+            ELSE CAST([] AS BIGINT[]) END) AS grams
+  FROM w0
+), e AS (SELECT doc_id, unnest(grams) AS h FROM g),
+agg AS (
+  SELECT h, count(*) AS df, min(doc_id) AS example_doc FROM e GROUP BY 1
+)
+SELECT h, df, example_doc FROM agg
+WHERE df >= {BOILER_MIN_DF}
+ORDER BY df DESC, h LIMIT {BOILER_K}""",
         # mirrors pipeline.dedup_rate_by_source
         "dedup_rate_by_source": """
 SELECT source, count(*) AS n_docs,

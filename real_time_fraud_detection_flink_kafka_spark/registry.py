@@ -198,6 +198,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_rebalance": lambda s, d: pipeline_ops.mix_rebalance(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
+    "boilerplate_ngrams": lambda s, d: pipeline_ops.boilerplate_ngrams(load_table(s, d, "documents")),
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),
