@@ -1,0 +1,78 @@
+"""Property tests (hypothesis) for the two portability invariants the
+entire oracle strategy rests on:
+
+1. the portable 60-bit md5 hash is IDENTICAL across Spark, DuckDB and
+   hashlib for arbitrary unicode strings — every dedup/LSH/sampling
+   oracle assumes this;
+2. the fixed-point sum (``fsum``) is exactly equal between Spark (any
+   partitioning) and DuckDB for 6dp-bounded values — every aggregate
+   oracle assumes this.
+
+Each example batches all its rows into ONE Spark job, so the suite
+stays fast despite hypothesis' repeated calls."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+    md5_int60,
+    md5_int60_sql,
+)
+from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+    SCALE,
+    fsum,
+)
+
+# printable-ish unicode without surrogates and NUL (VARCHAR-hostile,
+# never present in the corpus contract)
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",),
+                           blacklist_characters="\x00"),
+    min_size=0, max_size=40)
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=8, unique=True))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_md5_int60_identical_across_engines(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: r["h"] for r in
+           df.select("t", md5_int60(F.col("t")).alias("h")).collect()}
+    con = duckdb.connect()
+    for t in texts:
+        want_duck = con.execute(
+            f"SELECT {md5_int60_sql('?')}", [t]).fetchone()[0]
+        want_py = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == want_duck == want_py, repr(t)
+    con.close()
+
+
+# 6dp-bounded values: the fixed-point contract's domain (prices,
+# rounded scores). Integer micro-units avoid generating .5-ulp round
+# boundaries that the contract never claims to cover.
+_MICROS = st.integers(min_value=-10**12, max_value=10**12)
+
+
+@given(st.lists(_MICROS, min_size=1, max_size=50))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fsum_partition_invariant_and_engine_exact(spark, micros):
+    vals = [m / float(SCALE) for m in micros]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    one = df.coalesce(1).agg(fsum(F.col("x")).alias("s")).collect()[0]["s"]
+    many = df.repartition(7).agg(fsum(F.col("x")).alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("t", pd.DataFrame({"x": vals}))
+    want = con.execute(
+        f"SELECT sum(CAST(round(x * {SCALE}) AS BIGINT)) / {float(SCALE)!r} "
+        "FROM t").fetchone()[0]
+    con.close()
+    assert one == many == want
