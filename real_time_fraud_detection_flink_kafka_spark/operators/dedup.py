@@ -44,6 +44,16 @@ def _words(text):
     return F.split(F.trim(text), " ")
 
 
+def _let(value, body):
+    """Let-binding for Column expressions: evaluate `value` ONCE and
+    pass the bound variable to `body` — via a 1-element-array HOF,
+    whose lambda argument is a true variable reference. Blocks
+    Catalyst's projection collapse from re-inlining the value's
+    expression subtree at every reference site (the md5-subtree
+    blowup the fused minhash fold exists to avoid)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh_set) — DISTINCT word n-gram array per document.
     Computed row-local (no explode/shuffle)."""
@@ -459,31 +469,35 @@ def dedup_winnow(documents: DataFrame, k: int = WINNOW_K,
     same bucketed join-on-hash as LSH banding (candidates bounded by
     per-hash occupancy, never all-pairs). Docs shorter than k tokens
     have no k-gram and are excluded (mirrored in the oracle)."""
+    # All array expressions are LET-BOUND (_let): Catalyst's
+    # projection collapse re-inlines a referenced expression subtree
+    # at every use site, and HOF lambdas re-evaluate free subtrees per
+    # element — without the binding, the token split re-runs per gram
+    # index and the whole gram-hash array re-materializes per window
+    # index (measured 112 s → ~2 s at sf0.1). The when-guards (not
+    # just the row filter) keep every sequence ascending even under
+    # speculative evaluation on short docs.
+    def win_of(grams):
+        return F.when(
+            F.size(grams) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(grams) - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(grams, j, w)))
+        ).otherwise(grams)
+
+    def grams_of(wsv):
+        return F.when(
+            F.size(wsv) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wsv) - k + 1),
+                lambda i: H.md5_int60(F.concat_ws(" ", F.slice(wsv, i, k))))
+        ).otherwise(F.array().cast("array<bigint>"))
+
     ws = _words(F.col("text"))
-    # the when-guard (not just the filter) protects the sequence from
-    # going descending on short docs — Catalyst may evaluate the
-    # projection expression on pre-filter rows after plan collapse
-    # (same pitfall shingle_sets guards against)
-    grams_expr = F.when(
-        F.size(ws) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - k + 1),
-            lambda i: H.md5_int60(F.concat_ws(" ", F.slice(ws, i, k))))
-    ).otherwise(F.array().cast("array<bigint>"))
-    g = (spread(documents)
+    sels = _let(ws, lambda wsv: _let(grams_of(wsv), win_of))
+    e = (spread(documents)
          .where(F.size(ws) >= k)
-         .select("doc_id", grams_expr.alias("grams")))
-    # greatest(...,1) keeps the sequence ascending even if this branch
-    # is speculatively evaluated on a short-gram row (the when picks
-    # the otherwise branch for those rows regardless)
-    sels = F.when(
-        F.size("grams") >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("grams") - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(F.col("grams"), j, w)))
-    ).otherwise(F.col("grams"))
-    e = (g.select("doc_id", F.array_distinct(sels).alias("sels"))
-          .select("doc_id", F.explode("sels").alias("h")))
+         .select("doc_id", F.explode(F.array_distinct(sels)).alias("h")))
     a = e.select(F.col("doc_id").alias("doc_a"), "h")
     b = e.select(F.col("doc_id").alias("doc_b"), "h")
     return (a.join(b, "h")

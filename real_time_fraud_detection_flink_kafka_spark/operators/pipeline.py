@@ -737,13 +737,17 @@ def boilerplate_ngrams(documents: DataFrame, n: int = BOILER_N,
     groupBy(gram hash) with map-side partials, then distributed top-k
     (TakeOrderedAndProject). Ties rank to the lower hash so the
     cut is deterministic."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import _let
+
+    # let-bound token array: without the binding the HOF lambda
+    # re-evaluates the split per gram index (see dedup._let)
     ws = _words(F.col("text"))
-    grams = F.when(
-        F.size(ws) >= n,
+    grams = _let(ws, lambda wsv: F.when(
+        F.size(wsv) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - n + 1),
-            lambda i: md5_int60(F.concat_ws(" ", F.slice(ws, i, n))))
-    ).otherwise(F.array().cast("array<bigint>"))
+            F.sequence(F.lit(1), F.size(wsv) - n + 1),
+            lambda i: md5_int60(F.concat_ws(" ", F.slice(wsv, i, n))))
+    ).otherwise(F.array().cast("array<bigint>")))
     e = (spread(documents)
          .select("doc_id", F.explode(F.array_distinct(grams)).alias("h"))
          .groupBy("h")

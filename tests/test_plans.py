@@ -338,3 +338,18 @@ def test_quality_gate_quantile_runs_on_histogram_not_corpus(spark, sf_dir):
     assert "row_number" not in plan
     assert plan.count("Window") == 1
     assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name,max_md5", [("dedup_winnow", 4),
+                                          ("boilerplate_ngrams", 2)])
+def test_gram_hash_expression_not_reinlined(spark, sf_dir, name, max_md5):
+    """The gram-hash subtree must stay LET-BOUND (dedup._let): without
+    the binding, Catalyst's projection collapse re-inlines the md5
+    transform at every reference site and the HOF lambdas re-evaluate
+    the token split per element — measured 112 s vs 5.5 s at sf0.1
+    for dedup_winnow. A reverted binding shows up as the md5 subtree
+    repeated across the plan string."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("md5(") <= max_md5, (
+        f"{name}: md5 subtree inlined {plan.count('md5(')}× — "
+        "let-binding regressed")
