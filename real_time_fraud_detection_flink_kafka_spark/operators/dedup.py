@@ -44,28 +44,30 @@ def _words(text):
     return F.split(F.trim(text), " ")
 
 
-def _let(value, body):
-    """Let-binding for Column expressions: evaluate `value` ONCE and
-    pass the bound variable to `body` — via a 1-element-array HOF,
-    whose lambda argument is a true variable reference. Blocks
-    Catalyst's projection collapse from re-inlining the value's
-    expression subtree at every reference site (the md5-subtree
-    blowup the fused minhash fold exists to avoid)."""
-    return F.transform(F.array(value), body)[0]
+# canonical home: functions/expr.py (re-exported here for the
+# operators that grew up with it)
+from real_time_fraud_detection_flink_kafka_spark.functions.expr import let as _let  # noqa: E402
 
 
 def shingle_sets(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh_set) — DISTINCT word n-gram array per document.
-    Computed row-local (no explode/shuffle)."""
+    Computed row-local (no explode/shuffle). The token array is
+    let-bound (_let): HOF lambdas evaluate interpreted, outside
+    codegen subexpression elimination, so an unbound `ws` re-runs the
+    split at every element_at site per shingle index."""
     ws = _words(F.col("text"))
-    grams = F.when(
-        F.size(ws) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return documents.select("doc_id", F.array_distinct(grams).alias("sh_set"))
+
+    def grams_of(wsv):
+        return F.when(
+            F.size(wsv) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(wsv) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(wsv, (i + j + 1).cast("int")) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return documents.select(
+        "doc_id", F.array_distinct(_let(ws, grams_of)).alias("sh_set"))
 
 
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:

@@ -113,27 +113,43 @@ def lang_id_ngram(documents: DataFrame) -> DataFrame:
     profile; argmax overlap with first-listed tie-break (same
     deterministic fold as `lang_id`). Row-local, whole-stage codegen
     except the trigram transform — no shuffle, scales linearly."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.expr import let
+
     padded = F.concat(F.lit(" "), F.trim(F.col("text")), F.lit(" "))
+
     # guard: Spark's sequence(1, 0) REVERSES to [1, 0] (step -1 when
     # start > stop) while DuckDB's generate_series(1, 0) is empty —
-    # an empty/whitespace doc must yield [] in both engines
-    tris = F.when(
-        F.length(padded) >= 3,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), F.length(padded) - 2),
-            lambda i: padded.substr(i, F.lit(3)))),
-    ).otherwise(F.array().cast("array<string>"))
-    best_lang = F.lit(LANG_TRIGRAMS[0][0])
-    best_score = F.lit(-1)
-    for lang, profile in LANG_TRIGRAMS:
-        prof = F.array(*[F.lit(t) for t in profile])
-        score = F.size(F.array_intersect(tris, prof))
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return documents.select(
-        "doc_id", F.col("lang").alias("lang_declared"),
-        best_lang.alias("lang_pred"), best_score.alias("tri_hits"))
+    # an empty/whitespace doc must yield [] in both engines.
+    # The padded string AND the trigram set are let-bound: the per-
+    # language fold references the trigram set once per profile, and
+    # unbound each reference re-ran the whole transform (HOFs are
+    # interpreted, no codegen CSE) — 5× the trigram work per row.
+    def tris_of(p):
+        return F.when(
+            F.length(p) >= 3,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.length(p) - 2),
+                lambda i: p.substr(i, F.lit(3)))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def fold(tv):
+        best_lang = F.lit(LANG_TRIGRAMS[0][0])
+        best_score = F.lit(-1)
+        for lang, profile in LANG_TRIGRAMS:
+            prof = F.array(*[F.lit(t) for t in profile])
+            score = F.size(F.array_intersect(tv, prof))
+            better = score > best_score
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(better, score).otherwise(best_score)
+        return F.struct(best_lang.alias("l"), best_score.alias("s"))
+
+    pred = let(padded, lambda p: let(tris_of(p), fold))
+    return (documents
+            .select("doc_id", F.col("lang").alias("lang_declared"),
+                    pred.alias("_p"))
+            .select("doc_id", "lang_declared",
+                    F.col("_p.l").alias("lang_pred"),
+                    F.col("_p.s").alias("tri_hits")))
 
 
 # --- PII scrubbing -----------------------------------------------------------
