@@ -372,13 +372,22 @@ def repetition_stats(documents: DataFrame,
             .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
     top = toks.groupBy("doc_id").agg(F.max("tf").alias("top_tf"),
                                      F.sum("tf").alias("n_tokens"))
-    n_pairs = F.greatest(F.size(ws) - 1, F.lit(0))
-    bigrams = F.zip_with(F.slice(ws, 1, n_pairs), F.slice(ws, 2, n_pairs),
-                         lambda a, b: F.concat_ws(" ", a, b))
-    row_local = documents.select(
-        "doc_id",
-        F.size(bigrams).alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"))
+    from real_time_fraud_detection_flink_kafka_spark.functions.expr import let
+
+    # bigram array let-bound: referenced twice below (size + distinct
+    # size) — unbound, the zip_with (and the split under it) runs
+    # twice per row (see functions/expr.let)
+    def bigrams_of(wsv):
+        n_pairs = F.greatest(F.size(wsv) - 1, F.lit(0))
+        return F.zip_with(F.slice(wsv, 1, n_pairs), F.slice(wsv, 2, n_pairs),
+                          lambda a, b: F.concat_ws(" ", a, b))
+
+    counts = let(ws, lambda wsv: let(bigrams_of(wsv), lambda bg: F.struct(
+        F.size(bg).alias("n"), F.size(F.array_distinct(bg)).alias("u"))))
+    row_local = (documents
+                 .select("doc_id", counts.alias("_c"))
+                 .select("doc_id", F.col("_c.n").alias("n_bigrams"),
+                         F.col("_c.u").alias("n_uniq_bigrams")))
     j = top.join(row_local, "doc_id")
     top_frac = F.round(F.col("top_tf") / F.col("n_tokens"), 6)
     dup_frac = F.when(F.col("n_bigrams") > 0,
