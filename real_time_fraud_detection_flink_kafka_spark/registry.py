@@ -398,6 +398,22 @@ def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the compliance pass at intake: stateless row-local regexes, append
 # mode — drained stream must equal batch pii_scrub — same oracle
 register("stream_pii_scrub", _stream_pii, _LLM_ORACLES["pii_scrub"])
+
+
+def _stream_lm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_lm_score_stream_update,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_lm_score_stream_update(
+        spark, sf_dir, query_name=f"lm_upd_{_STREAM_COUNTER['n']}")
+
+
+# update-mode drain + largest-n_bigrams upsert compaction reduces to
+# the same final per-doc scores — same oracle as the batch scorer
+register("stream_lm_score_update", _stream_lm_update,
+         _LLM_ORACLES["bigram_lm_score"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.

@@ -130,10 +130,10 @@ def run_lm_score_stream(spark, sf_dir: str,
     per-doc state every trigger and retains it forever; right for
     this harness (drain a bounded corpus, compare final state),
     wrong for continuous 100 TB intake. The continuous shape is the
-    update-mode + upsert-sink pattern (`run_corpus_dedup_stream_update`
-    demonstrates it on the dedup agg; the per-doc sums here are
-    monotone the same way) with TTL-bounded state; the batch scorer
-    stays the production path for full-corpus scoring."""
+    update-mode + upsert-sink pattern — `run_lm_score_stream_update`
+    below IS that twin (registered, same oracle) — with TTL-bounded
+    state; the batch scorer stays the production path for
+    full-corpus scoring."""
     from pyspark.sql import functions as F
 
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
@@ -181,3 +181,46 @@ def run_pii_scrub_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_lm_score_stream_update(spark, sf_dir: str,
+                               query_name: str = "lm_stream_update",
+                               progress_out: list | None = None) -> DataFrame:
+    """UPDATE-mode twin of `run_lm_score_stream` — the continuous-
+    intake output shape for the online quality filter: each trigger
+    emits only the docs whose state changed (O(changed docs), not
+    O(all docs) like complete mode). The memory-sink drain applies
+    the production upsert compaction batch-side: per doc, keep the
+    emission with the LARGEST n_bigrams — the per-doc bigram count
+    only grows as the doc's pair rows accumulate, so that emission IS
+    the final state and the result equals batch `bigram_lm_score`
+    (same shared oracle). State is one row per doc; a continuous
+    deployment bounds it with TTL, since scored docs never update
+    again once their file is consumed."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        doc_bigrams,
+        lm_model,
+        score_pairs_with_lm,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    batch = load_table(spark, sf_dir, "documents")
+    uni, big = lm_model(batch)
+    v = uni.count()  # model metadata: vocabulary size
+    pairs = doc_bigrams(_documents_stream(spark, sf_dir))
+    j = pairs.join(F.broadcast(big), ["a", "b"]).join(F.broadcast(uni), "a")
+    out = score_pairs_with_lm(j, F.lit(v))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.append(q.lastProgress)
+    return (spark.table(query_name)
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(struct(n_bigrams, avg_bigram_p), n_bigrams)")
+                  .alias("_x"))
+            .select("doc_id", F.col("_x.n_bigrams").alias("n_bigrams"),
+                    F.col("_x.avg_bigram_p").alias("avg_bigram_p")))
