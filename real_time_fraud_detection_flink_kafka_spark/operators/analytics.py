@@ -835,3 +835,25 @@ def q21_suppliers_kept_waiting(supplier: DataFrame, lineitem: DataFrame,
             .select("s_name", "numwait")
             .orderBy(F.desc("numwait"), "s_name")
             .limit(k))
+
+
+# --- semi-structured props ---------------------------------------------------
+
+
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured handling: parse the `props` JSON column with a
+    TYPED from_json (stays inside whole-stage codegen — no Python, no
+    schema inference scan) and aggregate the extracted field per
+    event type. The schema-on-read shape every event pipeline needs;
+    at 100 TB the win is that extraction is a row-local JVM
+    expression and only the extracted int rides the shuffle, never
+    the JSON string."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (events
+            .select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.count_distinct("k").alias("n_distinct_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))

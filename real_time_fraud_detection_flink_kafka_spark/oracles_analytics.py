@@ -466,4 +466,12 @@ JOIN nation   ON n_nationkey = s_nationkey
 WHERE n_supp >= 2 AND n_late_supp = 1 AND n_name = '{Q21_NATION}'
 GROUP BY 1
 ORDER BY numwait DESC, s_name LIMIT 100""",
+        "events_props_stats": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+         AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+         AS n_distinct_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1""",
     }

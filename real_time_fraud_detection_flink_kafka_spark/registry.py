@@ -137,6 +137,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_suppliers_kept_waiting": lambda s, d: analytics.q21_suppliers_kept_waiting(
         load_table(s, d, "supplier"), load_table(s, d, "lineitem"),
         load_table(s, d, "orders"), load_table(s, d, "nation")),
+    "events_props_stats": lambda s, d: analytics.events_props_stats(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])

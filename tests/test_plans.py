@@ -44,7 +44,8 @@ def test_fraud_scores_single_exchange(spark, sf_dir):
 
 @pytest.mark.parametrize("name", ["fraud_scores", "q1_pricing_summary",
                                   "sessionize", "token_count", "doc_fingerprint",
-                                  "dedup_exact", "lang_id", "bigram_lm_score"])
+                                  "dedup_exact", "lang_id", "bigram_lm_score",
+                                  "events_props_stats"])
 def test_no_python_udf_in_jvm_operators(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
