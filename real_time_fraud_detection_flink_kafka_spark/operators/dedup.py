@@ -177,8 +177,9 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
                        *[F.col("sig")[i].alias(f"m{i}") for i in range(H.N_PERM)])
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Banded LSH: distinct candidate pairs sharing any band bucket."""
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) — one row per LSH band per doc.
+    r=2 rows per band fused into one 60-bit*P + 60-bit key."""
     r = H.N_PERM // H.N_BANDS
     assert r == 2
     bands = F.array(*[
@@ -186,8 +187,13 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
                  (F.col(f"m{2 * j}") * H.P + F.col(f"m{2 * j + 1}")).alias("band_key"))
         for j in range(H.N_BANDS)
     ])
-    e = sig.select("doc_id", F.explode(bands).alias("b")).select(
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded LSH: distinct candidate pairs sharing any band bucket."""
+    e = _band_rows(sig)
     a, b = e.alias("a"), e.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -507,3 +513,89 @@ def dedup_winnow(documents: DataFrame, k: int = WINNOW_K,
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .where(F.col("n_shared") >= min_shared))
+
+
+DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 → the incoming increment
+
+
+def dedup_incremental(documents: DataFrame,
+                      delta_mod: int = DELTA_MOD,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup — the production daily-intake
+    shape: a new increment of documents is judged against an existing
+    corpus, never corpus-vs-corpus. Here the increment is carved out
+    deterministically (doc_id % delta_mod == 0); in production it is
+    yesterday's corpus vs today's crawl.
+
+    One row per DELTA doc: (doc_id, status, n_exact, n_near) where
+    n_exact = corpus docs with byte-identical text, n_near = corpus
+    docs whose 3-gram Jaccard vs this doc rounds to >= threshold
+    (includes the identical ones — identical text is Jaccard 1.0), and
+    status = 'exact_dup' | 'near_dup' | 'new' by that priority.
+
+    Scale design (the asymmetric twin of `dedup_minhash_lsh`):
+    - Exact stage joins 16-byte md5 keys only; the corpus side is
+      pre-collapsed to (text_md5, cluster size, representative), so
+      the join input is one row per UNIQUE corpus text.
+    - Near stage signs unique texts only (delta reps × corpus reps)
+      and band-joins DELTA bands against CORPUS bands — candidate
+      volume is O(delta × bands), never corpus²; the corpus signature
+      relation is the thing a production pipeline would persist
+      between increments and is persisted here.
+    - Per-candidate verification is an array-intersect over the
+      already-carried 60-bit shingle-hash sets; matches expand by the
+      corpus cluster size arithmetically (identical texts have
+      identical shingle sets), so duplicate-heavy corpora never
+      re-verify per copy.
+    """
+    is_delta = (F.col("doc_id") % delta_mod) == F.lit(0)
+    delta = documents.where(is_delta)
+    corpus = documents.where(~is_delta)
+
+    d_h = delta.select("doc_id", F.md5("text").alias("text_md5"))
+    c_clusters = tracked_persist(
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+              .agg(F.count(F.lit(1)).alias("c_size"),
+                   F.min("doc_id").alias("c_rep")))
+    d_reps = tracked_persist(
+        d_h.groupBy("text_md5").agg(F.min("doc_id").alias("d_rep")))
+
+    docs = spread(documents)
+    d_rep_docs = docs.join(
+        d_reps.select(F.col("d_rep").alias("doc_id")), "doc_id")
+    c_rep_docs = docs.join(
+        c_clusters.select(F.col("c_rep").alias("doc_id")), "doc_id")
+    dsig = tracked_persist(minhash_signatures(d_rep_docs))
+    csig = tracked_persist(minhash_signatures(c_rep_docs))
+
+    cand = (_band_rows(dsig).alias("a")
+            .join(_band_rows(csig).alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_key") == F.col("b.band_key")))
+            .select(F.col("a.doc_id").alias("d_rep"),
+                    F.col("b.doc_id").alias("c_rep"))
+            .distinct())
+    da = dsig.select(F.col("doc_id").alias("d_rep"), F.col("sh_set").alias("set_d"))
+    ca = csig.select(F.col("doc_id").alias("c_rep"), F.col("sh_set").alias("set_c"))
+    j = cand.join(da, "d_rep").join(ca, "c_rep")
+    inter = F.size(F.array_intersect("set_d", "set_c"))
+    jac = inter / (F.size("set_d") + F.size("set_c") - inter)
+    matched = (j.where((F.size("set_d") > 0) & (F.size("set_c") > 0))
+                .where(F.round(jac, 6) >= threshold)
+                .select("d_rep", "c_rep"))
+    near = (matched
+            .join(c_clusters.select("c_rep", "c_size"), "c_rep")
+            .groupBy("d_rep").agg(F.sum("c_size").alias("n_near")))
+
+    return (d_h.join(d_reps, "text_md5")
+               .join(c_clusters.select(
+                   "text_md5", F.col("c_size").alias("n_exact")),
+                   "text_md5", "left")
+               .join(near, "d_rep", "left")
+               .select(
+                   "doc_id",
+                   F.when(F.coalesce("n_exact", F.lit(0)) > 0, F.lit("exact_dup"))
+                    .when(F.coalesce("n_near", F.lit(0)) > 0, F.lit("near_dup"))
+                    .otherwise(F.lit("new")).alias("status"),
+                   F.coalesce("n_exact", F.lit(0).cast("bigint")).alias("n_exact"),
+                   F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near")))

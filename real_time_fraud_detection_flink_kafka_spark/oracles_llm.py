@@ -11,6 +11,7 @@ from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
     rolling_hash_sql,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+    DELTA_MOD,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
     SHINGLE_N,
@@ -66,8 +67,51 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}"""
 
 
+# Incremental dedup: near-dup counts computed by EXACT delta×corpus
+# Jaccard — the oracle for the LSH-bucketed asymmetric path (same
+# band-curve-completeness argument as dedup_minhash_lsh).
+_INCREMENTAL_SQL = f"""WITH delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DELTA_MOD} <> 0
+),
+exact AS (
+  SELECT d.doc_id, count(*) AS n_exact
+  FROM delta d JOIN corpus c ON md5(d.text) = md5(c.text)
+  GROUP BY 1
+),
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d_id, b.doc_id AS c_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % {DELTA_MOD} = 0 AND b.doc_id % {DELTA_MOD} <> 0
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT d_id AS doc_id, count(*) AS n_near
+  FROM common
+  JOIN sizes na ON na.doc_id = d_id
+  JOIN sizes nb ON nb.doc_id = c_id
+  WHERE round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6)
+        >= {JACCARD_THRESHOLD}
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN coalesce(e.n_exact, 0) > 0 THEN 'exact_dup'
+            WHEN coalesce(n.n_near, 0) > 0 THEN 'near_dup'
+            ELSE 'new' END AS status,
+       coalesce(e.n_exact, 0) AS n_exact,
+       coalesce(n.n_near, 0) AS n_near
+FROM delta d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id"""
+
+
 def llm_oracles() -> dict[str, str]:
     return {
+        "dedup_incremental": _INCREMENTAL_SQL,
         "dedup_exact": """
 SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
        md5(text) AS text_md5

@@ -204,6 +204,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),
+    "dedup_incremental": lambda s, d: dedup.dedup_incremental(load_table(s, d, "documents")),
     "bpe_apply": lambda s, d: pipeline_ops.bpe_apply(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths

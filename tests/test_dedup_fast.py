@@ -94,3 +94,36 @@ def test_dedup_clusters_transitive_chain(spark):
     assert sorted(out.index) == [10, 11, 12]
     assert (out.canonical_id == 10).all()
     assert (out.cluster_size == 3).all()
+
+
+def test_dedup_incremental_statuses(spark):
+    """Delta docs (doc_id % 10 == 0) judged against the rest: exact
+    match wins over near, near requires >= 3 words (shingleable), and
+    counts expand over identical corpus copies."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import dedup_incremental
+
+    w = [f"w{i}" for i in range(20)]
+    long_a = " ".join(w[0:12])        # w0..w11
+    near_a = " ".join(w[1:13])        # j = 9/11 ≈ 0.818 >= 0.8
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a),            # corpus: 2 identical copies
+         (3, "totally different corpus text here"),
+         (4, "x y"),                          # short corpus doc
+         (10, long_a),                        # delta: exact dup (2 copies)
+         (20, near_a),                        # delta: near dup of 1 and 2
+         (30, "brand new unseen delta text"), # delta: new
+         (40, "x y"),                         # delta: identical but short —
+                                              # exact_dup with n_near = 0
+         (50, "q")],                          # delta: short and unseen
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_incremental(docs).collect()}
+    assert out[10]["status"] == "exact_dup"
+    assert out[10]["n_exact"] == 2
+    assert out[10]["n_near"] == 2          # jaccard 1.0 vs both copies
+    assert out[20]["status"] == "near_dup"
+    assert (out[20]["n_exact"], out[20]["n_near"]) == (0, 2)
+    assert out[30]["status"] == "new"
+    assert out[40]["status"] == "exact_dup"
+    assert (out[40]["n_exact"], out[40]["n_near"]) == (1, 0)
+    assert out[50]["status"] == "new"
+    assert set(out) == {10, 20, 30, 40, 50}
