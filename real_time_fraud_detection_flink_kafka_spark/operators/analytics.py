@@ -857,3 +857,62 @@ def events_props_stats(events: DataFrame) -> DataFrame:
                  F.count_distinct("k").alias("n_distinct_k"),
                  F.max("k").alias("max_k"))
             .orderBy("event_type"))
+
+
+HIST_BINS = 256
+HIST_QS = [0.5, 0.9, 0.95, 0.99]
+
+
+def value_histogram_quantiles(events: DataFrame,
+                              n_bins: int = HIST_BINS,
+                              qs: list[float] | None = None) -> DataFrame:
+    """FIXED-BIN histogram quantile sketch over `value` — the
+    one-pass bounded-error quantile for CONTINUOUS columns, next to
+    the two exact baselines (`event_value_percentiles`: per-group
+    sort; `quality_percentile_gate`: distinct-value histogram, which
+    is only bounded because quality is 6dp-rounded). For a raw double
+    column the distinct-value relation is O(n); the fixed-bin sketch
+    is the production shape: state is exactly `n_bins` counters
+    regardless of cardinality, and the estimate (the qualifying bin's
+    upper edge) is wrong by at most one bin width — asserted against
+    the exact quantile in tests/test_edge_cases.py.
+
+    Scale shape: one extremes pass (min/max/count, map-side partials,
+    1-row broadcast back), one histogram pass (groupBy on the bin id,
+    <= n_bins rows out), then a cumulative sum + threshold pick over
+    the n_bins-row relation. The single-partition window and the
+    non-equi quantile join both run on <= n_bins rows — O(n_bins·|qs|)
+    driver-adjacent work, never on data. The column is scanned twice
+    and sorted never; a global sort-based quantile at 100 TB is a
+    single straggler task, this is two embarrassingly-parallel scans.
+
+    Engine-exact despite being approximate: the binning arithmetic
+    ((value-lo)/width, floor, clamp) is the same IEEE double sequence
+    in Spark and DuckDB, so the SKETCH ITSELF is value-oracle-checked
+    — approximation error is vs the true quantile, not between
+    engines."""
+    qs = HIST_QS if qs is None else qs
+    ext = events.agg(F.min("value").alias("lo"), F.max("value").alias("hi"),
+                     F.count(F.lit(1)).alias("n"))
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    bin_id = (F.when(F.col("hi") > F.col("lo"),
+                     F.least(F.floor((F.col("value") - F.col("lo")) / width),
+                             F.lit(n_bins - 1).cast("bigint")))
+               .otherwise(F.lit(0).cast("bigint")))
+    binned = (events.crossJoin(F.broadcast(ext))
+                    .select(bin_id.alias("bin"), "lo", "hi", "n"))
+    hist = (binned.groupBy("bin", "lo", "hi", "n")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "lo", "hi", "n",
+                      F.sum("cnt").over(wcum).alias("cum"))
+    q_rel = (events.sparkSession.range(1)
+             .select(F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                      .alias("q")))
+    sel = cum.join(F.broadcast(q_rel),
+                   F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    return (sel.groupBy("q")
+               .agg(F.min("bin").alias("bin"),
+                    F.min(F.col("lo") + (F.col("bin") + 1) * width)
+                     .alias("est"))
+               .orderBy("q"))

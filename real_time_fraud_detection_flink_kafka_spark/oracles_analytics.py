@@ -52,6 +52,8 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q20_FROM,
     Q20_NATION,
     Q20_TO,
+    HIST_BINS,
+    HIST_QS,
     PCTS,
     PS_COST_MOD,
     PS_PER_PART,
@@ -474,4 +476,28 @@ SELECT event_type, count(*) AS n_events,
          AS n_distinct_k,
        max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY 1 ORDER BY 1""",
+        # the sketch itself is engine-exact: identical IEEE binning
+        # arithmetic both sides; approximation is only vs the TRUE
+        # quantile (bounded by one bin width, asserted in pytest)
+        "value_histogram_quantiles": f"""
+WITH ext AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n
+             FROM events),
+binned AS (
+  SELECT CASE WHEN hi > lo THEN least(
+                CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS})) AS BIGINT),
+                {HIST_BINS - 1})
+              ELSE 0 END AS bin, lo, hi, n
+  FROM events, ext
+),
+hist AS (SELECT bin, lo, hi, n, count(*) AS cnt FROM binned
+         GROUP BY bin, lo, hi, n),
+cum AS (SELECT bin, lo, hi, n,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+qs AS (SELECT unnest([{", ".join(repr(float(q)) for q in HIST_QS)}]) AS q)
+SELECT q, min(bin) AS bin,
+       min(lo + (bin + 1) * ((hi - lo) / {HIST_BINS})) AS est
+FROM cum, qs
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+GROUP BY q ORDER BY q""",
     }

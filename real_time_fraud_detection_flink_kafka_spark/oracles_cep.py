@@ -4,13 +4,63 @@ from __future__ import annotations
 
 from real_time_fraud_detection_flink_kafka_spark.functions.hashing import md5_int60_sql
 from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+    COINCIDENCE_US,
     KMV_K,
     KMV_NORM,
     LARGE_MIN,
     MIN_PROBES,
+    PR_DAMP,
+    PR_FP,
+    PR_ITERS,
     SEQ_WINDOW_US,
     SMALL_MAX,
 )
+
+# shared by coincident_events and the PageRank oracle's edge CTE
+_COINCIDENT_SQL = f"""
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       a.user_id AS user_a, b.user_id AS user_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON epoch_us(b.ts) - epoch_us(a.ts) >= 0
+ AND epoch_us(b.ts) - epoch_us(a.ts) < {COINCIDENCE_US}
+ AND (epoch_us(a.ts) < epoch_us(b.ts) OR a.event_id < b.event_id)
+ AND a.user_id <> b.user_id"""
+
+
+def _pagerank_sql() -> str:
+    """n_iters chained power-iteration CTEs; every constant is the
+    repr of the exact Python double the Spark expression uses, so the
+    damped update is the same IEEE sequence on both engines."""
+    base = f"CAST(floor({1.0 - PR_DAMP!r} * {float(PR_FP)!r} / d.n) AS BIGINT)"
+    ctes = [f"pairs AS ({_COINCIDENT_SQL})",
+            """e AS (
+  SELECT user_a AS src, user_b AS dst FROM pairs
+  UNION
+  SELECT user_b AS src, user_a AS dst FROM pairs
+)""",
+            "deg AS (SELECT src AS user_id, count(*) AS deg FROM e GROUP BY 1)",
+            "nn AS (SELECT count(*) AS n FROM deg)",
+            f"""pr0 AS (
+  SELECT user_id, deg, n,
+         CAST(floor({float(PR_FP)!r} / n) AS BIGINT) AS pr_units
+  FROM deg, nn
+)"""]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT d.user_id, d.deg, d.n,
+         {base} + CAST(floor({PR_DAMP!r} * s.s) AS BIGINT) AS pr_units
+  FROM (SELECT user_id, deg, n FROM pr0) d
+  JOIN (SELECT e.dst AS user_id,
+               sum(CAST(floor(p.pr_units / p.deg) AS BIGINT)) AS s
+        FROM e JOIN pr{i - 1} p ON e.src = p.user_id
+        GROUP BY 1) s USING (user_id)
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT user_id, deg, pr_units,
+       pr_units / {float(PR_FP)!r} AS pr
+FROM pr{PR_ITERS}""")
 from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 
@@ -82,4 +132,9 @@ FROM u
 WINDOW w AS (PARTITION BY k ORDER BY t, is_order DESC, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 QUALIFY is_order = 0""",
+        # the binned equi-join plan must reproduce the plain
+        # inequality self-join row-exactly (pair order: earlier
+        # event first, event_id tie-break at gap = 0)
+        "coincident_events": _COINCIDENT_SQL,
+        "coincidence_pagerank": _pagerank_sql(),
     }

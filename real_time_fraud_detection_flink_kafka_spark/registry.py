@@ -139,6 +139,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders"), load_table(s, d, "nation")),
     "events_props_stats": lambda s, d: analytics.events_props_stats(
         load_table(s, d, "events")),
+    "value_histogram_quantiles": lambda s, d: analytics.value_histogram_quantiles(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
@@ -453,6 +455,12 @@ register("distinct_users_kmv",
 register("distinct_users_approx",
          lambda s, d: cep.distinct_users_approx(load_table(s, d, "events")),
          None)  # HLL sketch values are engine-specific
+register("coincident_events",
+         lambda s, d: cep.coincident_events(load_table(s, d, "events")),
+         _CEP_ORACLES["coincident_events"])
+register("coincidence_pagerank",
+         lambda s, d: cep.coincidence_pagerank(load_table(s, d, "events")),
+         _CEP_ORACLES["coincidence_pagerank"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 

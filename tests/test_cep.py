@@ -57,3 +57,36 @@ def test_kmv_estimator_branch_error_bound(spark, sf_dir):
     assert len(engaged) > 0, "estimator branch never engaged — lower k"
     rel_err = ((engaged.n_users_est - engaged.n).abs() / engaged.n)
     assert (rel_err < 3 / (k - 2) ** 0.5).all(), rel_err
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """(r6) Structural PageRank property on an exactly-known graph: a
+    star built from event timings (center user co-occurs with every
+    leaf inside the 60 s window; leaves are 120 s apart so they never
+    pair with each other). The center must out-rank every leaf, the
+    leaves must tie EXACTLY (fixed-point determinism), and total rank
+    mass must stay within floor-loss of 1."""
+    import datetime
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        PR_FP,
+        coincidence_pagerank,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    n_leaves, rows, eid = 6, [], 0
+    for i in range(n_leaves):
+        rows.append((eid, base + datetime.timedelta(seconds=i * 120), 100, "c", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(seconds=i * 120 + 30), 200 + i, "c", 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    pr = {r.user_id: r.pr_units for r in coincidence_pagerank(events).collect()}
+    assert set(pr) == {100, *range(200, 200 + n_leaves)}
+    leaf_units = {pr[200 + i] for i in range(n_leaves)}
+    assert len(leaf_units) == 1, "leaves must tie exactly"
+    assert pr[100] > max(leaf_units)
+    total = sum(pr.values())
+    assert 0.999 * PR_FP < total <= PR_FP

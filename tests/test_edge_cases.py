@@ -184,3 +184,29 @@ def test_mix_rebalance_absent_target_source_is_safe(spark):
     out = mix_rebalance(docs, {"src0": 500_000, "src1": 500_000}).toPandas()
     assert set(out.source) <= {"src0"}
     assert len(out) > 0
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
+    """(r6) The fixed-bin sketch's error contract: for every q the
+    estimated quantile (qualifying bin's upper edge) must sit within
+    one bin width of the exact discrete quantile — est >= exact (the
+    ceil(q·n)-th value lies inside the bin whose upper edge we
+    return) and est - exact <= width."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        HIST_BINS,
+        HIST_QS,
+        value_histogram_quantiles,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    est = {r["q"]: r["est"]
+           for r in value_histogram_quantiles(events).collect()}
+    vals = sorted(v["value"] for v in events.select("value").collect())
+    lo, hi, n = vals[0], vals[-1], len(vals)
+    width = (hi - lo) / HIST_BINS
+    import math
+    for q in HIST_QS:
+        exact = vals[max(1, math.ceil(q * n)) - 1]
+        assert est[q] >= exact - 1e-9, (q, est[q], exact)
+        assert est[q] - exact <= width + 1e-9, (q, est[q], exact, width)

@@ -354,3 +354,32 @@ def test_gram_hash_expression_not_reinlined(spark, sf_dir, name, max_md5):
     assert plan.count("md5(") <= max_md5, (
         f"{name}: md5 subtree inlined {plan.count('md5(')}× — "
         "let-binding regressed")
+
+
+def test_coincident_events_binned_equi_join_no_cartesian(spark, sf_dir):
+    """The range join must execute as a shuffled EQUI-join on the
+    time-bin key — the whole point of bin bucketing. A cartesian or
+    nested-loop pair join is the O(n²) shape the operator exists to
+    replace (the tiny quantile/extremes broadcasts elsewhere are hash
+    joins, so any BNLJ here would be the pair join)."""
+    plan = _plan(spark, sf_dir, "coincident_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keyed = [l for l in plan.splitlines()
+             if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+                 or "BroadcastHashJoin" in l) and "bin" in l]
+    assert keyed, plan[:2000]
+
+
+def test_histogram_quantiles_no_global_sort_single_scan_pair(spark, sf_dir):
+    """value_histogram_quantiles must never globally sort the data:
+    no range partitioning and no per-row ranking — the only ordered
+    work is the cumulative-sum Window over the ≤ n_bins histogram
+    rows. Exactly two scans of events (extremes pass + binning pass),
+    both full-parallel."""
+    plan = _plan(spark, sf_dir, "value_histogram_quantiles")
+    assert "row_number" not in plan
+    assert plan.count("Window") == 1
+    scans = [l for l in plan.splitlines()
+             if "FileScan parquet" in l or "Scan parquet" in l]
+    assert len(scans) == 2, plan[:2000]
