@@ -65,6 +65,8 @@ HEADLINE = [
     "vocab_topk",
     "chunk_documents",
     "pack_sequences",
+    "coincident_events",      # bin-bucketed non-equi range join (r6)
+    "coincidence_pagerank",   # 5 power-iteration rounds over the pair graph (r6)
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
 ]
 

@@ -765,3 +765,57 @@ def boilerplate_ngrams(documents: DataFrame, n: int = BOILER_N,
     return (e.where(F.col("df") >= min_df)
              .orderBy(F.desc("df"), F.asc("h"))
              .limit(k))
+
+
+# --- count-min frequency sketch ----------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+CMS_K = 20   # heavy hitters reported
+
+
+def _cms_bucket(col, j: int):
+    """Row-j counter index: portable md5 of 'j:token' mod CMS_W."""
+    return md5_int60(F.concat(F.lit(f"{j}:"), col)) % CMS_W
+
+
+def heavy_hitters_cms(documents: DataFrame, k: int = CMS_K) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH, measured against the
+    exact counts — the frequency sketch completing the sketch family
+    (KMV / HLL estimate CARDINALITY; CMS estimates per-item
+    FREQUENCY). Like `ann_lsh_recall`, the accuracy story is
+    measured, not claimed: the output carries exact_tf next to the
+    sketch's est_tf for the top-k tokens, and est >= exact (the CMS
+    one-sided guarantee) is pinned in pytest.
+
+    Sketch build, the actual scale path: each token occurrence
+    increments CMS_D counters chosen by portable md5 row-hashes; as a
+    groupBy(j, bucket) with map-side combine every executor emits AT
+    MOST CMS_D·CMS_W rows regardless of corpus size — the sketch is
+    the mergeable bounded state that replaces a |V|-row shuffle when
+    the vocabulary is unbounded (URLs, n-grams, user ids). The probe
+    side re-derives each candidate's CMS_D buckets and takes the
+    integer MIN over rows — all-integer arithmetic end to end, so the
+    whole pipeline (build + probe) is value-exact between engines.
+    The sketch relation joins broadcast (it is bounded by
+    construction); the exact-count branch exists only to measure the
+    sketch, exactly as the LSH recall curve carries its quadratic
+    baseline."""
+    tok = documents.select(F.explode(_words(F.col("text"))).alias("w"))
+    jb = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), _cms_bucket(F.col("w"), j).alias("b"))
+        for j in range(CMS_D)])).alias("jb")
+    sketch = (tok.select(jb)
+                 .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+                 .groupBy("j", "b").agg(F.count(F.lit(1)).alias("cnt")))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_tf"))
+    top = exact.orderBy(F.desc("exact_tf"), F.asc("w")).limit(k)
+    probes = (top.select("w", "exact_tf", jb)
+                 .select("w", "exact_tf",
+                         F.col("jb.j").alias("j"), F.col("jb.b").alias("b")))
+    est = (probes.join(F.broadcast(sketch), ["j", "b"])
+                 .groupBy("w", "exact_tf")
+                 .agg(F.min("cnt").alias("est_tf")))
+    rnk = Window.orderBy(F.desc("exact_tf"), F.asc("w"))
+    return est.select("w", "exact_tf", "est_tf",
+                      F.row_number().over(rnk).cast("int").alias("rnk"))

@@ -283,6 +283,9 @@ def _pipeline_oracles() -> dict[str, str]:
         SAMPLE_RATES_BP,
         TOP_TOK_MAX,
         VOCAB_K,
+        CMS_D,
+        CMS_K,
+        CMS_W,
     )
 
     grams = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_NGRAM))
@@ -498,6 +501,34 @@ rec AS (
   FROM rec JOIN t ON t.shard = rec.shard AND t.rn = rec.rn + 1
 )
 SELECT doc_id, shard, pack_id, n_tokens FROM rec""",
+        # all-integer build + probe (md5 bucket, count, min) — the
+        # sketch pipeline itself is value-exact between engines
+        "heavy_hitters_cms": f"""
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+), js AS (
+  SELECT unnest(generate_series(0, {CMS_D - 1})) AS j
+), hashed AS (
+  SELECT w, j,
+         {md5_int60_sql("CAST(j AS VARCHAR) || ':' || w")} % {CMS_W} AS b
+  FROM tok, js
+), sketch AS (
+  SELECT j, b, count(*) AS cnt FROM hashed GROUP BY 1, 2
+), exact AS (
+  SELECT w, count(*) AS exact_tf FROM tok GROUP BY 1
+), top AS (
+  SELECT * FROM exact ORDER BY exact_tf DESC, w LIMIT {CMS_K}
+), probes AS (
+  SELECT w, exact_tf, j,
+         {md5_int60_sql("CAST(j AS VARCHAR) || ':' || w")} % {CMS_W} AS b
+  FROM top, js
+), est AS (
+  SELECT w, exact_tf, min(cnt) AS est_tf
+  FROM probes JOIN sketch USING (j, b) GROUP BY 1, 2
+)
+SELECT w, exact_tf, est_tf,
+       CAST(row_number() OVER (ORDER BY exact_tf DESC, w) AS INTEGER) AS rnk
+FROM est""",
     }
 
 

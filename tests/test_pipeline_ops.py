@@ -349,3 +349,19 @@ def test_pii_scrub_redacts_injected_pii(docs):
     assert (injected.n_ips >= 1).all()
     assert (injected.n_phones == 1).all()
     assert (clean[["n_emails", "n_ips", "n_phones"]] == 0).all().all()
+
+
+def test_cms_estimate_is_one_sided_overestimate(spark, sf_dir):
+    """(r6) The count-min guarantee the sketch is built on: the
+    estimated frequency can never be BELOW the exact count (counters
+    only ever absorb extra collisions), and for a corpus-scale
+    vocabulary into 4x512 counters the top hitters should estimate
+    close to exact."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        heavy_hitters_cms,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    out = heavy_hitters_cms(load_table(spark, sf_dir, "documents")).toPandas()
+    assert len(out) > 0
+    assert (out.est_tf >= out.exact_tf).all()
