@@ -532,6 +532,21 @@ JOIN events e
  AND e.ts <= p.ts""")
 
 
+def _stream_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_coincident_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_coincident_stream(
+        spark, sf_dir, f"coincident_stream_{_STREAM_COUNTER['n']}")
+
+
+# shares the batch bin-join's oracle: same pairs, same tie-break
+register("stream_coincident_events", _stream_coincident,
+         _CEP_ORACLES["coincident_events"])
+
+
 # --- driver evaluation window ------------------------------------------------
 # The grading driver evaluates exactly the FIRST 50 entries of
 # ``queries()`` in dict order (observed: CORRECTNESS_r{1,2,3}.json each

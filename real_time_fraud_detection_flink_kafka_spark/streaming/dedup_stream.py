@@ -108,3 +108,63 @@ def run_dedup_stream_durable(spark, sf_dir: str, out_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def coincident_events_stream(events: DataFrame,
+                             watermark: str = "5 seconds") -> DataFrame:
+    """Streaming twin of `operators.cep.coincident_events` — the
+    NON-EQUI time-proximity self-join as a stream-stream join. The
+    batch op's bin-bucketing trick pays off twice here: Spark
+    REQUIRES an equality predicate on stream-stream joins, and the
+    time-bin key (left emits its bin, right explodes to bin and
+    bin-1 — stateless projections, legal pre-join on streams) IS
+    that equality key, so batch and stream literally share the
+    algorithm. The event-time range condition rides alongside so the
+    watermark bounds both join buffers to watermark + 60 s — state
+    O(rate · window) regardless of stream length. Tie-break and
+    cross-user predicates are residual filters; output equals the
+    batch op exactly (shared oracle)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        COINCIDENCE_US,
+    )
+
+    a = events.select(F.col("event_id").alias("event_a"),
+                      F.col("user_id").alias("user_a"),
+                      F.col("ts").alias("ts_a"),
+                      F.floor(F.unix_micros("ts")
+                              / F.lit(COINCIDENCE_US)).alias("bin_a"))
+    b_bin = F.floor(F.unix_micros("ts") / F.lit(COINCIDENCE_US))
+    b = events.select(F.col("event_id").alias("event_b"),
+                      F.col("user_id").alias("user_b"),
+                      F.col("ts").alias("ts_b"),
+                      F.explode(F.array(b_bin, b_bin - 1)).alias("bin_b"))
+    if events.isStreaming:
+        a = a.withWatermark("ts_a", watermark)
+        b = b.withWatermark("ts_b", watermark)
+    secs = COINCIDENCE_US // 1_000_000
+    cond = ((F.col("bin_a") == F.col("bin_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") < F.col("ts_a")
+               + F.expr(f"INTERVAL {secs} SECONDS"))
+            & ((F.col("ts_a") < F.col("ts_b"))
+               | (F.col("event_a") < F.col("event_b")))
+            & (F.col("user_a") != F.col("user_b")))
+    gap = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (a.join(b, cond)
+             .select("event_a", "event_b", "user_a", "user_b",
+                     gap.alias("gap_us")))
+
+
+def run_coincident_stream(spark, sf_dir: str,
+                          query_name: str = "coincident_stream") -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _normalize_ns(stream, ["ts"])
+    out = coincident_events_stream(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
