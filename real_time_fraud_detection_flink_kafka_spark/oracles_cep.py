@@ -137,4 +137,53 @@ QUALIFY is_order = 0""",
         # event first, event_id tie-break at gap = 0)
         "coincident_events": _COINCIDENT_SQL,
         "coincidence_pagerank": _pagerank_sql(),
+        # degree-ordered triangle enumeration — same orientation rule
+        # ((deg, id) lexicographic) as the Spark plan, so each
+        # triangle closes exactly once on both engines
+        "coincidence_triangles": f"""
+WITH pairs AS ({_COINCIDENT_SQL}),
+und AS (
+  SELECT DISTINCT least(user_a, user_b) AS u, greatest(user_a, user_b) AS v
+  FROM pairs
+),
+deg AS (
+  SELECT user_id, count(*) AS deg
+  FROM (SELECT u AS user_id FROM und UNION ALL SELECT v AS user_id FROM und)
+  GROUP BY 1
+),
+e AS (
+  SELECT u, v, du.deg AS deg_u, dv.deg AS deg_v
+  FROM und JOIN deg du ON du.user_id = u JOIN deg dv ON dv.user_id = v
+),
+dire AS (
+  SELECT CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v)
+              THEN deg_v ELSE deg_u END AS deg_dst
+  FROM e
+),
+w AS (
+  SELECT x.src AS a, x.dst AS b, x.deg_dst AS deg_b,
+         y.dst AS c, y.deg_dst AS deg_c
+  FROM dire x JOIN dire y ON x.src = y.src
+  WHERE x.deg_dst < y.deg_dst
+     OR (x.deg_dst = y.deg_dst AND x.dst < y.dst)
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM w JOIN dire d ON d.src = w.b AND d.dst = w.c
+),
+tn AS (
+  SELECT user_id, count(*) AS n_tri
+  FROM (SELECT a AS user_id FROM tri
+        UNION ALL SELECT b AS user_id FROM tri
+        UNION ALL SELECT c AS user_id FROM tri)
+  GROUP BY 1
+)
+SELECT deg.user_id, deg.deg, coalesce(tn.n_tri, 0) AS n_tri,
+       CASE WHEN deg.deg >= 2
+            THEN (2 * coalesce(tn.n_tri, 0)) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tn USING (user_id)""",
     }

@@ -462,6 +462,9 @@ register("coincident_events",
 register("coincidence_pagerank",
          lambda s, d: cep.coincidence_pagerank(load_table(s, d, "events")),
          _CEP_ORACLES["coincidence_pagerank"])
+register("coincidence_triangles",
+         lambda s, d: cep.coincidence_triangles(load_table(s, d, "events")),
+         _CEP_ORACLES["coincidence_triangles"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 

@@ -90,3 +90,31 @@ def test_pagerank_star_graph_center_dominates(spark):
     assert pr[100] > max(leaf_units)
     total = sum(pr.values())
     assert 0.999 * PR_FP < total <= PR_FP
+
+
+def test_triangles_known_graph(spark):
+    """(r6) Exactly-known graph: a K3 (users 1,2,3 co-occur within
+    one minute) plus a pendant (user 4 pairs only with user 1 in a
+    later window). Checks triangle counts and the clustering
+    coefficient against hand arithmetic."""
+    import datetime
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        coincidence_triangles,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, base, 1, "c", 1.0, "{}"),
+            (1, base + datetime.timedelta(seconds=10), 2, "c", 1.0, "{}"),
+            (2, base + datetime.timedelta(seconds=20), 3, "c", 1.0, "{}"),
+            (3, base + datetime.timedelta(seconds=1000), 4, "c", 1.0, "{}"),
+            (4, base + datetime.timedelta(seconds=1030), 1, "c", 1.0, "{}")]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.user_id: (r.deg, r.n_tri, r.lcc)
+           for r in coincidence_triangles(events).collect()}
+    assert got == {1: (3, 1, 2 * 1 / (3 * 2)),
+                   2: (2, 1, 1.0),
+                   3: (2, 1, 1.0),
+                   4: (1, 0, 0.0)}
