@@ -52,6 +52,12 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q20_FROM,
     Q20_NATION,
     Q20_TO,
+    DQ_DUP_MOD,
+    DQ_FK_MOD,
+    DQ_NEG_MOD,
+    DQ_TS_HI,
+    DQ_TS_LO,
+    DQ_TS_MOD,
     HIST_BINS,
     HIST_QS,
     PCTS,
@@ -500,4 +506,45 @@ SELECT q, min(bin) AS bin,
 FROM cum, qs
 WHERE cum >= CAST(ceil(q * n) AS BIGINT)
 GROUP BY q ORDER BY q""",
+        # same deterministic fault injection as _inject_dq_faults, so
+        # every check reports non-zero violations on clean testdata
+        "dq_audit": f"""
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % {DQ_TS_MOD} = 0
+              THEN ts + INTERVAL 400 DAY ELSE ts END AS ts,
+         CASE WHEN user_id % {DQ_FK_MOD} = 0
+              THEN user_id + 10000000 ELSE user_id END AS user_id,
+         CASE WHEN event_id % {DQ_NEG_MOD} = 0
+              THEN -value - 1.0 ELSE value END AS value
+  FROM events
+),
+faulty AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM base WHERE event_id % {DQ_DUP_MOD} = 0
+),
+j AS (
+  SELECT faulty.*, c.c_custkey
+  FROM faulty LEFT JOIN customer c ON faulty.user_id = c.c_custkey
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+         count(*) - count(DISTINCT event_id) AS v_dup,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{DQ_TS_LO}'
+                         OR ts >= TIMESTAMP '{DQ_TS_HI}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+         CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_fk
+  FROM j
+)
+SELECT 'value_nonnegative' AS check_name, n AS n_rows,
+       v_neg AS n_violations, v_neg / n AS violation_rate FROM m
+UNION ALL
+SELECT 'event_id_unique', n, v_dup, v_dup / n FROM m
+UNION ALL
+SELECT 'ts_in_expected_range', n, v_ts, v_ts / n FROM m
+UNION ALL
+SELECT 'user_fk_in_customer', n, v_fk, v_fk / n FROM m""",
     }

@@ -141,6 +141,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "value_histogram_quantiles": lambda s, d: analytics.value_histogram_quantiles(
         load_table(s, d, "events")),
+    "dq_audit": lambda s, d: analytics.dq_audit(
+        load_table(s, d, "events"), load_table(s, d, "customer")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
