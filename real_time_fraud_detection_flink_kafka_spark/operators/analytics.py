@@ -987,3 +987,39 @@ def dq_audit(events: DataFrame, customer: DataFrame) -> DataFrame:
              .select("r.check_name", "r.n_rows", "r.n_violations",
                      (F.col("r.n_violations") / F.col("r.n_rows"))
                       .alias("violation_rate")))
+
+
+def linreg_value_by_hour(events: DataFrame) -> DataFrame:
+    """Closed-form OLS (value ~ hour-of-day) trained IN the engine —
+    the distributed-ML primitive done the MLlib-summarizer way: one
+    pass accumulates the mergeable sufficient statistics
+    (n, Σx, Σx², Σy, Σxy, Σy²) with map-side partial aggregation,
+    then slope/intercept/R² are pure arithmetic on the 1-row stats
+    relation. No gradient loop, no driver-side math, no per-row
+    state — the one-pass shape that scales to any row count because
+    the shuffle carries exactly six numbers per partition.
+
+    Engine-exact: x is an integer (hour), so Σx/Σx² are exact; the
+    y-sums use the fixed-point `fsum` (associative integer adds), and
+    the closed-form expressions are written token-identically in the
+    oracle so both engines run the same IEEE sequence. Logistic/GD
+    variants need exp() — libm-dependent across engines — which is
+    exactly why the demo is OLS: the strongest model whose training
+    is value-oracle-checkable."""
+    x = F.hour("ts").cast("bigint")
+    y = F.col("value")
+    stats = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        fsum(y).alias("sy"),
+        fsum(x * y).alias("sxy"),
+        fsum(y * y).alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return stats.select(
+        "n", slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        ((num * num) / (den_x * den_y)).alias("r2"))

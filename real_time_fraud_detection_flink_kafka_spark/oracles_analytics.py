@@ -547,4 +547,23 @@ UNION ALL
 SELECT 'ts_in_expected_range', n, v_ts, v_ts / n FROM m
 UNION ALL
 SELECT 'user_fk_in_customer', n, v_fk, v_fk / n FROM m""",
+        # token-identical closed-form expressions: both engines run
+        # the same IEEE sequence over the same fixed-point stats
+        "linreg_value_by_hour": f"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(hour(ts)) AS BIGINT) AS sx,
+         CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+         {_fsum('value')} AS sy,
+         {_fsum('hour(ts) * value')} AS sxy,
+         {_fsum('value * value')} AS syy
+  FROM events
+)
+SELECT n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM stats""",
     }

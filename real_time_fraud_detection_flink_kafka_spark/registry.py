@@ -143,6 +143,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "dq_audit": lambda s, d: analytics.dq_audit(
         load_table(s, d, "events"), load_table(s, d, "customer")),
+    "linreg_value_by_hour": lambda s, d: analytics.linreg_value_by_hour(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])

@@ -383,3 +383,22 @@ def test_histogram_quantiles_no_global_sort_single_scan_pair(spark, sf_dir):
     scans = [l for l in plan.splitlines()
              if "FileScan parquet" in l or "Scan parquet" in l]
     assert len(scans) == 2, plan[:2000]
+
+
+def test_graph_ops_no_cartesian_joins(spark, sf_dir):
+    """The two graph queries are built ONLY from equi-joins on node
+    keys (plus tiny 1-row broadcasts): a cartesian or nested-loop
+    join on DATA relations would mean the pair/wedge stage regressed
+    to the quadratic shape. PageRank's only BNLJs are the 1-row node
+    count cross-broadcast (re-printed per cached-`nodes` reference —
+    the plan STRING over-counts InMemoryRelation subtrees); every
+    one must be the BuildRight-Cross shape, never a conditioned
+    nested loop over data. Triangles has none at all."""
+    for name in ("coincidence_pagerank", "coincidence_triangles"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+        if name == "coincidence_triangles":
+            assert not bnlj, plan[:2000]
+        else:
+            assert all("BuildRight, Cross" in l for l in bnlj), bnlj
