@@ -296,3 +296,92 @@ def coincidence_triangles(events: DataFrame) -> DataFrame:
                  ).otherwise(F.lit(0.0))
     return out.select("user_id", "deg", n_tri.alias("n_tri"),
                       lcc.alias("lcc"))
+
+
+BLOOM_SIZES = [4096, 65536]  # m — measured as a sizing curve
+BLOOM_K = 4            # hash functions
+BLOOM_WORD = 32        # bits per word — 1 << 31 max keeps masks
+                       # positive in both engines' int64 (no sign-bit
+                       # portability edge at 1 << 63)
+BLOOM_SHIFT = 5_000_000  # probe offset guaranteed outside the key set
+
+
+def _bloom_word_mask(col, j: int, m: int):
+    """(word index, bit mask) of hash j for a key column under an
+    m-bit filter. shiftleft takes only a literal count, so the mask
+    is a 32-element lookup array indexed by the bit position
+    (element_at is 1-based)."""
+    masks = F.array(*[F.lit(1 << i).cast("bigint") for i in range(BLOOM_WORD)])
+    bit = H.md5_int60(F.concat(F.lit(f"bloom{j}:"), col.cast("string"))) % m
+    return (F.floor(bit / BLOOM_WORD).cast("bigint").alias("word"),
+            F.element_at(masks, ((bit % BLOOM_WORD) + 1).cast("int"))
+             .alias("mask"))
+
+
+def bloom_membership(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Bloom-filter membership with the false-positive rate MEASURED
+    per filter size — completing the sketch quartet (KMV/HLL:
+    cardinality, count-min: frequency, fixed-bin histogram:
+    quantiles, Bloom: membership), presented the `ann_recall_compare`
+    way: one row per m showing how an underdimensioned filter's FPR
+    collapses as m grows, so the sizing lever (m proportional to n)
+    is demonstrated with numbers, not quoted from the formula. Build
+    over the customer key set; probe with real user ids (members)
+    AND ids shifted outside the key domain (guaranteed non-members);
+    report hit counts next to ground truth.
+
+    Scale shape: each filter is m/32 word rows built by
+    groupBy(word) + bit_or with map-side combine — mergeable bounded
+    state, the same argument as the CMS counters; executors emit at
+    most m/32 rows each no matter how many keys stream through. The
+    probe side joins the broadcast filter on the word key; a probe is
+    positive iff ALL k of its bits are set. All integer bit
+    arithmetic end to end (portable md5 bits, 32-bit words so no
+    int64 sign-bit edge) — filter contents AND verdict counts are
+    value-exact between engines; the one division per row is the
+    FPR."""
+    out = None
+    for m in BLOOM_SIZES:
+        row = _bloom_one(events, customer, m)
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _bloom_one(events: DataFrame, customer: DataFrame, m: int) -> DataFrame:
+    keys = customer.select(F.col("c_custkey").alias("key"))
+    built = [keys.select(*_bloom_word_mask(F.col("key"), j, m))
+             for j in range(BLOOM_K)]
+    bits_rel = built[0]
+    for b in built[1:]:
+        bits_rel = bits_rel.unionAll(b)
+    bloom = (bits_rel.groupBy("word")
+                     .agg(F.bit_or("mask").alias("bits")))
+    members = events.select(F.col("user_id").alias("probe")).distinct()
+    non_members = members.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
+    probes = (members.select("probe", F.lit(1).alias("is_member"))
+                     .unionAll(non_members.select(
+                         "probe", F.lit(0).alias("is_member"))))
+    pw = probes.select("probe", "is_member", F.explode(F.array(*[
+        F.struct(*_bloom_word_mask(F.col("probe"), j, m))
+        for j in range(BLOOM_K)])).alias("wm"))
+    hits = (pw.select("probe", "is_member",
+                      F.col("wm.word").alias("word"),
+                      F.col("wm.mask").alias("mask"))
+              .join(F.broadcast(bloom), "word", "left")
+              .select("probe", "is_member",
+                      (F.coalesce(F.col("bits"), F.lit(0))
+                       .bitwiseAND(F.col("mask")) == F.col("mask"))
+                       .cast("int").alias("hit")))
+    verdict = (hits.groupBy("probe", "is_member")
+                   .agg((F.sum("hit") == BLOOM_K).cast("int").alias("pos")))
+    agg = verdict.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum("pos").cast("bigint").alias("n_bloom_pos"),
+        F.sum(((F.col("is_member") == 0) & (F.col("pos") == 1)).cast("int"))
+         .cast("bigint").alias("n_false_pos"),
+        F.sum(((F.col("is_member") == 1) & (F.col("pos") == 0)).cast("int"))
+         .cast("bigint").alias("n_false_neg"),
+        (F.sum(((F.col("is_member") == 0) & (F.col("pos") == 1)).cast("int"))
+         / F.sum((F.col("is_member") == 0).cast("int"))).alias("fpr"))
+    return agg.select(F.lit(m).cast("bigint").alias("m_bits"), "*")

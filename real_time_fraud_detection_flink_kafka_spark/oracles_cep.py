@@ -61,6 +61,77 @@ def _pagerank_sql() -> str:
 SELECT user_id, deg, pr_units,
        pr_units / {float(PR_FP)!r} AS pr
 FROM pr{PR_ITERS}""")
+def _bloom_sql() -> str:
+    """Same md5 bit scheme as operators.cep._bloom_word_mask; all
+    integer bit arithmetic, so filter contents and verdict counts are
+    value-exact across engines. One SELECT per filter size, unioned —
+    mirrors the Spark sizing-curve union."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+        md5_int60_sql,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        BLOOM_K,
+        BLOOM_SHIFT,
+        BLOOM_SIZES,
+        BLOOM_WORD,
+    )
+
+    def one(m: int) -> str:
+        def bit(key: str) -> str:
+            h = md5_int60_sql(
+                f"'bloom' || CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)")
+            return f"({h} % {m})"
+
+        return f"""
+SELECT * FROM (
+WITH keys AS (SELECT c_custkey AS key FROM customer),
+js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+kb AS (SELECT {bit('key')} AS bit FROM keys, js),
+bloom AS (
+  SELECT CAST(floor(bit / {BLOOM_WORD}) AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD} AS INTEGER))
+           AS bits
+  FROM kb GROUP BY 1
+),
+members AS (SELECT DISTINCT user_id AS probe FROM events),
+probes AS (
+  SELECT probe, 1 AS is_member FROM members
+  UNION ALL
+  SELECT probe + {BLOOM_SHIFT}, 0 FROM members
+),
+pb AS (SELECT probe, is_member, {bit('probe')} AS bit FROM probes, js),
+pw AS (
+  SELECT probe, is_member,
+         CAST(floor(bit / {BLOOM_WORD}) AS BIGINT) AS word,
+         CAST(1 AS BIGINT) << CAST(bit % {BLOOM_WORD} AS INTEGER) AS mask
+  FROM pb
+),
+hits AS (
+  SELECT probe, is_member,
+         CASE WHEN (coalesce(b.bits, 0) & mask) = mask THEN 1 ELSE 0 END AS hit
+  FROM pw LEFT JOIN bloom b USING (word)
+),
+verdict AS (
+  SELECT probe, is_member,
+         CASE WHEN sum(hit) = {BLOOM_K} THEN 1 ELSE 0 END AS pos
+  FROM hits GROUP BY 1, 2
+)
+SELECT CAST({m} AS BIGINT) AS m_bits,
+       count(*) AS n_probes,
+       CAST(sum(is_member) AS BIGINT) AS n_members,
+       CAST(sum(pos) AS BIGINT) AS n_bloom_pos,
+       CAST(sum(CASE WHEN is_member = 0 AND pos = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN is_member = 1 AND pos = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       sum(CASE WHEN is_member = 0 AND pos = 1 THEN 1 ELSE 0 END)
+         / sum(CASE WHEN is_member = 0 THEN 1 ELSE 0 END) AS fpr
+FROM verdict
+)"""
+
+    return "\nUNION ALL\n".join(one(m) for m in BLOOM_SIZES)
+
+
 from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 
@@ -137,6 +208,7 @@ QUALIFY is_order = 0""",
         # event first, event_id tie-break at gap = 0)
         "coincident_events": _COINCIDENT_SQL,
         "coincidence_pagerank": _pagerank_sql(),
+        "bloom_membership": _bloom_sql(),
         # degree-ordered triangle enumeration — same orientation rule
         # ((deg, id) lexicographic) as the Spark plan, so each
         # triangle closes exactly once on both engines

@@ -469,6 +469,10 @@ register("coincidence_pagerank",
 register("coincidence_triangles",
          lambda s, d: cep.coincidence_triangles(load_table(s, d, "events")),
          _CEP_ORACLES["coincidence_triangles"])
+register("bloom_membership",
+         lambda s, d: cep.bloom_membership(load_table(s, d, "events"),
+                                           load_table(s, d, "customer")),
+         _CEP_ORACLES["bloom_membership"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 

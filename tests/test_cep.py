@@ -118,3 +118,21 @@ def test_triangles_known_graph(spark):
                    2: (2, 1, 1.0),
                    3: (2, 1, 1.0),
                    4: (1, 0, 0.0)}
+
+
+def test_bloom_no_false_negatives_and_fpr_shrinks(spark, sf_dir):
+    """(r6) The Bloom guarantees: NEVER a false negative (a member's
+    bits are all set by construction, at any filter size), and the
+    measured FPR must not increase as m grows."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        bloom_membership,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    rows = bloom_membership(load_table(spark, sf_dir, "events"),
+                            load_table(spark, sf_dir, "customer")).collect()
+    assert len(rows) >= 2
+    assert all(r.n_false_neg == 0 for r in rows)
+    by_m = sorted(rows, key=lambda r: r.m_bits)
+    fprs = [r.fpr for r in by_m]
+    assert fprs == sorted(fprs, reverse=True) or len(set(fprs)) == 1
