@@ -868,7 +868,24 @@ def _text_oracles() -> dict[str, str]:
         s = f"len(list_filter({ws}, w -> list_contains({_str_list(markers)}, w)))"
         best_lang = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
         best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        FUZZY_TAU,
+    )
+
+    # ground truth is the UNBLOCKED quadratic join — the blocked plan
+    # must reproduce it row-exactly (trigram-completeness argument in
+    # textops.fuzzy_match_names)
+    drop_at = ("concat(substring({c}, 1, (length({c}) % 5) + 1), "
+               "substring({c}, (length({c}) % 5) + 3, length({c})))")
+    fuzzy_sql = f"""
+WITH clean AS (SELECT DISTINCT p_name FROM part),
+dirty AS (SELECT {drop_at.format(c='p_name')} AS dirty_name FROM clean)
+SELECT d.dirty_name, c.p_name AS match_name,
+       CAST(levenshtein(d.dirty_name, c.p_name) AS INTEGER) AS dist
+FROM dirty d, clean c
+WHERE levenshtein(d.dirty_name, c.p_name) <= {FUZZY_TAU}"""
     return {
+        "fuzzy_match_names": fuzzy_sql,
         "token_count": f"""
 SELECT doc_id,
        CAST({n_words} AS INTEGER) AS n_ws_tokens,
