@@ -27,6 +27,8 @@ PERSISTING_QUERIES = [
     "dedup_minhash_lsh_fast",
     "semantic_canonicalize",  # shared label-propagation engine (r6)
     "mix_rebalance",          # per-source token relation (r6)
+    "coincidence_pagerank",   # edges + nodes across iterations (r6)
+    "coincidence_triangles",  # deg + oriented edge relation (r6)
 ]
 
 
