@@ -385,3 +385,44 @@ def _bloom_one(events: DataFrame, customer: DataFrame, m: int) -> DataFrame:
         (F.sum(((F.col("is_member") == 0) & (F.col("pos") == 1)).cast("int"))
          / F.sum((F.col("is_member") == 0).cast("int"))).alias("fpr"))
     return agg.select(F.lit(m).cast("bigint").alias("m_bits"), "*")
+
+
+EWMA_K = 8  # trailing transactions in the smoothing window
+
+
+def ewma_card_amount(events: DataFrame, k: int = EWMA_K) -> DataFrame:
+    """Per-card EWMA of transaction amounts — the time-series
+    behavioral baseline behind 'is this amount unusual FOR THIS
+    card': each transaction carries the exponentially-weighted mean
+    of its trailing window plus the spike ratio against it (the
+    feature a production fraud scorer adds next to the reference's
+    absolute >200 threshold).
+
+    Engine-exact smoothing: the decay is alpha = 1/2, so every
+    weight 2^-(d+1) is an EXACT binary double — scaling by it is
+    error-free (exponent arithmetic only), and the k lag terms are
+    summed in one fixed textual order mirrored token-identically in
+    the oracle, so the whole smoothing is the same IEEE sequence on
+    both engines (no fixed-point needed, unlike data-dependent
+    sums whose grouping Spark may reorder). Short histories
+    renormalize by the sum of PRESENT weights (null lags contribute
+    to neither side).
+
+    Scale shape: k lag() columns over ONE card-keyed window — a
+    single hash partition + sort per card, the `fraud_scores`
+    exchange, reused; everything else is row-local projection."""
+    tx = transactions_from_events(events)
+    w = Window.partitionBy("card_id").orderBy("ts_us", "event_id")
+    num = None
+    den = None
+    for d in range(k):
+        weight = F.lit(2.0 ** -(d + 1))
+        lagged = F.lag("amount", d).over(w)
+        term = F.when(lagged.isNotNull(), lagged * weight).otherwise(F.lit(0.0))
+        present = F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    ewma = (num / den)
+    return (tx.select("event_id", "card_id", "ts_us", "amount",
+                      ewma.alias("ewma"),
+                      (F.col("amount") / ewma).alias("spike_ratio")))

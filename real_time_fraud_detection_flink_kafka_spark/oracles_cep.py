@@ -132,6 +132,36 @@ FROM verdict
     return "\nUNION ALL\n".join(one(m) for m in BLOOM_SIZES)
 
 
+def _ewma_sql() -> str:
+    """Same fixed-order lag-term sum as operators.cep.ewma_card_amount
+    — exact binary weights, token-identical term order, so the IEEE
+    sequence matches."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import EWMA_K
+    from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
+
+    nums, dens = [], []
+    for d in range(EWMA_K):
+        weight = repr(2.0 ** -(d + 1))
+        lagged = f"lag(amount, {d}) OVER w"
+        nums.append(f"(CASE WHEN {lagged} IS NOT NULL "
+                    f"THEN {lagged} * {weight} ELSE 0.0 END)")
+        dens.append(f"(CASE WHEN {lagged} IS NOT NULL "
+                    f"THEN {weight} ELSE 0.0 END)")
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return f"""
+WITH {TX_CTE},
+sm AS (
+  SELECT event_id, card_id, ts_us, amount,
+         ({num}) / ({den}) AS ewma
+  FROM tx
+  WINDOW w AS (PARTITION BY card_id ORDER BY ts_us, event_id)
+)
+SELECT event_id, card_id, ts_us, amount, ewma,
+       amount / ewma AS spike_ratio
+FROM sm"""
+
+
 from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 
@@ -209,6 +239,7 @@ QUALIFY is_order = 0""",
         "coincident_events": _COINCIDENT_SQL,
         "coincidence_pagerank": _pagerank_sql(),
         "bloom_membership": _bloom_sql(),
+        "ewma_card_amount": _ewma_sql(),
         # degree-ordered triangle enumeration — same orientation rule
         # ((deg, id) lexicographic) as the Spark plan, so each
         # triangle closes exactly once on both engines

@@ -474,6 +474,9 @@ register("bloom_membership",
          lambda s, d: cep.bloom_membership(load_table(s, d, "events"),
                                            load_table(s, d, "customer")),
          _CEP_ORACLES["bloom_membership"])
+register("ewma_card_amount",
+         lambda s, d: cep.ewma_card_amount(load_table(s, d, "events")),
+         _CEP_ORACLES["ewma_card_amount"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 
