@@ -75,6 +75,7 @@ HEADLINE = [
 # group-HAVING, hash dedup, banded LSH dedup, hyperplane LSH, corpus
 # top-k, 8-gram decontamination)
 SCALE_SUBSET = [
+    "coincident_events",
     "fraud_scores",
     "q1_pricing_summary",
     "q5_local_supplier",

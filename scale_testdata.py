@@ -100,7 +100,9 @@ def build_scaled(spark, base_dir: str, replicas: int, out_dir: str) -> str:
     from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
 
     marker = os.path.join(out_dir, "_SCALE_OK")
-    tag = f"{os.path.abspath(base_dir)}|{replicas}"
+    # bump the version when the builder's transform changes — the
+    # marker must not let a stale replica layout satisfy a new build
+    tag = f"{os.path.abspath(base_dir)}|{replicas}|v2-ts-shift"
     if os.path.exists(marker) and Path(marker).read_text().strip() == tag:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -123,6 +125,15 @@ def build_scaled(spark, base_dir: str, replicas: int, out_dir: str) -> str:
             for col, space in keycols.items():
                 df = df.withColumn(
                     col, (F.col(col) + F.lit(r * offsets[space])).cast("long"))
+            if t == "events":
+                # shift each replica by 31 days so the replica set is
+                # N× the HISTORY (longer time axis), not N× the event
+                # RATE in the same month — temporal-proximity
+                # workloads (coincident_events and kin) grow linearly
+                # like a real longer history, instead of rate², which
+                # would be a replica artifact, not a plan property
+                df = df.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {r * 31} DAYS"))
             if t == "documents":
                 df = df.withColumn("text", _rotate_text(F.col("text"), r))
             if t == "embeddings":
