@@ -1023,3 +1023,49 @@ def linreg_value_by_hour(events: DataFrame) -> DataFrame:
         "n", slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         ((num * num) / (den_x * den_y)).alias("r2"))
+
+
+CO_MIN_SUPPORT = 3
+CO_TOPK = 50
+
+
+def copurchase_lift(lineitem: DataFrame, min_support: int = CO_MIN_SUPPORT,
+                    k: int = CO_TOPK) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs ordered
+    together, with support and LIFT (the association-rule strength —
+    lift > 1 means the pair co-occurs more than independence
+    predicts). The frequent-itemset primitive at the pair level.
+
+    Scale shape: the pair stage is a self-join ON THE BASKET KEY
+    (l_orderkey), so fan-out per order is basket_size² — bounded by
+    how many distinct parts one order holds (≤ 13 here, never by
+    catalog or order count); the classic reason market-basket mining
+    scales where an unkeyed part×part join cannot. Item supports are
+    a |parts|-row relation broadcast into the lift computation; the
+    order count rides as a 1-row broadcast; the support filter and a
+    deterministic distributed top-k bound the output. Lift is exact
+    integer products with ONE division, written token-identically in
+    the oracle."""
+    d = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = d.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .where(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b")
+              .agg(F.count(F.lit(1)).alias("support"))
+              .where(F.col("support") >= min_support))
+    ia = item.select(F.col("l_partkey").alias("part_a"),
+                     F.col("c_item").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"),
+                     F.col("c_item").alias("c_b"))
+    j = (pairs.join(F.broadcast(ia), "part_a")
+              .join(F.broadcast(ib), "part_b")
+              .crossJoin(F.broadcast(n_orders)))
+    lift = (F.col("n_orders") * F.col("support")) / (F.col("c_a") * F.col("c_b"))
+    w = Window.orderBy(F.desc("support"), "part_a", "part_b")
+    return (j.select("part_a", "part_b", "support", "c_a", "c_b",
+                     lift.alias("lift"))
+             .withColumn("rnk", F.row_number().over(w).cast("int"))
+             .where(F.col("rnk") <= k))

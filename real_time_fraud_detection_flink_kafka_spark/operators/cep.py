@@ -349,13 +349,16 @@ def bloom_membership(events: DataFrame, customer: DataFrame) -> DataFrame:
 
 def _bloom_one(events: DataFrame, customer: DataFrame, m: int) -> DataFrame:
     keys = customer.select(F.col("c_custkey").alias("key"))
-    built = [keys.select(*_bloom_word_mask(F.col("key"), j, m))
-             for j in range(BLOOM_K)]
-    bits_rel = built[0]
-    for b in built[1:]:
-        bits_rel = bits_rel.unionAll(b)
-    bloom = (bits_rel.groupBy("word")
-                     .agg(F.bit_or("mask").alias("bits")))
+    # one scan of the key relation: all k (word, mask) pairs ride a
+    # single explode (k unioned scans would re-read a 100 TB key set
+    # k times)
+    kw = keys.select(F.explode(F.array(*[
+        F.struct(*_bloom_word_mask(F.col("key"), j, m))
+        for j in range(BLOOM_K)])).alias("wm"))
+    bloom = (kw.select(F.col("wm.word").alias("word"),
+                       F.col("wm.mask").alias("mask"))
+               .groupBy("word")
+               .agg(F.bit_or("mask").alias("bits")))
     members = events.select(F.col("user_id").alias("probe")).distinct()
     non_members = members.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
     probes = (members.select("probe", F.lit(1).alias("is_member"))

@@ -52,6 +52,8 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q20_FROM,
     Q20_NATION,
     Q20_TO,
+    CO_MIN_SUPPORT,
+    CO_TOPK,
     DQ_DUP_MOD,
     DQ_FK_MOD,
     DQ_NEG_MOD,
@@ -566,4 +568,33 @@ SELECT n,
        ((n * sxy - sx * sy) * (n * sxy - sx * sy))
          / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 FROM stats""",
+        # lift is exact integer products with one division, same
+        # expression shape as the Spark column
+        "copurchase_lift": f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+item AS (SELECT l_partkey, count(*) AS c_item FROM d GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS support
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {CO_MIN_SUPPORT}
+),
+j AS (
+  SELECT part_a, part_b, support, ia.c_item AS c_a, ib.c_item AS c_b,
+         (no.n_orders * support) / (ia.c_item * ib.c_item) AS lift
+  FROM pairs
+  JOIN item ia ON ia.l_partkey = part_a
+  JOIN item ib ON ib.l_partkey = part_b
+  CROSS JOIN no
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY support DESC, part_a, part_b)
+                 AS INTEGER) AS rnk
+  FROM j
+)
+SELECT part_a, part_b, support, c_a, c_b, lift, rnk
+FROM r WHERE rnk <= {CO_TOPK}""",
     }

@@ -145,6 +145,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events"), load_table(s, d, "customer")),
     "linreg_value_by_hour": lambda s, d: analytics.linreg_value_by_hour(
         load_table(s, d, "events")),
+    "copurchase_lift": lambda s, d: analytics.copurchase_lift(
+        load_table(s, d, "lineitem")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
