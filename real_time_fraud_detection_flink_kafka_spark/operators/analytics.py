@@ -1064,8 +1064,13 @@ def copurchase_lift(lineitem: DataFrame, min_support: int = CO_MIN_SUPPORT,
               .join(F.broadcast(ib), "part_b")
               .crossJoin(F.broadcast(n_orders)))
     lift = (F.col("n_orders") * F.col("support")) / (F.col("c_a") * F.col("c_b"))
+    # distributed top-k FIRST (TakeOrderedAndProject — the
+    # heavy_hitters_cms move), then rank the <= k survivors; a bare
+    # row_number over the full pair relation would be the global
+    # single-partition sort the module's scale notes forbid
+    top = (j.select("part_a", "part_b", "support", "c_a", "c_b",
+                    lift.alias("lift"))
+            .orderBy(F.desc("support"), "part_a", "part_b")
+            .limit(k))
     w = Window.orderBy(F.desc("support"), "part_a", "part_b")
-    return (j.select("part_a", "part_b", "support", "c_a", "c_b",
-                     lift.alias("lift"))
-             .withColumn("rnk", F.row_number().over(w).cast("int"))
-             .where(F.col("rnk") <= k))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -340,15 +340,26 @@ def bloom_membership(events: DataFrame, customer: DataFrame) -> DataFrame:
     int64 sign-bit edge) — filter contents AND verdict counts are
     value-exact between engines; the one division per row is the
     FPR."""
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+
+    # the key and probe relations are shared by EVERY point on the
+    # sizing curve — computed and persisted once, so adding filter
+    # sizes never rescans events/customer
+    keys = tracked_persist(customer.select(F.col("c_custkey").alias("key")))
+    members = events.select(F.col("user_id").alias("probe")).distinct()
+    non_members = members.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
+    probes = tracked_persist(
+        members.select("probe", F.lit(1).alias("is_member"))
+               .unionAll(non_members.select(
+                   "probe", F.lit(0).alias("is_member"))))
     out = None
     for m in BLOOM_SIZES:
-        row = _bloom_one(events, customer, m)
+        row = _bloom_one(keys, probes, m)
         out = row if out is None else out.unionAll(row)
     return out
 
 
-def _bloom_one(events: DataFrame, customer: DataFrame, m: int) -> DataFrame:
-    keys = customer.select(F.col("c_custkey").alias("key"))
+def _bloom_one(keys: DataFrame, probes: DataFrame, m: int) -> DataFrame:
     # one scan of the key relation: all k (word, mask) pairs ride a
     # single explode (k unioned scans would re-read a 100 TB key set
     # k times)
@@ -359,11 +370,6 @@ def _bloom_one(events: DataFrame, customer: DataFrame, m: int) -> DataFrame:
                        F.col("wm.mask").alias("mask"))
                .groupBy("word")
                .agg(F.bit_or("mask").alias("bits")))
-    members = events.select(F.col("user_id").alias("probe")).distinct()
-    non_members = members.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
-    probes = (members.select("probe", F.lit(1).alias("is_member"))
-                     .unionAll(non_members.select(
-                         "probe", F.lit(0).alias("is_member"))))
     pw = probes.select("probe", "is_member", F.explode(F.array(*[
         F.struct(*_bloom_word_mask(F.col("probe"), j, m))
         for j in range(BLOOM_K)])).alias("wm"))
@@ -402,14 +408,17 @@ def ewma_card_amount(events: DataFrame, k: int = EWMA_K) -> DataFrame:
     absolute >200 threshold).
 
     Engine-exact smoothing: the decay is alpha = 1/2, so every
-    weight 2^-(d+1) is an EXACT binary double — scaling by it is
+    weight 2^-d is an EXACT binary double — scaling by it is
     error-free (exponent arithmetic only), and the k lag terms are
     summed in one fixed textual order mirrored token-identically in
     the oracle, so the whole smoothing is the same IEEE sequence on
     both engines (no fixed-point needed, unlike data-dependent
-    sums whose grouping Spark may reorder). Short histories
-    renormalize by the sum of PRESENT weights (null lags contribute
-    to neither side).
+    sums whose grouping Spark may reorder). The window is STRICTLY
+    TRAILING (lags 1..k — the scored transaction never contaminates
+    its own baseline, else a 100x spike would read as at most 2x);
+    short histories renormalize by the sum of PRESENT weights, and a
+    card's first transaction has no baseline — ewma and spike_ratio
+    are NULL, not a fabricated 1.0.
 
     Scale shape: k lag() columns over ONE card-keyed window — a
     single hash partition + sort per card, the `fraud_scores`
@@ -418,14 +427,14 @@ def ewma_card_amount(events: DataFrame, k: int = EWMA_K) -> DataFrame:
     w = Window.partitionBy("card_id").orderBy("ts_us", "event_id")
     num = None
     den = None
-    for d in range(k):
-        weight = F.lit(2.0 ** -(d + 1))
+    for d in range(1, k + 1):
+        weight = F.lit(2.0 ** -d)
         lagged = F.lag("amount", d).over(w)
         term = F.when(lagged.isNotNull(), lagged * weight).otherwise(F.lit(0.0))
         present = F.when(lagged.isNotNull(), weight).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = present if den is None else den + present
-    ewma = (num / den)
+    ewma = F.when(den > 0.0, num / den)
     return (tx.select("event_id", "card_id", "ts_us", "amount",
                       ewma.alias("ewma"),
                       (F.col("amount") / ewma).alias("spike_ratio")))

@@ -236,8 +236,11 @@ def fuzzy_match_names(part: DataFrame) -> DataFrame:
     clean = part.select("p_name").distinct()
     drop_at = "concat(substring({c}, 1, (length({c}) % 5) + 1), " \
               "substring({c}, (length({c}) % 5) + 3, length({c})))"
+    # distinct AFTER corruption too: two distinct clean names can
+    # collapse to one dirty string, and the match output is keyed by
+    # the dirty VALUE — the oracle's dirty CTE is DISTINCT to match
     dirty = clean.select(
-        F.expr(drop_at.format(c="p_name")).alias("dirty_name"))
+        F.expr(drop_at.format(c="p_name")).alias("dirty_name")).distinct()
     grams = "explode(transform(sequence(1, length({c}) - 2), " \
             "i -> substring({c}, i, 3)))"
     dg = dirty.select("dirty_name",

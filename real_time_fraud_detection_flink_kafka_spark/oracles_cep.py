@@ -140,8 +140,8 @@ def _ewma_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
     nums, dens = [], []
-    for d in range(EWMA_K):
-        weight = repr(2.0 ** -(d + 1))
+    for d in range(1, EWMA_K + 1):
+        weight = repr(2.0 ** -d)
         lagged = f"lag(amount, {d}) OVER w"
         nums.append(f"(CASE WHEN {lagged} IS NOT NULL "
                     f"THEN {lagged} * {weight} ELSE 0.0 END)")
@@ -153,7 +153,7 @@ def _ewma_sql() -> str:
 WITH {TX_CTE},
 sm AS (
   SELECT event_id, card_id, ts_us, amount,
-         ({num}) / ({den}) AS ewma
+         CASE WHEN ({den}) > 0.0 THEN ({num}) / ({den}) END AS ewma
   FROM tx
   WINDOW w AS (PARTITION BY card_id ORDER BY ts_us, event_id)
 )

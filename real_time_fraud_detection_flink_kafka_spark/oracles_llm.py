@@ -879,7 +879,7 @@ def _text_oracles() -> dict[str, str]:
                "substring({c}, (length({c}) % 5) + 3, length({c})))")
     fuzzy_sql = f"""
 WITH clean AS (SELECT DISTINCT p_name FROM part),
-dirty AS (SELECT {drop_at.format(c='p_name')} AS dirty_name FROM clean)
+dirty AS (SELECT DISTINCT {drop_at.format(c='p_name')} AS dirty_name FROM clean)
 SELECT d.dirty_name, c.p_name AS match_name,
        CAST(levenshtein(d.dirty_name, c.p_name) AS INTEGER) AS dist
 FROM dirty d, clean c
