@@ -1074,3 +1074,25 @@ def copurchase_lift(lineitem: DataFrame, min_support: int = CO_MIN_SUPPORT,
             .limit(k))
     w = Window.orderBy(F.desc("support"), "part_a", "part_b")
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def scd2_order_history(orders: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    customer's order stream becomes versioned rows with
+    [effective_from, effective_to) validity — effective_to is the
+    NEXT version's start (lead over the customer-keyed window), NULL
+    marks the current version. The warehouse pattern that turns an
+    append-only change log into a point-in-time joinable dimension
+    (the `asof_event_order` join consumes exactly this shape).
+
+    One shuffle on the dimension key + a per-key sort — the same
+    single-exchange budget as the fraud pipeline; lead() is the
+    mirror of sessionize's lag(). Interval bounds ride as epoch
+    micros so the oracle compares integers."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("effective_from_us"),
+        F.unix_micros(F.lead("o_orderdate").over(w)).alias("effective_to_us"),
+        F.row_number().over(w).cast("int").alias("version"))
+        .withColumn("is_current", F.col("effective_to_us").isNull()))

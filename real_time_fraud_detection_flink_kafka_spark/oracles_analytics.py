@@ -597,4 +597,12 @@ r AS (
 )
 SELECT part_a, part_b, support, c_a, c_b, lift, rnk
 FROM r WHERE rnk <= {CO_TOPK}""",
+        "scd2_order_history": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       epoch_us(o_orderdate) AS effective_from_us,
+       epoch_us(lead(o_orderdate) OVER w) AS effective_to_us,
+       CAST(row_number() OVER w AS INTEGER) AS version,
+       (lead(o_orderdate) OVER w) IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     }

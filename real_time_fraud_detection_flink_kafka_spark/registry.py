@@ -147,6 +147,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "copurchase_lift": lambda s, d: analytics.copurchase_lift(
         load_table(s, d, "lineitem")),
+    "scd2_order_history": lambda s, d: analytics.scd2_order_history(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
