@@ -1096,3 +1096,57 @@ def scd2_order_history(orders: DataFrame) -> DataFrame:
         F.unix_micros(F.lead("o_orderdate").over(w)).alias("effective_to_us"),
         F.row_number().over(w).cast("int").alias("version"))
         .withColumn("is_current", F.col("effective_to_us").isNull()))
+
+
+SKY_BINS = 64
+
+
+def skyline_parts(part: DataFrame, n_bins: int = SKY_BINS) -> DataFrame:
+    """SKYLINE (Pareto frontier) of parts — cheapest-for-the-size:
+    keep every part no other part dominates (lower-or-equal price AND
+    greater-or-equal size, strict in at least one). The
+    multi-criteria OLAP operator behind product/plan recommendation.
+
+    Scale shape — GRID PRUNING instead of the quadratic NOT EXISTS
+    the oracle runs: prices land in fixed bins (the
+    `value_histogram_quantiles` move); the per-bin max size (<= n_bins
+    rows) and its strictly-cheaper-bins running max broadcast back,
+    and any part whose size fails its bin's cheaper-prefix max is
+    dominated by construction (a strictly cheaper bin holds a
+    no-smaller size) — pruned before any join. Dominators for the
+    survivors can only sit in the SAME bin (cheaper bins were just
+    ruled out, pricier bins cannot dominate), so the exact verify is
+    a bin-KEYED self-join over the pruned survivor set — the
+    candidate count is bounded per bin, never catalog². Pruning is
+    conservative at any binning, so FP bin placement affects cost
+    only, never the result."""
+    ext = part.agg(F.min("p_retailprice").alias("lo"),
+                   F.max("p_retailprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    bin_id = (F.when(F.col("hi") > F.col("lo"),
+                     F.least(F.floor((F.col("p_retailprice") - F.col("lo"))
+                                     / width),
+                             F.lit(n_bins - 1).cast("bigint")))
+               .otherwise(F.lit(0).cast("bigint")))
+    binned = (part.crossJoin(F.broadcast(ext))
+                  .select("p_partkey", "p_retailprice", "p_size",
+                          bin_id.alias("bin")))
+    binmax = binned.groupBy("bin").agg(F.max("p_size").alias("mx"))
+    wprev = (Window.orderBy("bin")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    prev = binmax.select("bin", F.max("mx").over(wprev).alias("prev_mx"))
+    cand = (binned.join(F.broadcast(prev), "bin")
+                  .where(F.col("prev_mx").isNull()
+                         | (F.col("p_size") > F.col("prev_mx"))))
+    q = cand.select(F.col("bin"), F.col("p_retailprice").alias("q_price"),
+                    F.col("p_size").alias("q_size"),
+                    F.col("p_partkey").alias("q_key"))
+    dominated = cand.join(
+        q, (cand["bin"] == q["bin"])
+           & (q["q_price"] <= cand["p_retailprice"])
+           & (q["q_size"] >= cand["p_size"])
+           & ((q["q_price"] < cand["p_retailprice"])
+              | (q["q_size"] > cand["p_size"])),
+        "left_semi")
+    return (cand.join(dominated.select("p_partkey"), "p_partkey", "left_anti")
+                .select("p_partkey", "p_retailprice", "p_size"))

@@ -605,4 +605,16 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        (lead(o_orderdate) OVER w) IS NULL AS is_current
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        # ground truth is the quadratic NOT EXISTS; the grid-pruned
+        # plan must reproduce it row-exactly (pruning is conservative
+        # at any binning)
+        "skyline_parts": """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)""",
     }

@@ -149,6 +149,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "lineitem")),
     "scd2_order_history": lambda s, d: analytics.scd2_order_history(
         load_table(s, d, "orders")),
+    "skyline_parts": lambda s, d: analytics.skyline_parts(
+        load_table(s, d, "part")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
