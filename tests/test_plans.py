@@ -402,3 +402,19 @@ def test_graph_ops_no_cartesian_joins(spark, sf_dir):
             assert not bnlj, plan[:2000]
         else:
             assert all("BuildRight, Cross" in l for l in bnlj), bnlj
+
+
+def test_skyline_verify_join_is_bin_keyed(spark, sf_dir):
+    """The skyline's dominance verify must join survivors ON the
+    price-bin key (with the dominance predicates as residuals) — a
+    cartesian/nested-loop there would be the catalog² shape the grid
+    pruning exists to avoid. The 1-row extremes broadcast is the only
+    permitted BNLJ."""
+    plan = _plan(spark, sf_dir, "skyline_parts")
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("BuildRight, Cross" in l for l in bnlj), bnlj
+    keyed = [l for l in plan.splitlines()
+             if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
+                 or "BroadcastHashJoin" in l) and "bin" in l]
+    assert keyed, plan[:2000]
