@@ -1150,3 +1150,47 @@ def skyline_parts(part: DataFrame, n_bins: int = SKY_BINS) -> DataFrame:
         "left_semi")
     return (cand.join(dominated.select("p_partkey"), "p_partkey", "left_anti")
                 .select("p_partkey", "p_retailprice", "p_size"))
+
+
+def daily_activity_full_outer(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join coverage (completing the join-type matrix:
+    inner/left/semi/anti/broadcast-cross are exercised elsewhere):
+    per-day event counts against per-day order counts, keeping days
+    present on EITHER side with zero-filled gaps — the ops-dashboard
+    'activity by source' comparison. Both sides aggregate BEFORE the
+    join (map-side partials; the join carries |days| rows, never raw
+    facts), which is the scale rule for outer joins: never full-outer
+    two fact tables, full-outer their aggregates."""
+    ev = (events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    od = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (ev.join(od, "day", "full_outer")
+              .select("day",
+                      F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                      F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+              .orderBy("day"))
+
+
+SETOP_Y1_FROM, SETOP_Y1_TO = "1996-01-01", "1997-01-01"
+SETOP_Y2_FROM, SETOP_Y2_TO = "1997-01-01", "1998-01-01"
+
+
+def customer_retention_setops(orders: DataFrame) -> DataFrame:
+    """Set-operation coverage (INTERSECT / EXCEPT as first-class
+    relational ops): customers ordering in BOTH years (retained) and
+    in year 1 but NOT year 2 (churned), one tagged relation. Set ops
+    compile to the same aggregate/join machinery underneath — both
+    inputs are pre-aggregated distinct key sets, so the shuffle
+    carries keys only."""
+    y1 = (orders.where((F.col("o_orderdate") >= ntz(SETOP_Y1_FROM))
+                       & (F.col("o_orderdate") < ntz(SETOP_Y1_TO)))
+                .select("o_custkey").distinct())
+    y2 = (orders.where((F.col("o_orderdate") >= ntz(SETOP_Y2_FROM))
+                       & (F.col("o_orderdate") < ntz(SETOP_Y2_TO)))
+                .select("o_custkey").distinct())
+    retained = y1.intersect(y2).select(
+        F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y1.exceptAll(y2).select(
+        F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionAll(churned)

@@ -54,6 +54,10 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q20_TO,
     CO_MIN_SUPPORT,
     CO_TOPK,
+    SETOP_Y1_FROM,
+    SETOP_Y1_TO,
+    SETOP_Y2_FROM,
+    SETOP_Y2_TO,
     DQ_DUP_MOD,
     DQ_FK_MOD,
     DQ_NEG_MOD,
@@ -617,4 +621,34 @@ WHERE NOT EXISTS (
     AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )""",
+        "daily_activity_full_outer": """
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+od AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(ev.day, od.day) AS day,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(n_orders, 0) AS n_orders
+FROM ev FULL OUTER JOIN od USING (day)
+ORDER BY 1""",
+        "customer_retention_setops": f"""
+WITH y1 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{SETOP_Y1_FROM}'
+    AND o_orderdate <  TIMESTAMP '{SETOP_Y1_TO}'
+),
+y2 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{SETOP_Y2_FROM}'
+    AND o_orderdate <  TIMESTAMP '{SETOP_Y2_TO}'
+)
+SELECT 'retained' AS cohort, o_custkey FROM (
+  SELECT o_custkey FROM y1 INTERSECT SELECT o_custkey FROM y2)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey FROM (
+  SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)""",
     }

@@ -151,6 +151,10 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")),
     "skyline_parts": lambda s, d: analytics.skyline_parts(
         load_table(s, d, "part")),
+    "daily_activity_full_outer": lambda s, d: analytics.daily_activity_full_outer(
+        load_table(s, d, "events"), load_table(s, d, "orders")),
+    "customer_retention_setops": lambda s, d: analytics.customer_retention_setops(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
