@@ -819,3 +819,33 @@ def heavy_hitters_cms(documents: DataFrame, k: int = CMS_K) -> DataFrame:
     rnk = Window.orderBy(F.desc("exact_tf"), F.asc("w"))
     return est.select("w", "exact_tf", "est_tf",
                       F.row_number().over(rnk).cast("int").alias("rnk"))
+
+
+# --- feature hashing ---------------------------------------------------------
+
+FEAT_D = 1024  # feature space size
+
+
+def feature_hash_docs(documents: DataFrame, d: int = FEAT_D) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.) — the
+    fixed-width ML feature map that needs NO vocabulary pass: token →
+    bucket md5(token) % d, with the sign trick (an independent hash
+    bit flips the contribution) so collisions cancel in expectation
+    instead of biasing upward. Emitted in ROW form (doc_id, feature,
+    weight) — the sparse-matrix COO layout a trainer ingests, and the
+    exactly-shuffleable shape (fixed-width rows, no arrays).
+
+    Scale shape: one explode + one groupBy(doc_id, feature) with
+    map-side combine — weight is an INTEGER signed count, so partial
+    aggregation is associative and the whole map is value-exact
+    between engines; no vocabulary relation exists at all, which is
+    the hashing trick's point (contrast `vocab_topk`'s |V|-row
+    state). d bounds features per doc at min(n_tokens, d)."""
+    tok = documents.select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    feat = md5_int60(F.concat(F.lit("feat:"), F.col("w"))) % d
+    sign = F.when(md5_int60(F.concat(F.lit("sign:"), F.col("w"))) % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    return (tok.select("doc_id", feat.alias("feature"), sign.alias("s"))
+               .groupBy("doc_id", "feature")
+               .agg(F.sum("s").cast("bigint").alias("weight"))
+               .where(F.col("weight") != 0))

@@ -286,6 +286,7 @@ def _pipeline_oracles() -> dict[str, str]:
         CMS_D,
         CMS_K,
         CMS_W,
+        FEAT_D,
     )
 
     grams = " || ' ' || ".join(f"ws[i + {j}]" for j in range(DECON_NGRAM))
@@ -529,6 +530,18 @@ WITH tok AS (
 SELECT w, exact_tf, est_tf,
        CAST(row_number() OVER (ORDER BY exact_tf DESC, w) AS INTEGER) AS rnk
 FROM est""",
+        "feature_hash_docs": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+)
+SELECT doc_id,
+       {md5_int60_sql("'feat:' || w")} % {FEAT_D} AS feature,
+       CAST(sum(CASE WHEN {md5_int60_sql("'sign:' || w")} % 2 = 0
+                     THEN 1 ELSE -1 END) AS BIGINT) AS weight
+FROM tok
+GROUP BY 1, 2
+HAVING sum(CASE WHEN {md5_int60_sql("'sign:' || w")} % 2 = 0
+                THEN 1 ELSE -1 END) <> 0""",
     }
 
 

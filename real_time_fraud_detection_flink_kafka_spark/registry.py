@@ -215,6 +215,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_mix": lambda s, d: pipeline_ops.source_mix(load_table(s, d, "documents")),
     "heavy_hitters_cms": lambda s, d: pipeline_ops.heavy_hitters_cms(load_table(s, d, "documents")),
     "fuzzy_match_names": lambda s, d: textops.fuzzy_match_names(load_table(s, d, "part")),
+    "feature_hash_docs": lambda s, d: pipeline_ops.feature_hash_docs(load_table(s, d, "documents")),
     "mix_rebalance": lambda s, d: pipeline_ops.mix_rebalance(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
