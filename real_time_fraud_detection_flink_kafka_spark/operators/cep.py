@@ -438,3 +438,47 @@ def ewma_card_amount(events: DataFrame, k: int = EWMA_K) -> DataFrame:
     return (tx.select("event_id", "card_id", "ts_us", "amount",
                       ewma.alias("ewma"),
                       (F.col("amount") / ewma).alias("spike_ratio")))
+
+
+REACH_HOPS = 3
+
+
+def coincidence_bfs_reach(events: DataFrame,
+                          n_hops: int = REACH_HOPS) -> DataFrame:
+    """Bounded BFS over the coincidence graph: hop distance from a
+    deterministic seed (the minimum user id in the edge set) out to
+    n_hops — the traversal primitive completing the graph family
+    (components = where you can get, PageRank = how central you are,
+    triangles = how tight your ring is, BFS = how FAR everything is).
+    The investigation query: 'who is within k hops of this account'.
+
+    Scale shape: the textbook frontier expansion — per hop one
+    shuffle join (edges × frontier on the node key) + one distinct +
+    one anti-join against the visited set; the anti-join IS the
+    min-distance guarantee (a node joins the frontier the first hop
+    it is reached, so its recorded dist is the BFS distance — equal
+    to the oracle's min-over-all-paths). Frontier and visited are
+    persisted per round (the `dedup_clusters` loop discipline);
+    messages are 8-byte node ids. n_hops fixed → n_hops identical
+    stages, the Pregel BFS schedule."""
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+
+    pairs = coincident_events(events).select("user_a", "user_b")
+    edges = tracked_persist(
+        pairs.select(F.col("user_a").alias("src"), F.col("user_b").alias("dst"))
+             .unionAll(pairs.select(F.col("user_b").alias("src"),
+                                    F.col("user_a").alias("dst")))
+             .distinct())
+    seed = edges.agg(F.min("src").alias("user_id")).select(
+        "user_id", F.lit(0).cast("int").alias("dist"))
+    visited = tracked_persist(seed)
+    frontier = visited
+    for h in range(1, n_hops + 1):
+        nxt = (edges.join(frontier.select(F.col("user_id").alias("src")), "src")
+                    .select(F.col("dst").alias("user_id")).distinct()
+                    .join(visited, "user_id", "left_anti")
+                    .select("user_id", F.lit(h).cast("int").alias("dist")))
+        nxt = tracked_persist(nxt)
+        visited = tracked_persist(visited.unionAll(nxt))
+        frontier = nxt
+    return visited

@@ -12,6 +12,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
     PR_DAMP,
     PR_FP,
     PR_ITERS,
+    REACH_HOPS,
     SEQ_WINDOW_US,
     SMALL_MAX,
 )
@@ -240,6 +241,26 @@ QUALIFY is_order = 0""",
         "coincidence_pagerank": _pagerank_sql(),
         "bloom_membership": _bloom_sql(),
         "ewma_card_amount": _ewma_sql(),
+        # min-over-all-paths == BFS first-reach distance (Spark's
+        # anti-join discipline); bounded depth keeps the recursion
+        # finite on both engines
+        "coincidence_bfs_reach": f"""
+WITH RECURSIVE pairs AS ({_COINCIDENT_SQL}),
+e AS (
+  SELECT user_a AS src, user_b AS dst FROM pairs
+  UNION
+  SELECT user_b AS src, user_a AS dst FROM pairs
+),
+seed AS (SELECT min(src) AS s FROM e),
+reach(user_id, dist) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.dst, reach.dist + 1
+  FROM reach JOIN e ON e.src = reach.user_id
+  WHERE reach.dist < {REACH_HOPS}
+)
+SELECT user_id, CAST(min(dist) AS INTEGER) AS dist
+FROM reach GROUP BY 1""",
         # degree-ordered triangle enumeration — same orientation rule
         # ((deg, id) lexicographic) as the Spark plan, so each
         # triangle closes exactly once on both engines

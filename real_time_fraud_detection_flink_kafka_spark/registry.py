@@ -488,6 +488,9 @@ register("bloom_membership",
 register("ewma_card_amount",
          lambda s, d: cep.ewma_card_amount(load_table(s, d, "events")),
          _CEP_ORACLES["ewma_card_amount"])
+register("coincidence_bfs_reach",
+         lambda s, d: cep.coincidence_bfs_reach(load_table(s, d, "events")),
+         _CEP_ORACLES["coincidence_bfs_reach"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 
