@@ -136,3 +136,54 @@ def test_bloom_no_false_negatives_and_fpr_shrinks(spark, sf_dir):
     by_m = sorted(rows, key=lambda r: r.m_bits)
     fprs = [r.fpr for r in by_m]
     assert fprs == sorted(fprs, reverse=True) or len(set(fprs)) == 1
+
+
+def test_coincident_matches_bruteforce_with_boundary_gaps(spark):
+    """(r6) Binned range join vs an in-Python brute force on seeded
+    random timestamps, with adversarial cases mixed in: gap exactly 0
+    (tie-break path), gap exactly delta-1 (inclusive edge), gap
+    exactly delta (exclusive edge), and bin-boundary-straddling
+    pairs."""
+    import random
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        COINCIDENCE_US,
+        coincident_events,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for _ in range(120):
+        us = rng.randrange(0, 3_600_000_000)
+        rows.append((eid, us, rng.randrange(0, 12)))
+        eid += 1
+    # adversarial: equal ts, gap = delta-1, gap = delta, bin edge
+    base = 7_200_000_000
+    for du, ub in [(0, 1), (COINCIDENCE_US - 1, 2), (COINCIDENCE_US, 3),
+                   (1, 4)]:
+        rows.append((eid, base, 0)); eid += 1
+        rows.append((eid, base + du, ub)); eid += 1
+        base += 10 * COINCIDENCE_US
+    # exactly at a bin boundary
+    edge = (base // COINCIDENCE_US + 1) * COINCIDENCE_US
+    rows.append((eid, edge - 1, 5)); eid += 1
+    rows.append((eid, edge, 6)); eid += 1
+
+    import datetime
+    data = [(i, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(microseconds=us), u, "c", 1.0, "{}")
+            for i, us, u in rows]
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(r.event_a, r.event_b, r.gap_us)
+           for r in coincident_events(events).collect()}
+    want = set()
+    for i, us_i, u_i in rows:
+        for j, us_j, u_j in rows:
+            gap = us_j - us_i
+            if (0 <= gap < COINCIDENCE_US and u_i != u_j
+                    and (us_i < us_j or (us_i == us_j and i < j))):
+                want.add((i, j, gap))
+    assert got == want

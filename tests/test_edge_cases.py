@@ -210,3 +210,34 @@ def test_histogram_quantile_within_one_bin_of_exact(spark, sf_dir):
         exact = vals[max(1, math.ceil(q * n)) - 1]
         assert est[q] >= exact - 1e-9, (q, est[q], exact)
         assert est[q] - exact <= width + 1e-9, (q, est[q], exact, width)
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    """(r6) Grid-pruned skyline vs in-Python brute force on seeded
+    random points, including exact duplicates (neither dominates the
+    other — both must be kept) and same-price / same-size ties."""
+    import random
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        skyline_parts,
+    )
+
+    rng = random.Random(11)
+    pts = [(k, round(rng.uniform(1.0, 100.0), 2), rng.randrange(1, 50))
+           for k in range(200)]
+    pts.append((200, pts[0][1], pts[0][2]))      # exact duplicate
+    pts.append((201, pts[1][1], pts[1][2] + 1))  # same price, bigger size
+    pts.append((202, pts[2][1] + 0.01, pts[2][2]))  # same size, pricier
+    part = spark.createDataFrame(
+        [(k, f"name{k}", "B", "T", s, p) for k, p, s in pts],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double")
+    got = {r.p_partkey for r in skyline_parts(part).collect()}
+    want = set()
+    for k, p, s in pts:
+        dominated = any(
+            q_p <= p and q_s >= s and (q_p < p or q_s > s)
+            for q_k, q_p, q_s in pts if q_k != k)
+        if not dominated:
+            want.add(k)
+    assert got == want
