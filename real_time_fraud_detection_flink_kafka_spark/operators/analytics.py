@@ -1194,3 +1194,47 @@ def customer_retention_setops(orders: DataFrame) -> DataFrame:
     churned = y1.exceptAll(y2).select(
         F.lit("churned").alias("cohort"), "o_custkey")
     return retained.unionAll(churned)
+
+
+MAD_K = 3.0
+
+
+def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Robust outlier detection per event type: flag values more than
+    k MADs from the median (median absolute deviation — the robust
+    z-score; unlike mean/stddev, a burst of fraud amounts cannot
+    drag its own detection threshold). Both the median and the MAD
+    are exact DISCRETE picks (the `event_value_percentiles` move:
+    rank + ceil(n/2), actual data values), so the thresholds — and
+    therefore the flag set — are engine-exact; no distributional
+    stddev drift.
+
+    Scale shape: two ranked passes, both partitioned on event_type —
+    the second sorts a derived column under the SAME partitioning, so
+    the exchange is paid once (the `fraud_scores` two-window
+    discipline); the per-type median/MAD relations are type-cardinality
+    rows broadcast back. dev_ratio is one IEEE division."""
+    w_n = Window.partitionBy("event_type")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_id", "event_type", "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"))
+    med = (ranked.where(F.col("rn") == F.greatest(
+                F.lit(1), F.ceil(F.lit(0.5) * F.col("n"))))
+                 .select("event_type", F.col("value").alias("med")))
+    d = (events.join(F.broadcast(med), "event_type")
+               .select("event_id", "event_type", "value", "med",
+                       F.abs(F.col("value") - F.col("med")).alias("dev")))
+    w_rank2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    ranked2 = d.select(
+        "event_type", "dev",
+        F.row_number().over(w_rank2).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"))
+    mad = (ranked2.where(F.col("rn") == F.greatest(
+                F.lit(1), F.ceil(F.lit(0.5) * F.col("n"))))
+                  .select("event_type", F.col("dev").alias("mad")))
+    return (d.join(F.broadcast(mad), "event_type")
+             .where(F.col("dev") > F.lit(k) * F.col("mad"))
+             .select("event_id", "event_type", "value", "med", "mad",
+                     (F.col("dev") / F.col("mad")).alias("dev_ratio")))

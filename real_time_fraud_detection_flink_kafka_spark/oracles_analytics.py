@@ -54,6 +54,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     Q20_TO,
     CO_MIN_SUPPORT,
     CO_TOPK,
+    MAD_K,
     SETOP_Y1_FROM,
     SETOP_Y1_TO,
     SETOP_Y2_FROM,
@@ -651,4 +652,38 @@ SELECT 'retained' AS cohort, o_custkey FROM (
 UNION ALL
 SELECT 'churned' AS cohort, o_custkey FROM (
   SELECT o_custkey FROM y1 EXCEPT SELECT o_custkey FROM y2)""",
+        # same discrete median/MAD picks (rank + ceil(n/2), same
+        # tie-break) — thresholds and flag set are engine-exact
+        "mad_outliers": f"""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM ranked
+  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+ranked2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM ranked2
+  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+       d.dev / mad.mad AS dev_ratio
+FROM d JOIN mad USING (event_type)
+WHERE d.dev > {MAD_K!r} * mad.mad""",
     }

@@ -155,6 +155,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events"), load_table(s, d, "orders")),
     "customer_retention_setops": lambda s, d: analytics.customer_retention_setops(
         load_table(s, d, "orders")),
+    "mad_outliers": lambda s, d: analytics.mad_outliers(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
