@@ -1238,3 +1238,35 @@ def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
              .where(F.col("dev") > F.lit(k) * F.col("mad"))
              .select("event_id", "event_type", "value", "med", "mad",
                      (F.col("dev") / F.col("mad")).alias("dev_ratio")))
+
+
+def daily_orders_gapfilled(orders: DataFrame) -> DataFrame:
+    """Calendar-spine gap filling: per-day order counts over a DENSE
+    date axis — days with no orders appear as explicit zeros. The
+    resample/reindex step every time-series consumer (forecasting,
+    charting, window regression) needs, because a groupBy alone
+    silently drops empty days and downstream lag/window math shifts.
+
+    Scale shape: the spine is GENERATED, not scanned — one
+    sequence() over the [min, max] date range exploded from a 1-row
+    extremes aggregate (a relation source from thin air, like the
+    generator family); the daily aggregate joins it by date. The
+    outer side is |days| rows regardless of fact volume, so the join
+    broadcasts the spine, and the fact side is one map-side-combined
+    groupBy."""
+    ext = orders.agg(
+        F.date_trunc("DAY", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("DAY", F.max("o_orderdate")).alias("hi"))
+    spine = (ext.select(F.explode(F.sequence(
+                 F.col("lo"), F.col("hi"),
+                 F.expr("INTERVAL 1 DAY"))).alias("d"))
+                .select(F.date_format("d", "yyyy-MM-dd").alias("day")))
+    daily = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                             .alias("day"))
+                   .agg(F.count(F.lit(1)).alias("n_orders"),
+                        fsum(F.col("o_totalprice")).alias("total_price")))
+    return (F.broadcast(spine).join(daily, "day", "left")
+             .select("day",
+                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                     F.coalesce("total_price", F.lit(0.0)).alias("total_price"))
+             .orderBy("day"))

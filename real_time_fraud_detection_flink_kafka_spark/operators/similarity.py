@@ -634,3 +634,35 @@ def semantic_canonicalize(documents: DataFrame,
             .select("doc_id", "cluster_id", "cluster_size", "quality",
                     "canonical_id",
                     (F.col("doc_id") == F.col("canonical_id")).alias("keep")))
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution statistics of the embedding column
+    — the feature-store DRIFT MONITOR: mean/variance/extremes per
+    dimension are what a production pipeline tracks batch-over-batch
+    to catch a broken encoder or input shift before it poisons
+    training (the observability twin of the ANN/k-means consumers).
+
+    Scale shape: posexplode to (dim, component) — fixed 16-byte rows
+    — then ONE groupBy(dim) with map-side partials; output is exactly
+    DIM rows however many vectors stream through. Engine-exact
+    moments: mean and variance derive from fixed-point component sums
+    (`fsum`: associative integer adds) via the sum-of-squares
+    identity var = (Σx² − (Σx)²/n)/n, written token-identically in
+    the oracle — no running-variance recurrence whose FP order Spark
+    could reorder."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import fsum
+
+    comp = embeddings.select(
+        F.posexplode("embedding").alias("dim", "x"))
+    agg = comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum(F.col("x")).alias("sx"),
+        fsum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"))
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - (F.col("sx") * F.col("sx")) / F.col("n")) / F.col("n")
+    return (agg.select("dim", "n", mean.alias("mean"), var.alias("var"),
+                       "mn", "mx")
+               .orderBy("dim"))

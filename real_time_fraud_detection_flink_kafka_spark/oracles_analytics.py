@@ -686,4 +686,25 @@ SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
        d.dev / mad.mad AS dev_ratio
 FROM d JOIN mad USING (event_type)
 WHERE d.dev > {MAD_K!r} * mad.mad""",
+        "daily_orders_gapfilled": f"""
+WITH ext AS (
+  SELECT date_trunc('day', min(o_orderdate)) AS lo,
+         date_trunc('day', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d') AS day
+  FROM ext, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) t(d)
+),
+daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         count(*) AS n_orders,
+         {_fsum('o_totalprice')} AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT spine.day,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_price, 0.0) AS total_price
+FROM spine LEFT JOIN daily USING (day)
+ORDER BY 1""",
     }

@@ -25,6 +25,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import MOD
 from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     BITS_PER_TABLE,
     BRUTE_MAX_ID,
+    DIM,
     COS_THRESHOLD,
     HYPERPLANES,
     IVF_K,
@@ -204,6 +205,23 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_pipeline_oracles(),
         "kmeans_centroids": _kmeans_oracle(),
         "ann_ivf_learned": _ann_ivf_learned_oracle(),
+        # token-identical moment expressions over fixed-point sums
+        # (sum-of-squares identity, no running recurrence)
+        "embedding_dim_stats": f"""
+WITH comp AS (
+  SELECT i - 1 AS dim, embedding[i] AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) s
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         (sum(CAST(round((x) * 1000000) AS BIGINT)) / 1000000.0) AS sx,
+         (sum(CAST(round((x * x) * 1000000) AS BIGINT)) / 1000000.0) AS sxx,
+         min(x) AS mn, max(x) AS mx
+  FROM comp GROUP BY 1
+)
+SELECT dim, n, sx / n AS mean,
+       (sxx - (sx * sx) / n) / n AS var, mn, mx
+FROM agg ORDER BY dim""",
     }
 
 

@@ -157,6 +157,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")),
     "mad_outliers": lambda s, d: analytics.mad_outliers(
         load_table(s, d, "events")),
+    "daily_orders_gapfilled": lambda s, d: analytics.daily_orders_gapfilled(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
@@ -218,6 +220,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_cms": lambda s, d: pipeline_ops.heavy_hitters_cms(load_table(s, d, "documents")),
     "fuzzy_match_names": lambda s, d: textops.fuzzy_match_names(load_table(s, d, "part")),
     "feature_hash_docs": lambda s, d: pipeline_ops.feature_hash_docs(load_table(s, d, "documents")),
+    "embedding_dim_stats": lambda s, d: similarity.embedding_dim_stats(load_table(s, d, "embeddings")),
     "mix_rebalance": lambda s, d: pipeline_ops.mix_rebalance(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
