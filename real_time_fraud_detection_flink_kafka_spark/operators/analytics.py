@@ -1270,3 +1270,29 @@ def daily_orders_gapfilled(orders: DataFrame) -> DataFrame:
                      F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
                      F.coalesce("total_price", F.lit(0.0)).alias("total_price"))
              .orderBy("day"))
+
+
+def customer_order_ranks(orders: DataFrame) -> DataFrame:
+    """Ranking-function coverage in one relation (row_number and
+    rank appear elsewhere; this adds the remaining four): per
+    customer order count with dense_rank / percent_rank / cume_dist
+    over the TIE-PRONE count key — all three are functions of the KEY
+    VALUE, not row order, so ties are engine-deterministic — plus the
+    decile via ntile, which DOES depend on row position and therefore
+    ranks over a TOTAL order (count, custkey). percent_rank's
+    (rank−1)/(n−1) is one exact-integer-fed IEEE division.
+
+    Scale note: a global ranking is a range-partitioned sort (Spark
+    parallelizes the sort; the window itself runs per range) — fine
+    for |customers| rows, and the deterministic tie-break is what
+    makes the result reproducible at any partitioning."""
+    spend = (orders.groupBy("o_custkey")
+                   .agg(F.count(F.lit(1)).alias("n_orders")))
+    w_ties = Window.orderBy("n_orders")
+    w_total = Window.orderBy("n_orders", "o_custkey")
+    return (spend.select(
+        "o_custkey", "n_orders",
+        F.dense_rank().over(w_ties).cast("int").alias("drank"),
+        F.percent_rank().over(w_ties).alias("prank"),
+        F.cume_dist().over(w_ties).alias("cdist"),
+        F.ntile(10).over(w_total).cast("int").alias("decile")))

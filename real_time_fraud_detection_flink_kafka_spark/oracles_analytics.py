@@ -707,4 +707,15 @@ SELECT spine.day,
        coalesce(total_price, 0.0) AS total_price
 FROM spine LEFT JOIN daily USING (day)
 ORDER BY 1""",
+        "customer_order_ranks": """
+WITH spend AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT o_custkey, n_orders,
+       CAST(dense_rank() OVER (ORDER BY n_orders) AS INTEGER) AS drank,
+       percent_rank() OVER (ORDER BY n_orders) AS prank,
+       cume_dist() OVER (ORDER BY n_orders) AS cdist,
+       CAST(ntile(10) OVER (ORDER BY n_orders, o_custkey) AS INTEGER)
+         AS decile
+FROM spend""",
     }

@@ -159,6 +159,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "daily_orders_gapfilled": lambda s, d: analytics.daily_orders_gapfilled(
         load_table(s, d, "orders")),
+    "customer_order_ranks": lambda s, d: analytics.customer_order_ranks(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
