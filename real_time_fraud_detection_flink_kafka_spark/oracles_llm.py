@@ -210,7 +210,7 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         "embedding_dim_stats": f"""
 WITH comp AS (
   SELECT i - 1 AS dim, embedding[i] AS x
-  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i) s
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS s(i)
 ),
 agg AS (
   SELECT dim, count(*) AS n,

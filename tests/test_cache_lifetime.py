@@ -29,6 +29,7 @@ PERSISTING_QUERIES = [
     "mix_rebalance",          # per-source token relation (r6)
     "coincidence_pagerank",   # edges + nodes across iterations (r6)
     "coincidence_triangles",  # deg + oriented edge relation (r6)
+    "mad_outliers",           # post-exchange ranked relation (r6)
 ]
 
 
