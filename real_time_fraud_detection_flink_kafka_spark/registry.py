@@ -620,8 +620,10 @@ DRIVER_WINDOW: list[str] = [
     "ann_topk", "ann_lsh", "ann_ivf", "kmeans_centroids",
     # LLM-data-pipeline: text analysis
     "token_count", "quality_score", "lang_id_ngram", "doc_fingerprint",
-    # LLM-data-pipeline: multimodal
-    "multimodal_meta", "multimodal_resize", "multimodal_frame_sample",
+    # LLM-data-pipeline: multimodal (frame_sample yielded its slot in
+    # r6 to give the new non-equi range-join / graph family a
+    # driver-checked representative; it stays §2b-gated)
+    "multimodal_meta", "multimodal_resize", "coincident_events",
     # LLM-data-pipeline: corpus ops
     "vocab_topk", "chunk_documents", "bpe_merges", "distinct_users_kmv",
     "corpus_to_packs",
