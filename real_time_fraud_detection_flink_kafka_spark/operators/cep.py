@@ -482,3 +482,45 @@ def coincidence_bfs_reach(events: DataFrame,
         visited = tracked_persist(visited.unionAll(nxt))
         frontier = nxt
     return visited
+
+
+def user_activity_twins(events: DataFrame) -> DataFrame:
+    """Behavioral-twin detection: each user's 24-hour activity
+    PROFILE (hourly event counts) matched to its most-similar other
+    user by cosine — the time-series similarity search that surfaces
+    accounts acting on the same schedule (bot rings, shared
+    operators). Profiles are built in ONE pass (24 conditional sums
+    per user — a pivot without the pivot operator), and similarity
+    runs at PROFILE level: |users| rows, the 'resolve the value
+    domain' move — event volume never reaches the pair stage. The
+    pair stage itself is quadratic in users (the bounded baseline,
+    like `dedup_embedding_cosine`); at larger user counts the same
+    profiles feed `ann_lsh`/`ann_ivf` as 24-dim vectors — the scale
+    path already exists, this query is its exact ground truth.
+
+    Engine-exact similarity WITHOUT fixed-point: counts are integers,
+    so the dot product and both norms are exact integer sums (any
+    fold order); the only FP is one double multiply, one
+    IEEE-correctly-rounded sqrt, and one division — written
+    token-identically in the oracle. Twin pick is argmax with an id
+    tie-break."""
+    hour = F.hour("ts").cast("int")
+    prof = events.groupBy("user_id").agg(*[
+        F.sum(F.when(hour == h, 1).otherwise(0)).cast("bigint").alias(f"h{h}")
+        for h in range(24)])
+    a = prof.select(F.col("user_id").alias("u"),
+                    *[F.col(f"h{h}").alias(f"a{h}") for h in range(24)])
+    b = prof.select(F.col("user_id").alias("v"),
+                    *[F.col(f"h{h}").alias(f"b{h}") for h in range(24)])
+    dot = sum(F.col(f"a{h}") * F.col(f"b{h}") for h in range(24))
+    na = sum(F.col(f"a{h}") * F.col(f"a{h}") for h in range(24))
+    nb = sum(F.col(f"b{h}") * F.col(f"b{h}") for h in range(24))
+    cos = (dot.cast("double")
+           / F.sqrt(na.cast("double") * nb.cast("double")))
+    pairs = (a.join(b, F.col("u") != F.col("v"))
+              .select("u", "v", cos.alias("cos")))
+    w = Window.partitionBy("u").orderBy(F.desc("cos"), F.asc("v"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1)
+                 .select(F.col("u").alias("user_id"),
+                         F.col("v").alias("twin_id"), "cos"))

@@ -163,6 +163,32 @@ SELECT event_id, card_id, ts_us, amount, ewma,
 FROM sm"""
 
 
+def _twins_sql() -> str:
+    """Integer dot/norms (fold-order free), then the same one
+    multiply + IEEE sqrt + division as the Spark column."""
+    hcols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS h{h}" for h in range(24))
+    dot = " + ".join(f"a.h{h} * b.h{h}" for h in range(24))
+    na = " + ".join(f"a.h{h} * a.h{h}" for h in range(24))
+    nb = " + ".join(f"b.h{h} * b.h{h}" for h in range(24))
+    return f"""
+WITH prof AS (
+  SELECT user_id,
+         {hcols}
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v,
+         CAST(({dot}) AS DOUBLE)
+           / sqrt(CAST(({na}) AS DOUBLE) * CAST(({nb}) AS DOUBLE)) AS cos
+  FROM prof a JOIN prof b ON a.user_id <> b.user_id
+)
+SELECT u AS user_id, v AS twin_id, cos
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY u ORDER BY cos DESC, v) = 1"""
+
+
 from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 
@@ -241,6 +267,7 @@ QUALIFY is_order = 0""",
         "coincidence_pagerank": _pagerank_sql(),
         "bloom_membership": _bloom_sql(),
         "ewma_card_amount": _ewma_sql(),
+        "user_activity_twins": _twins_sql(),
         # min-over-all-paths == BFS first-reach distance (Spark's
         # anti-join discipline); bounded depth keeps the recursion
         # finite on both engines

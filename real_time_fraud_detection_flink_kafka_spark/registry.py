@@ -498,6 +498,9 @@ register("ewma_card_amount",
 register("coincidence_bfs_reach",
          lambda s, d: cep.coincidence_bfs_reach(load_table(s, d, "events")),
          _CEP_ORACLES["coincidence_bfs_reach"])
+register("user_activity_twins",
+         lambda s, d: cep.user_activity_twins(load_table(s, d, "events")),
+         _CEP_ORACLES["user_activity_twins"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 
