@@ -1307,3 +1307,75 @@ def customer_order_ranks(orders: DataFrame) -> DataFrame:
         F.percent_rank().over(w_ties).alias("prank"),
         F.cume_dist().over(w_ties).alias("cdist"),
         F.ntile(10).over(w_total).cast("int").alias("decile")))
+
+
+def value_histogram_quantiles_by_type(events: DataFrame,
+                                      n_bins: int = HIST_BINS,
+                                      qs: list[float] | None = None
+                                      ) -> DataFrame:
+    """GROUPED fixed-bin quantile sketch: per-event_type quantiles
+    from per-(type, bin) counters — the bounded-error companion to
+    the exact `event_value_percentiles` baseline (which sorts per
+    group; this never sorts data). State is |types|·n_bins counters;
+    extremes ride a broadcast |types|-row relation; the cumulative
+    sum and threshold pick run per group over the counter relation.
+    Same engine-exact binning arithmetic as the global sketch."""
+    qs = HIST_QS if qs is None else qs
+    ext = events.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("n"))
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    bin_id = (F.when(F.col("hi") > F.col("lo"),
+                     F.least(F.floor((F.col("value") - F.col("lo")) / width),
+                             F.lit(n_bins - 1).cast("bigint")))
+               .otherwise(F.lit(0).cast("bigint")))
+    binned = (events.join(F.broadcast(ext), "event_type")
+                    .select("event_type", bin_id.alias("bin"),
+                            "lo", "hi", "n"))
+    hist = (binned.groupBy("event_type", "bin", "lo", "hi", "n")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    wcum = (Window.partitionBy("event_type").orderBy("bin")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select("event_type", "bin", "lo", "hi", "n",
+                      F.sum("cnt").over(wcum).alias("cum"))
+    q_rel = (events.sparkSession.range(1)
+             .select(F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+                      .alias("q")))
+    sel = cum.join(F.broadcast(q_rel),
+                   F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    return (sel.groupBy("event_type", "q")
+               .agg(F.min("bin").alias("bin"),
+                    F.min(F.col("lo") + (F.col("bin") + 1) * width)
+                     .alias("est"))
+               .orderBy("event_type", "q"))
+
+
+SLIDE_US = WINDOW_US // 4  # 4 hops per window
+
+
+def sliding_window_counts(events: DataFrame,
+                          window_us: int = WINDOW_US,
+                          slide_us: int = SLIDE_US) -> DataFrame:
+    """SLIDING (hop) window counts — the overlap-window shape
+    `windowed_counts`' tumbling buckets can't express: every event
+    contributes to window_us / slide_us overlapping windows. The
+    assignment is a row-local explode over the fixed hop offsets
+    (exact integer arithmetic, no window library), then the same
+    map-side-combined aggregation; output volume is a deterministic
+    overlap-factor multiple of the tumbling result, which is the
+    honest cost of hop windows at any scale."""
+    n_hops = window_us // slide_us
+    ts_us = F.unix_micros(F.col("ts"))
+    # hop k's window start: the largest value congruent to
+    # k·slide_us (mod window_us) that is <= ts; over k = 0..n_hops-1
+    # this enumerates exactly the n_hops valid starts, one per
+    # residue class — pure integer arithmetic
+    exploded = events.select(
+        "event_type", "value",
+        F.explode(F.array(*[
+            (ts_us - ((ts_us - F.lit(k * slide_us))
+                      % F.lit(window_us))).alias(f"w{k}")
+            for k in range(n_hops)])).alias("window_start_us"))
+    return (exploded.groupBy("window_start_us", "event_type")
+                    .agg(F.count(F.lit(1)).alias("n_events"),
+                         fsum(F.col("value")).alias("total_value")))

@@ -55,6 +55,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
     CO_MIN_SUPPORT,
     CO_TOPK,
     MAD_K,
+    SLIDE_US,
     SETOP_Y1_FROM,
     SETOP_Y1_TO,
     SETOP_Y2_FROM,
@@ -718,4 +719,40 @@ SELECT o_custkey, n_orders,
        CAST(ntile(10) OVER (ORDER BY n_orders, o_custkey) AS INTEGER)
          AS decile
 FROM spend""",
+        "value_histogram_quantiles_by_type": f"""
+WITH ext AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type,
+         CASE WHEN hi > lo THEN least(
+                CAST(floor((value - lo) / ((hi - lo) / {HIST_BINS})) AS BIGINT),
+                {HIST_BINS - 1})
+              ELSE 0 END AS bin, lo, hi, n
+  FROM events e JOIN ext USING (event_type)
+),
+hist AS (SELECT event_type, bin, lo, hi, n, count(*) AS cnt FROM binned
+         GROUP BY event_type, bin, lo, hi, n),
+cum AS (SELECT event_type, bin, lo, hi, n,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist),
+qs AS (SELECT unnest([{", ".join(repr(float(q)) for q in HIST_QS)}]) AS q)
+SELECT event_type, q, min(bin) AS bin,
+       min(lo + (bin + 1) * ((hi - lo) / {HIST_BINS})) AS est
+FROM cum, qs
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+GROUP BY event_type, q ORDER BY event_type, q""",
+        "sliding_window_counts": f"""
+WITH ks AS (SELECT unnest(generate_series(0, {WINDOW_US // SLIDE_US - 1})) AS k),
+assigned AS (
+  SELECT event_type, value,
+         epoch_us(ts) - ((epoch_us(ts) - k * {SLIDE_US}) % {WINDOW_US})
+           AS window_start_us
+  FROM events, ks
+)
+SELECT window_start_us, event_type,
+       count(*) AS n_events, {_fsum('value')} AS total_value
+FROM assigned GROUP BY 1, 2""",
     }

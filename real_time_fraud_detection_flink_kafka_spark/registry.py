@@ -161,6 +161,10 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")),
     "customer_order_ranks": lambda s, d: analytics.customer_order_ranks(
         load_table(s, d, "orders")),
+    "value_histogram_quantiles_by_type": lambda s, d:
+        analytics.value_histogram_quantiles_by_type(load_table(s, d, "events")),
+    "sliding_window_counts": lambda s, d: analytics.sliding_window_counts(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
