@@ -1379,3 +1379,32 @@ def sliding_window_counts(events: DataFrame,
     return (exploded.groupBy("window_start_us", "event_type")
                     .agg(F.count(F.lit(1)).alias("n_events"),
                          fsum(F.col("value")).alias("total_value")))
+
+
+def weekly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Week-over-week growth — the reporting composition the
+    gap-filled spine exists for: weekly fixed-point revenue sums on a
+    DENSE week axis (a silently-missing week would make lag() skip a
+    period and misstate growth — the gap-fill guarantees adjacency),
+    then lag + one division. Growth is NULL for the first week and
+    for a zero-revenue predecessor (explicit CASE, no fabricated
+    infinities). One groupBy + a |weeks|-row window — data-scale work
+    is the aggregation only."""
+    ext = orders.agg(
+        F.date_trunc("WEEK", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("WEEK", F.max("o_orderdate")).alias("hi"))
+    spine = (ext.select(F.explode(F.sequence(
+                 F.col("lo"), F.col("hi"),
+                 F.expr("INTERVAL 7 DAYS"))).alias("w"))
+                .select(F.date_format("w", "yyyy-MM-dd").alias("week")))
+    weekly = (orders.groupBy(F.date_format(
+                  F.date_trunc("WEEK", "o_orderdate"), "yyyy-MM-dd")
+                  .alias("week"))
+                    .agg(fsum(F.col("o_totalprice")).alias("revenue")))
+    dense = (spine.join(F.broadcast(weekly), "week", "left")
+                  .select("week", F.coalesce("revenue", F.lit(0.0))
+                                   .alias("revenue")))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(prev > 0.0, (F.col("revenue") - prev) / prev)
+    return dense.select("week", "revenue", growth.alias("wow_growth"))

@@ -755,4 +755,28 @@ assigned AS (
 SELECT window_start_us, event_type,
        count(*) AS n_events, {_fsum('value')} AS total_value
 FROM assigned GROUP BY 1, 2""",
+        "weekly_revenue_growth": f"""
+WITH ext AS (
+  SELECT date_trunc('week', min(o_orderdate)) AS lo,
+         date_trunc('week', max(o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT strftime(CAST(w AS TIMESTAMP), '%Y-%m-%d') AS week
+  FROM ext, unnest(generate_series(lo, hi, INTERVAL 7 DAY)) t(w)
+),
+weekly AS (
+  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+         {_fsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+),
+dense AS (
+  SELECT spine.week, coalesce(revenue, 0.0) AS revenue
+  FROM spine LEFT JOIN weekly USING (week)
+)
+SELECT week, revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY week) > 0.0
+            THEN (revenue - lag(revenue) OVER (ORDER BY week))
+                 / lag(revenue) OVER (ORDER BY week) END AS wow_growth
+FROM dense""",
     }

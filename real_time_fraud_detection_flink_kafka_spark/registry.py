@@ -165,6 +165,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         analytics.value_histogram_quantiles_by_type(load_table(s, d, "events")),
     "sliding_window_counts": lambda s, d: analytics.sliding_window_counts(
         load_table(s, d, "events")),
+    "weekly_revenue_growth": lambda s, d: analytics.weekly_revenue_growth(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
