@@ -592,6 +592,22 @@ register("stream_coincident_events", _stream_coincident,
          _CEP_ORACLES["coincident_events"])
 
 
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.windows import (
+        run_sliding_counts_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_sliding_counts_stream(
+        spark, sf_dir, f"sliding_stream_{_STREAM_COUNTER['n']}")
+
+
+# native hop windows align to epoch slide multiples — the same start
+# set the batch integer-mod enumeration produces (shared oracle)
+register("stream_sliding_window_counts", _stream_sliding,
+         _ANALYTICS_ORACLES["sliding_window_counts"])
+
+
 # --- driver evaluation window ------------------------------------------------
 # The grading driver evaluates exactly the FIRST 50 entries of
 # ``queries()`` in dict order (observed: CORRECTNESS_r{1,2,3}.json each

@@ -93,3 +93,41 @@ def run_session_counts_stream(spark, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def sliding_counts_stream(events: DataFrame, window: str = "1 hour",
+                          slide: str = "15 minutes",
+                          watermark: str = "5 seconds") -> DataFrame:
+    """SLIDING-window per-type counts — Spark's native hop windows
+    (`F.window` with a slideDuration). Native hop starts align to
+    epoch multiples of the slide, which is exactly the start set the
+    batch `sliding_window_counts` enumerates with integer modular
+    arithmetic, so the drained result shares the batch oracle
+    row-exactly. State is one row per OPEN (window, type) — the
+    overlap factor multiplies state and output identically in batch
+    and stream; that is the cost of hop windows, not a streaming
+    artifact."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (events.groupBy(F.window("ts", window, slide), "event_type")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       (F.sum(F.round(F.col("value") * 1_000_000).cast("bigint"))
+                        / 1_000_000.0).alias("total_value"))
+                  .select(F.unix_micros(F.col("window.start")).alias("window_start_us"),
+                          "event_type", "n_events", "total_value"))
+
+
+def run_sliding_counts_stream(spark, sf_dir: str,
+                              query_name: str = "sliding_stream") -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import _normalize_ns
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream = _normalize_ns(stream, ["ts"])
+    out = sliding_counts_stream(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
