@@ -1408,3 +1408,21 @@ def weekly_revenue_growth(orders: DataFrame) -> DataFrame:
     prev = F.lag("revenue").over(w)
     growth = F.when(prev > 0.0, (F.col("revenue") - prev) / prev)
     return dense.select("week", "revenue", growth.alias("wow_growth"))
+
+
+def grouping_sets_revenue(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the aggregation-level shape neither
+    CUBE nor ROLLUP can express: {(year), (status), ()} skips the
+    (year, status) cross level entirely (cube would compute it,
+    rollup can't produce the two independent single-column levels).
+    Still ONE pass with map-side partial aggregation; grouping_id
+    disambiguates subtotal rows from real NULL keys, mirrored
+    bit-for-bit by the oracle's GROUPING()."""
+    base = orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+    return (base.groupingSets([["o_year"], ["o_orderstatus"], []],
+                              "o_year", "o_orderstatus")
+                .agg(F.grouping_id().cast("int").alias("gid"),
+                     F.count(F.lit(1)).alias("n_orders"),
+                     fsum(F.col("o_totalprice")).alias("total_price"))
+                .select("gid", "o_year", "o_orderstatus",
+                        "n_orders", "total_price"))

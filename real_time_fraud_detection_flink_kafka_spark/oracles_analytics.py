@@ -296,6 +296,14 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        {_fsum('o_totalprice')} AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "grouping_sets_revenue": f"""
+SELECT CAST(GROUPING(o_year, o_orderstatus) AS INTEGER) AS gid,
+       o_year, o_orderstatus, count(*) AS n_orders,
+       {_fsum('o_totalprice')} AS total_price
+FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             o_orderstatus, o_totalprice
+      FROM orders)
+GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
         "q13_customer_distribution": f"""
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

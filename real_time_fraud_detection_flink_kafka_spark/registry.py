@@ -167,6 +167,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "weekly_revenue_growth": lambda s, d: analytics.weekly_revenue_growth(
         load_table(s, d, "orders")),
+    "grouping_sets_revenue": lambda s, d: analytics.grouping_sets_revenue(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
