@@ -1426,3 +1426,27 @@ def grouping_sets_revenue(orders: DataFrame) -> DataFrame:
                      fsum(F.col("o_totalprice")).alias("total_price"))
                 .select("gid", "o_year", "o_orderstatus",
                         "n_orders", "total_price"))
+
+
+def activity_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration
+    metric that tells a platform whether traffic is organic (spread)
+    or dominated by a few hot accounts (bots, scrapers): 0 = uniform,
+    →1 = concentrated. Computed from the closed form over rank-sorted
+    counts: G = 2·Σ(rank·count) / (n·Σcount) − (n+1)/n.
+
+    Scale shape: the sort ranks the |users|-row COUNT relation (the
+    value-domain move), never events; every sum is an exact integer
+    with any fold order, and the final expression is three integer-fed
+    IEEE divisions written token-identically in the oracle."""
+    per_user = (events.groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy("c", "user_id")
+    ranked = per_user.select(
+        "c", F.row_number().over(w).cast("bigint").alias("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").cast("bigint").alias("total_events"),
+        ((F.lit(2) * F.sum(F.col("rnk") * F.col("c")))
+         / (F.count(F.lit(1)) * F.sum("c"))
+         - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))).alias("gini"))

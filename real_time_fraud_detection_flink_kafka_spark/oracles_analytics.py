@@ -304,6 +304,19 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        "activity_gini": """
+WITH per_user AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, user_id) AS BIGINT) AS rnk
+  FROM per_user
+)
+SELECT count(*) AS n_users,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       (2 * sum(rnk * c)) / (count(*) * sum(c))
+         - (count(*) + 1) / count(*) AS gini
+FROM ranked""",
         "q13_customer_distribution": f"""
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count
