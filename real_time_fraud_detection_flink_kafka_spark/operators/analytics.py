@@ -1450,3 +1450,37 @@ def activity_gini(events: DataFrame) -> DataFrame:
         ((F.lit(2) * F.sum(F.col("rnk") * F.col("c")))
          / (F.count(F.lit(1)) * F.sum("c"))
          - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))).alias("gini"))
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_ordered(events: DataFrame) -> DataFrame:
+    """Strict-ORDER conversion funnel — the product-analytics
+    primitive `event_funnel`'s transition matrix doesn't give: how
+    many users did view, then click strictly AFTER that view, then
+    purchase strictly after that click. Each stage keeps the EARLIEST
+    qualifying timestamp (min is order-free — engine-exact), and the
+    next stage joins on the user key and filters to strictly-later
+    events: three user-keyed joins that all share one hash
+    partitioning (co-partitioned chain, AQE coalesces the tiny
+    tails). Output is the attrition row — the same observability
+    shape as `corpus_filter_funnel`, for user journeys."""
+    us = F.unix_micros("ts")
+    s1 = (events.where(F.col("event_type") == FUNNEL_STEPS[0])
+                .groupBy("user_id").agg(F.min(us).alias("t1")))
+    s2 = (events.where(F.col("event_type") == FUNNEL_STEPS[1])
+                .join(s1, "user_id")
+                .where(us > F.col("t1"))
+                .groupBy("user_id").agg(F.min(us).alias("t2")))
+    s3 = (events.where(F.col("event_type") == FUNNEL_STEPS[2])
+                .join(s2, "user_id")
+                .where(us > F.col("t2"))
+                .groupBy("user_id").agg(F.min(us).alias("t3")))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_then_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_then_purchase"))
+    return (c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+              .select("n_view", "n_then_click", "n_then_purchase",
+                      (F.col("n_then_purchase") / F.col("n_view"))
+                       .alias("conversion")))

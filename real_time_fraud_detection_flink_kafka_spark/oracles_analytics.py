@@ -317,6 +317,27 @@ SELECT count(*) AS n_users,
        (2 * sum(rnk * c)) / (count(*) * sum(c))
          - (count(*) + 1) / count(*) AS gini
 FROM ranked""",
+        "funnel_ordered": """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND epoch_us(ts) > t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_then_click,
+       (SELECT count(*) FROM s3) AS n_then_purchase,
+       (SELECT count(*) FROM s3) / (SELECT count(*) FROM s1) AS conversion""",
         "q13_customer_distribution": f"""
 WITH per_cust AS (
   SELECT c_custkey, count(o_orderkey) AS c_count

@@ -171,6 +171,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "orders")),
     "activity_gini": lambda s, d: analytics.activity_gini(
         load_table(s, d, "events")),
+    "funnel_ordered": lambda s, d: analytics.funnel_ordered(
+        load_table(s, d, "events")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
