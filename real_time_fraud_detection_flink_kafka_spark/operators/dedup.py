@@ -192,7 +192,20 @@ def _band_rows(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Banded LSH: distinct candidate pairs sharing any band bucket."""
+    """Banded LSH: distinct candidate pairs sharing any band bucket.
+
+    Width note (why this banding has no `lsh_bits_for`-style growth
+    lever, unlike sign-LSH in operators/similarity.py): a random
+    UNRELATED pair collides in an r-row band with probability s^r
+    where s is the pair's actual Jaccard — for random text s≈0, so
+    expected false candidates are Σpairs s_ij^r, driven by the
+    corpus's SIMILARITY STRUCTURE, not by n²/2^bits volume the way
+    random-hyperplane buckets are. Growing the corpus with
+    non-duplicate text adds ~zero collisions per new doc; growing it
+    with duplicates adds candidates you WANT. The r (rows/band) knob
+    trades recall at low Jaccard for precision and is a design-point
+    choice (r=2 catches pairs well below the 0.8 threshold), not a
+    scale valve."""
     e = _band_rows(sig)
     a, b = e.alias("a"), e.alias("b")
     return (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -39,10 +39,46 @@ N_QUERIES = 10
 TOP_K = 5
 COS_THRESHOLD = 0.45
 N_TABLES = 8          # independent LSH tables (recall knob)
-BITS_PER_TABLE = 10   # sign-bits per table signature (precision knob)
+BITS_PER_TABLE = 10   # MINIMUM sign-bits per table signature
+MAX_BITS = 20         # pregenerated hyperplanes per table (width ceiling)
+LSH_BASE_N = 2000     # corpus size at which width starts growing
+WIDE_BITS = 14        # the widened width ann_recall_compare measures
 BRUTE_MAX_ID = 1500  # baseline slice bound for the quadratic path
 IVF_K = 16           # coarse-quantizer cells (scales with sqrt(n))
 NPROBE = 4           # cells probed per query (recall knob)
+
+
+def lsh_bits_for(n: int) -> int:
+    """Scale-aware signature width: one extra sign-bit per corpus
+    DOUBLING beyond ``LSH_BASE_N``, floored at ``BITS_PER_TABLE`` and
+    capped at ``MAX_BITS`` (the number of pregenerated hyperplanes —
+    at >2M vectors you regenerate more planes and raise the cap).
+
+    Expected within-bucket pairs per table are n²/2^bits, so holding
+    bits fixed makes candidates grow quadratically; adding a bit per
+    doubling holds candidates-per-row ~CONSTANT as the corpus grows —
+    the lever the 100 TB path needs. Integer-exact everywhere: the
+    same formula is written as `bin`/`div` arithmetic in Spark SQL
+    and as `bin`/`//` in the DuckDB oracle (see
+    oracles_llm._similarity_oracles), so all three engines agree
+    bit-for-bit on the width, and the oracle masks a full
+    ``MAX_BITS`` signature by 2^bits — arithmetically identical to
+    truncating the fold at `bits` terms."""
+    m1 = max(n - 1, 0) // LSH_BASE_N
+    d = 0 if m1 <= 0 else m1.bit_length()
+    return min(MAX_BITS, BITS_PER_TABLE + d)
+
+
+def lsh_width_params(embeddings: DataFrame) -> DataFrame:
+    """1-row (_bits int) relation computing `lsh_bits_for(count(*))`
+    ENGINE-SIDE — broadcast into the signature stage so width rides
+    the DAG (a cheap count aggregate, the same move as
+    mix_rebalance's rate broadcast; no driver collect)."""
+    m1 = F.expr(f"greatest(count(1) - 1, 0) div {LSH_BASE_N}")
+    d = F.when(m1 <= 0, F.lit(0)).otherwise(F.length(F.bin(m1)))
+    return embeddings.agg(
+        F.least(F.lit(MAX_BITS), F.lit(BITS_PER_TABLE) + d)
+         .cast("int").alias("_bits"))
 
 
 def _lcg_floats(n: int, seed: int = 7) -> list[float]:
@@ -57,8 +93,11 @@ def _lcg_floats(n: int, seed: int = 7) -> list[float]:
 
 
 DIM = 64
+# layout: table t's bit i is HYPERPLANES[t * MAX_BITS + i] — widening
+# the active width appends bits to every table without re-seeding the
+# ones already in use
 HYPERPLANES: list[list[float]] = [
-    _lcg_floats(DIM, seed=7 + i) for i in range(N_TABLES * BITS_PER_TABLE)
+    _lcg_floats(DIM, seed=7 + i) for i in range(N_TABLES * MAX_BITS)
 ]
 
 
@@ -101,7 +140,8 @@ def ann_topk(embeddings: DataFrame, k: int = TOP_K,
                      F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
 
 
-def lsh_signatures_array(v: Column, hps: Column | None = None) -> Column:
+def lsh_signatures_array(v: Column, hps: Column | None = None,
+                         bits: Column | int | None = None) -> Column:
     """All N_TABLES table-signatures as ONE array expression.
 
     Expression-shape matters twice here: (1) each dot sits directly in
@@ -117,20 +157,25 @@ def lsh_signatures_array(v: Column, hps: Column | None = None) -> Column:
     are unchanged."""
     if hps is None:
         hps = F.lit(HYPERPLANES)
-    pows = F.lit([1 << i for i in range(BITS_PER_TABLE)])
+    if bits is None:
+        bits = F.lit(BITS_PER_TABLE)
+    elif isinstance(bits, int):
+        bits = F.lit(bits)
+    pows = F.lit([1 << i for i in range(MAX_BITS)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
         lambda t: F.aggregate(
-            F.sequence(F.lit(0), F.lit(BITS_PER_TABLE - 1)),
+            F.sequence(F.lit(0), bits - 1),
             F.lit(0),
             lambda acc, i: acc + F.when(
-                dot(v, F.element_at(hps, t * BITS_PER_TABLE + i + 1)) > 0,
+                dot(v, F.element_at(hps, t * MAX_BITS + i + 1)) > 0,
                 F.element_at(pows, i + 1)).otherwise(0)))
 
 
-def lsh_table_signature(v: Column, table: int) -> Column:
-    """``BITS_PER_TABLE``-bit sign signature for one LSH table."""
-    return F.element_at(lsh_signatures_array(v), table + 1)
+def lsh_table_signature(v: Column, table: int,
+                        bits: int = BITS_PER_TABLE) -> Column:
+    """`bits`-wide sign signature for one LSH table."""
+    return F.element_at(lsh_signatures_array(v, bits=bits), table + 1)
 
 
 def _with_hyperplanes(df: DataFrame) -> DataFrame:
@@ -145,7 +190,8 @@ def _with_hyperplanes(df: DataFrame) -> DataFrame:
     return df.crossJoin(F.broadcast(hdf))
 
 
-def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFrame:
+def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD,
+            bits: int | None = None) -> DataFrame:
     """Banded multi-table LSH: a pair is a candidate iff it matches a
     FULL table signature in ≥1 of the N_TABLES tables (union via
     DISTINCT), then exact-cosine verified.
@@ -154,7 +200,14 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     bucket) — the 64-dim vectors are re-joined afterwards for
     verification, so candidate generation is O(n · N_TABLES) rows of
     ~20 bytes, and expected within-bucket pairs per table are
-    n²/2^BITS_PER_TABLE (tune bits up with corpus size).
+    n²/2^bits. Width is SCALE-AWARE by default (`bits=None`):
+    `lsh_width_params` broadcasts `lsh_bits_for(count)` — one bit per
+    corpus doubling past LSH_BASE_N — so candidates-per-row stay
+    ~constant as the corpus grows instead of quadrupling per
+    doubling; pass an explicit `bits` to pin the width (the recall
+    operators do, to keep their measured curves width-comparable).
+    The recall price of widening is itself measured:
+    `ann_recall_compare` carries an `lsh_w14` generator row.
 
     Recall profile at 8×10 bits (sign-bit collision p = 1 - θ/π):
     ~97% at cos 0.95, ~85% at 0.9, ~12% at 0.5 — i.e. this is the
@@ -162,14 +215,23 @@ def ann_lsh(embeddings: DataFrame, threshold: float = COS_THRESHOLD) -> DataFram
     threshold are inherently hard for sign-LSH (use `ann_topk` /
     `ann_topk_fast` for exact low-threshold search)."""
     e = _vecs(spread(embeddings))
+    bits_col: Column | int
+    if bits is None:
+        withp = _with_hyperplanes(e).crossJoin(
+            F.broadcast(lsh_width_params(embeddings)))
+        bits_col = F.col("_bits")
+    else:
+        withp = _with_hyperplanes(e)
+        bits_col = bits
     # both self-join sides consume the signature relation; the
     # candidate join broadcasts one side, so there is no exchange for
     # Catalyst to reuse and the 80-hyperplane signature fold would run
     # TWICE — persist() computes it once (rows are (id, tbl, bucket),
     # ~20 bytes; at cluster scale this is the persisted/written
     # signature table every LSH system maintains)
-    buckets = tracked_persist(_with_hyperplanes(e).select("vec_id", F.posexplode(
-        lsh_signatures_array(F.col("v"), F.col("_hps"))).alias("tbl", "bucket")))
+    buckets = tracked_persist(withp.select("vec_id", F.posexplode(
+        lsh_signatures_array(F.col("v"), F.col("_hps"), bits_col))
+        .alias("tbl", "bucket")))
     return _lsh_candidates_verified(e, buckets, threshold)
 
 
@@ -196,9 +258,15 @@ def _lsh_candidates_verified(e: DataFrame, buckets: DataFrame,
                         F.round(F.col("cos_raw"), 6).alias("cos_sim")))
 
 
-def lsh_signatures_arrow(embeddings: DataFrame) -> DataFrame:
+def lsh_signatures_arrow(embeddings: DataFrame,
+                         bits: int | None = None) -> DataFrame:
     """Arrow/numpy fast path for the LSH signature stage: (vec_id,
     tbl, bucket) rows, BIT-IDENTICAL to `lsh_signatures_array`.
+    `bits=None` sizes the width from the corpus count with the same
+    `lsh_bits_for` formula as the expression path (the count here is
+    one driver-side count job — the closure needs the scalar before
+    the numpy arrays are built; same O(1)-result pass as the 1-row
+    broadcast, materialized instead of joined).
 
     Bit-identity argument: the expression path folds each hyperplane
     dot STRICTLY left-to-right in doubles (0 + v₀h₀ + v₁h₁ + …).
@@ -213,8 +281,15 @@ def lsh_signatures_arrow(embeddings: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    HP = np.array(HYPERPLANES, dtype=np.float64)          # (80, 64)
-    pows = (1 << np.arange(BITS_PER_TABLE, dtype=np.int64))
+    if bits is None:
+        bits = lsh_bits_for(embeddings.count())
+    # active planes only: table t's first `bits` rows of the
+    # t*MAX_BITS block — (N_TABLES*bits, 64)
+    idx = np.concatenate([np.arange(t * MAX_BITS, t * MAX_BITS + bits)
+                          for t in range(N_TABLES)])
+    HP = np.array(HYPERPLANES, dtype=np.float64)[idx]
+    pows = (1 << np.arange(bits, dtype=np.int64))
+    width = bits
 
     def sign(it):
         for pdf in it:
@@ -225,8 +300,8 @@ def lsh_signatures_arrow(embeddings: DataFrame) -> DataFrame:
             acc = np.zeros((n, HP.shape[0]), dtype=np.float64)
             for d in range(HP.shape[1]):
                 acc += V[:, d, None] * HP[None, :, d]
-            bits = (acc > 0).reshape(n, N_TABLES, BITS_PER_TABLE)
-            sigs = (bits * pows[None, None, :]).sum(axis=2)   # (n, N_TABLES)
+            signs = (acc > 0).reshape(n, N_TABLES, width)
+            sigs = (signs * pows[None, None, :]).sum(axis=2)  # (n, N_TABLES)
             ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame({
                 "vec_id": np.repeat(ids, N_TABLES),
@@ -239,12 +314,14 @@ def lsh_signatures_arrow(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_lsh_fast(embeddings: DataFrame,
-                 threshold: float = COS_THRESHOLD) -> DataFrame:
+                 threshold: float = COS_THRESHOLD,
+                 bits: int | None = None) -> DataFrame:
     """`ann_lsh` with the Arrow signature stage — bit-identical
     buckets (see `lsh_signatures_arrow`), so it shares `ann_lsh`'s
-    oracle; the verify stage is unchanged JVM-side expression code."""
+    oracle; the verify stage is unchanged JVM-side expression code.
+    Width is scale-aware by default, exactly like `ann_lsh`."""
     e = _vecs(spread(embeddings))
-    buckets = tracked_persist(lsh_signatures_arrow(spread(embeddings)))
+    buckets = tracked_persist(lsh_signatures_arrow(spread(embeddings), bits))
     return _lsh_candidates_verified(e, buckets, threshold)
 
 
@@ -399,8 +476,10 @@ def ann_lsh_recall(embeddings: DataFrame,
     value-exact against the oracle."""
     sl = embeddings.where(F.col("vec_id") < max_id)
     exact = dedup_embedding_cosine(embeddings, threshold, max_id)
-    lsh = ann_lsh(sl, threshold).select("vec_a", "vec_b",
-                                        F.lit(1).alias("found"))
+    # width pinned to the floor so the curve measures the BASE design
+    # point (the slice is ≤BRUTE_MAX_ID rows, under LSH_BASE_N anyway)
+    lsh = ann_lsh(sl, threshold, bits=BITS_PER_TABLE).select(
+        "vec_a", "vec_b", F.lit(1).alias("found"))
     hi, mid, lo = RECALL_BAND_EDGES
     band = (F.when(F.col("cos_sim") >= hi, "band_095_100")
              .when(F.col("cos_sim") >= mid, "band_080_095")
@@ -440,8 +519,13 @@ def ann_recall_compare(embeddings: DataFrame,
     and recall one rounded division — value-exact."""
     exact = dedup_embedding_cosine(embeddings, threshold, max_id)
     sl = embeddings.where(F.col("vec_id") < max_id)
-    lsh = ann_lsh(sl, threshold).select("vec_a", "vec_b",
-                                        F.lit(1).alias("lsh_found"))
+    lsh = ann_lsh(sl, threshold, bits=BITS_PER_TABLE).select(
+        "vec_a", "vec_b", F.lit(1).alias("lsh_found"))
+    # the widened design point: what `lsh_bits_for` switches to as the
+    # corpus grows — its recall cost measured on the same slice, so
+    # the width lever's price is a checked relation, not a claim
+    lsh_w = ann_lsh(sl, threshold, bits=WIDE_BITS).select(
+        "vec_a", "vec_b", F.lit(1).alias("lshw_found"))
     e = _vecs(sl)
     cn = (e.where(F.col("vec_id") < n_cells)
            .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
@@ -453,6 +537,7 @@ def ann_recall_compare(embeddings: DataFrame,
                  .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell")))
     j = (exact
          .join(lsh, ["vec_a", "vec_b"], "left")
+         .join(lsh_w, ["vec_a", "vec_b"], "left")
          .join(F.broadcast(assigned.select(F.col("vec_id").alias("vec_a"),
                                            F.col("cell").alias("cell_a"))),
                "vec_a")
@@ -467,12 +552,13 @@ def ann_recall_compare(embeddings: DataFrame,
     per = (j.groupBy(band.alias("cos_band"))
             .agg(F.count(F.lit(1)).alias("n_true"),
                  F.sum(F.coalesce("lsh_found", F.lit(0))).alias("lsh_f"),
+                 F.sum(F.coalesce("lshw_found", F.lit(0))).alias("lshw_f"),
                  F.sum((F.col("cell_a") == F.col("cell_b")).cast("long"))
                   .alias("ivf_f")))
     return (per.select(
                 "cos_band", "n_true",
-                F.expr("stack(2, 'lsh', lsh_f, 'ivf_cell', ivf_f)"
-                       " as (generator, n_found)"))
+                F.expr(f"stack(3, 'lsh', lsh_f, 'lsh_w{WIDE_BITS}', lshw_f,"
+                       " 'ivf_cell', ivf_f) as (generator, n_found)"))
             .select("generator", "cos_band", "n_true", "n_found",
                     F.round(F.col("n_found").cast("double") / F.col("n_true"),
                             6).alias("recall")))

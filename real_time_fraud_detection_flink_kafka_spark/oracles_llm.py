@@ -29,11 +29,14 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     COS_THRESHOLD,
     HYPERPLANES,
     IVF_K,
+    LSH_BASE_N,
+    MAX_BITS,
     N_QUERIES,
     N_TABLES,
     NPROBE,
     RECALL_BAND_EDGES,
     TOP_K,
+    WIDE_BITS,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
     BPE_PATTERN,
@@ -659,19 +662,50 @@ def _hp_literal(hp: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in hp) + "]"
 
 
-def _similarity_oracles() -> dict[str, str]:
-    def table_sig(t: int) -> str:
-        base = t * BITS_PER_TABLE
-        return " + ".join(
-            f"(CASE WHEN list_dot_product(v, {_hp_literal(HYPERPLANES[base + i])}) > 0"
-            f" THEN {1 << i} ELSE 0 END)"
-            for i in range(BITS_PER_TABLE)
-        )
+def _table_sig_sql(t: int, width: int) -> str:
+    """`width`-bit sign signature of table t (hyperplane layout is
+    t*MAX_BITS+i, matching similarity.HYPERPLANES)."""
+    base = t * MAX_BITS
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_hp_literal(HYPERPLANES[base + i])}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(width)
+    )
 
-    bucket_union = "\nUNION ALL\n".join(
-        f"  SELECT vec_id, {t} AS tbl, ({table_sig(t)}) AS bucket FROM e"
+
+def _bucket_union_sql(width: int = BITS_PER_TABLE) -> str:
+    """Static-width (vec_id, tbl, bucket) union over relation `e`."""
+    return "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, ({_table_sig_sql(t, width)}) AS bucket FROM e"
         for t in range(N_TABLES)
     )
+
+
+def _bucket_dynamic_sql() -> str:
+    """SCALE-AWARE-width (vec_id, tbl, bucket) relation over `e`:
+    the full MAX_BITS signature masked by 2^bits, where bits =
+    lsh_bits_for(count(*)) computed IN SQL with the identical
+    integer arithmetic (`//` + `bin` length) as the Spark side —
+    masking the full signature equals truncating the sign fold at
+    `bits` terms, so buckets match the engine bit-for-bit at every
+    corpus size (similarity.lsh_bits_for)."""
+    full_union = "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl,"
+        f" ({_table_sig_sql(t, MAX_BITS)})::BIGINT AS full_sig FROM e"
+        for t in range(N_TABLES)
+    )
+    return f"""  SELECT vec_id, tbl, (full_sig % (1::BIGINT << bits)) AS bucket
+  FROM (
+{full_union}
+  ) fs, (
+    SELECT LEAST({MAX_BITS}, {BITS_PER_TABLE} +
+           CASE WHEN m1 <= 0 THEN 0 ELSE length(bin(m1)) END) AS bits
+    FROM (SELECT greatest(count(*) - 1, 0) // {LSH_BASE_N} AS m1 FROM e) mm
+  ) p"""
+
+
+def _similarity_oracles() -> dict[str, str]:
+    bucket_union = _bucket_union_sql()
     return {
         "ann_topk": f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -692,7 +726,7 @@ FROM r WHERE rnk <= {TOP_K}""",
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), buck AS (
-{bucket_union}
+{_bucket_dynamic_sql()}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buck a JOIN buck b
@@ -763,6 +797,16 @@ WITH e AS (
   SELECT vec_a, vec_b, 1 AS lsh_found
   FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
   WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}
+), buckw AS (
+{_bucket_union_sql(WIDE_BITS)}
+), candw AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckw a JOIN buckw b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), lshw AS (
+  SELECT vec_a, vec_b, 1 AS lshw_found
+  FROM candw JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+  WHERE {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}
 ), c AS (
   SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}
 ), ac AS (
@@ -782,17 +826,23 @@ exact AS (
               WHEN cos_sim >= {RECALL_BAND_EDGES[2]!r} THEN 'band_060_080'
               ELSE 'band_thr_060' END AS cos_band,
          coalesce(lsh_found, 0) AS lsh_found,
+         coalesce(lshw_found, 0) AS lshw_found,
          CASE WHEN aa.cell = ab.cell THEN 1 ELSE 0 END AS ivf_found
   FROM exact LEFT JOIN lsh USING (vec_a, vec_b)
+  LEFT JOIN lshw USING (vec_a, vec_b)
   JOIN assigned aa ON aa.vec_id = vec_a
   JOIN assigned ab ON ab.vec_id = vec_b
 ), g AS (
   SELECT cos_band, count(*) AS n_true,
-         sum(lsh_found) AS lsh_f, sum(ivf_found) AS ivf_f
+         sum(lsh_found) AS lsh_f, sum(lshw_found) AS lshw_f,
+         sum(ivf_found) AS ivf_f
   FROM j GROUP BY 1
 )
 SELECT 'lsh' AS generator, cos_band, n_true, lsh_f AS n_found,
        round(CAST(lsh_f AS DOUBLE) / n_true, 6) AS recall FROM g
+UNION ALL
+SELECT 'lsh_w{WIDE_BITS}' AS generator, cos_band, n_true, lshw_f AS n_found,
+       round(CAST(lshw_f AS DOUBLE) / n_true, 6) AS recall FROM g
 UNION ALL
 SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
        round(CAST(ivf_f AS DOUBLE) / n_true, 6) AS recall FROM g""",

@@ -92,3 +92,62 @@ def test_blocked_dedup_pairs_subset_of_exact(spark, sf_dir):
     for row in blocked.itertuples():
         for vid in (row.vec_a, row.vec_b):
             assert cells.setdefault(vid, row.cell) == row.cell
+
+
+def test_lsh_bits_formula():
+    """Width grows one bit per corpus doubling past LSH_BASE_N, floored
+    at BITS_PER_TABLE and capped at MAX_BITS — the three-engine
+    integer formula (similarity.lsh_bits_for)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        LSH_BASE_N,
+        MAX_BITS,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(0) == BITS_PER_TABLE
+    assert lsh_bits_for(LSH_BASE_N) == BITS_PER_TABLE
+    assert lsh_bits_for(LSH_BASE_N + 1) == BITS_PER_TABLE + 1
+    assert lsh_bits_for(2 * LSH_BASE_N) == BITS_PER_TABLE + 1
+    assert lsh_bits_for(10 * LSH_BASE_N) == BITS_PER_TABLE + 4
+    assert lsh_bits_for(30 * LSH_BASE_N) == BITS_PER_TABLE + 5
+    assert lsh_bits_for(10 ** 12) == MAX_BITS
+
+
+def test_ann_lsh_scale_aware_width_lockstep(spark, sf_dir):
+    """At a corpus size past LSH_BASE_N the engine's dynamic width
+    (sequence-fold truncated at `bits` from the 1-row count broadcast)
+    must STILL match the DuckDB oracle (full MAX_BITS signature masked
+    by 2^bits, bits recomputed in SQL) — the widened branch of the
+    lockstep, which the base testdata (n <= LSH_BASE_N) never takes."""
+    import duckdb
+
+    from real_time_fraud_detection_flink_kafka_spark.oracles_llm import (
+        _similarity_oracles,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        LSH_BASE_N,
+        ann_lsh,
+        ann_lsh_fast,
+        lsh_bits_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n0 = emb.count()
+    reps = LSH_BASE_N // n0 + 2          # enough replicas to cross BASE_N
+    assert lsh_bits_for(reps * n0) > BITS_PER_TABLE
+    big = emb
+    for r in range(1, reps):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * n0)))
+    got = (ann_lsh(big).toPandas()
+           .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    fast = (ann_lsh_fast(big).toPandas()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, fast)
+
+    con = duckdb.connect()
+    con.register("embeddings", big.toPandas())
+    want = (con.execute(_similarity_oracles()["ann_lsh"]).fetchdf()
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
