@@ -1438,17 +1438,24 @@ def activity_gini(events: DataFrame) -> DataFrame:
     Scale shape: the sort ranks the |users|-row COUNT relation (the
     value-domain move), never events; every sum is an exact integer
     with any fold order, and the final expression is three integer-fed
-    IEEE divisions written token-identically in the oracle."""
+    IEEE divisions written token-identically in the oracle.
+
+    Overflow: Σ(rank·count) is bounded by n_users·total_events —
+    ~1e21 at the 1e9-user/1e12-event scale this engine targets, past
+    int64 — so the rank·count products and the n·Σc denominator
+    accumulate as DECIMAL(38,0) (exact to 1e38) and convert to double
+    only for the final division, identically in the oracle."""
     per_user = (events.groupBy("user_id")
                       .agg(F.count(F.lit(1)).alias("c")))
     w = Window.orderBy("c", "user_id")
     ranked = per_user.select(
         "c", F.row_number().over(w).cast("bigint").alias("rnk"))
+    num = F.lit(2) * F.sum(F.col("rnk").cast("decimal(38,0)") * F.col("c"))
+    den = F.count(F.lit(1)).cast("decimal(38,0)") * F.sum("c")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("c").cast("bigint").alias("total_events"),
-        ((F.lit(2) * F.sum(F.col("rnk") * F.col("c")))
-         / (F.count(F.lit(1)) * F.sum("c"))
+        (num.cast("double") / den.cast("double")
          - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))).alias("gini"))
 
 

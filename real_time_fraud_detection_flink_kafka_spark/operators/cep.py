@@ -303,7 +303,6 @@ BLOOM_K = 4            # hash functions
 BLOOM_WORD = 32        # bits per word — 1 << 31 max keeps masks
                        # positive in both engines' int64 (no sign-bit
                        # portability edge at 1 << 63)
-BLOOM_SHIFT = 5_000_000  # probe offset guaranteed outside the key set
 
 
 def _bloom_word_mask(col, j: int, m: int):
@@ -326,9 +325,13 @@ def bloom_membership(events: DataFrame, customer: DataFrame) -> DataFrame:
     way: one row per m showing how an underdimensioned filter's FPR
     collapses as m grows, so the sizing lever (m proportional to n)
     is demonstrated with numbers, not quoted from the formula. Build
-    over the customer key set; probe with real user ids (members)
-    AND ids shifted outside the key domain (guaranteed non-members);
-    report hit counts next to ground truth.
+    over the customer key set; member probes are the distinct user
+    ids that ARE in that key set (semi-join — so zero false negatives
+    is a structural guarantee of the filter, valid on ANY keying of
+    the data, not an accident of user_id ⊆ custkey); non-member
+    probes are user ids shifted past max(key) by a DATA-DERIVED
+    offset (max(key) + 1 − min(user_id), a 1-row broadcast), so they
+    are provably outside the key domain at every scale/re-key.
 
     Scale shape: each filter is m/32 word rows built by
     groupBy(word) + bit_or with map-side combine — mergeable bounded
@@ -346,8 +349,16 @@ def bloom_membership(events: DataFrame, customer: DataFrame) -> DataFrame:
     # sizing curve — computed and persisted once, so adding filter
     # sizes never rescans events/customer
     keys = tracked_persist(customer.select(F.col("c_custkey").alias("key")))
-    members = events.select(F.col("user_id").alias("probe")).distinct()
-    non_members = members.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
+    users = tracked_persist(
+        events.select(F.col("user_id").alias("probe")).distinct())
+    shift = (keys.agg(F.max("key").alias("_maxk"))
+                 .crossJoin(users.agg(F.min("probe").alias("_minp")))
+                 .select((F.col("_maxk") + 1 - F.col("_minp"))
+                         .alias("_shift")))
+    members = users.join(keys.select(F.col("key").alias("probe")),
+                         "probe", "semi")
+    non_members = users.crossJoin(F.broadcast(shift)).select(
+        (F.col("probe") + F.col("_shift")).alias("probe"))
     probes = tracked_persist(
         members.select("probe", F.lit(1).alias("is_member"))
                .unionAll(non_members.select(

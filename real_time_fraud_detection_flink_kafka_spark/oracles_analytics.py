@@ -314,7 +314,8 @@ ranked AS (
 )
 SELECT count(*) AS n_users,
        CAST(sum(c) AS BIGINT) AS total_events,
-       (2 * sum(rnk * c)) / (count(*) * sum(c))
+       CAST(2 * sum(CAST(rnk AS DECIMAL(38,0)) * c) AS DOUBLE)
+         / CAST(CAST(count(*) AS DECIMAL(38,0)) * sum(c) AS DOUBLE)
          - (count(*) + 1) / count(*) AS gini
 FROM ranked""",
         "funnel_ordered": """

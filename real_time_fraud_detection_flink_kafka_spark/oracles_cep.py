@@ -72,7 +72,6 @@ def _bloom_sql() -> str:
     )
     from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
         BLOOM_K,
-        BLOOM_SHIFT,
         BLOOM_SIZES,
         BLOOM_WORD,
     )
@@ -94,11 +93,13 @@ bloom AS (
            AS bits
   FROM kb GROUP BY 1
 ),
-members AS (SELECT DISTINCT user_id AS probe FROM events),
+users AS (SELECT DISTINCT user_id AS probe FROM events),
+members AS (SELECT probe FROM users WHERE probe IN (SELECT key FROM keys)),
 probes AS (
   SELECT probe, 1 AS is_member FROM members
   UNION ALL
-  SELECT probe + {BLOOM_SHIFT}, 0 FROM members
+  SELECT probe + (SELECT max(key) + 1 FROM keys)
+               - (SELECT min(probe) FROM users), 0 FROM users
 ),
 pb AS (SELECT probe, is_member, {bit('probe')} AS bit FROM probes, js),
 pw AS (

@@ -111,7 +111,7 @@ def run_dedup_stream_durable(spark, sf_dir: str, out_dir: str,
 
 
 def coincident_events_stream(events: DataFrame,
-                             watermark: str = "5 seconds") -> DataFrame:
+                             watermark: str = "60 seconds") -> DataFrame:
     """Streaming twin of `operators.cep.coincident_events` — the
     NON-EQUI time-proximity self-join as a stream-stream join. The
     batch op's bin-bucketing trick pays off twice here: Spark
@@ -123,7 +123,21 @@ def coincident_events_stream(events: DataFrame,
     watermark bounds both join buffers to watermark + 60 s — state
     O(rate · window) regardless of stream length. Tie-break and
     cross-user predicates are residual filters; output equals the
-    batch op exactly (shared oracle)."""
+    batch op exactly (shared oracle).
+
+    Watermark contract (the standard stream-stream one): output is
+    row-exact with the batch oracle iff no input row arrives more
+    than `watermark` behind the max event time already seen — beyond
+    that, join state for its partners may already be evicted and/or
+    the row itself discarded as late, in ANY multi-microbatch drain.
+    The default therefore matches COINCIDENCE_US (60 s): one full
+    coincidence window of cross-microbatch reorder tolerance, so a
+    chunked source (maxFilesPerTrigger) whose disorder is bounded by
+    the window itself stays exact; a 5 s default would silently drop
+    cross-boundary pairs (pinned by
+    test_coincident_stream_multi_microbatch_exact). A single-file
+    availableNow drain is one microbatch and trivially exact at any
+    watermark."""
     from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
         COINCIDENCE_US,
     )

@@ -187,3 +187,71 @@ def test_coincident_matches_bruteforce_with_boundary_gaps(spark):
                     and (us_i < us_j or (us_i == us_j and i < j))):
                 want.add((i, j, gap))
     assert got == want
+
+
+def test_coincident_stream_multi_microbatch_exact(spark, tmp_path):
+    """Stream-stream exactness contract: the drain matches the batch
+    operator whenever input lateness is bounded by the watermark
+    delay. The default delay equals the 60 s coincidence window, so a
+    multi-microbatch source (one file per trigger) whose disorder is
+    bounded by the window stays row-exact. The fixture discriminates:
+    event B (t=41 s) arrives three microbatches late, 59 s behind the
+    max event time (100 s) — within the 60 s default, so all 6 batch
+    pairs appear; under the old 5 s watermark the intermediate
+    batches advance the watermark past A/f0's join state and B's own
+    event time, silently dropping the 4 cross-boundary pairs
+    (measured: that variant emits only 2 of 6)."""
+    import os
+
+    import pandas as pd
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        coincident_events,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        coincident_events_stream,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    os.makedirs(chunk_dir)
+    sec = 1_000_000
+    t = 1_700_000_000 * sec
+    rows_by_chunk = [
+        [(0, t + 1 * sec, 1, "view", 1.0, "{}"),      # A
+         (1, t + 10 * sec, 99, "view", 1.0, "{}")],   # f0
+        [(2, t + 95 * sec, 98, "view", 1.0, "{}")],   # f1 (advances wm)
+        [(3, t + 100 * sec, 97, "view", 1.0, "{}")],  # f2 (advances wm)
+        [(4, t + 41 * sec, 2, "view", 1.0, "{}")],    # B: 59 s late
+    ]
+    cols6 = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(rows_by_chunk):
+        p = os.path.join(chunk_dir, f"chunk_{i}.parquet")
+        pd.DataFrame(rows, columns=cols6).to_parquet(p)
+        os.utime(p, (1000 + i, 1000 + i))  # deterministic file order
+
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(chunk_dir)
+              .withColumn("ts", F.timestamp_micros(F.col("ts"))))
+    q = (coincident_events_stream(stream)
+         .writeStream.format("memory").queryName("t_coin_multi")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = spark.createDataFrame(
+        [r for rows in rows_by_chunk for r in rows], ", ".join(
+            f"{c} {t_}" for c, t_ in zip(
+                cols6, ["bigint", "bigint", "bigint", "string",
+                        "double", "string"]))
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+    out_cols = ["event_a", "event_b", "user_a", "user_b", "gap_us"]
+    got = (spark.table("t_coin_multi").toPandas()[out_cols]
+           .sort_values(out_cols).reset_index(drop=True))
+    want = (coincident_events(batch).toPandas()[out_cols]
+            .sort_values(out_cols).reset_index(drop=True))
+    # 4 of the 6 ground-truth pairs involve the late row B
+    assert len(want) == 6
+    assert (want[["event_a", "event_b"]].to_numpy() == 4).any(axis=1).sum() == 4
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
