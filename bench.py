@@ -35,7 +35,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from real_time_fraud_detection_flink_kafka_spark.registry import QUERIES
+from real_time_fraud_detection_flink_kafka_spark.registry import (
+    DRIVER_WINDOW,
+    QUERIES,
+)
 from real_time_fraud_detection_flink_kafka_spark.session import get_spark
 
 HEADLINE = [
@@ -138,6 +141,18 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # one coarse (reps=1) timing of EVERY driver-window slot, so a
+    # regression in the ~21 window rows outside HEADLINE (e.g. the
+    # synthesized-partsupp TPC-H joins) is visible round over round.
+    # Disable with SPARK_GRAFT_WINDOW=0.
+    if os.environ.get("SPARK_GRAFT_WINDOW", "1") != "0":
+        wtimes = run_suite(DRIVER_WINDOW, sf_dir)
+        result["window"] = {
+            "value": round(sum(wtimes.values()), 3),
+            "reps": 1,
+            "queries": wtimes,
+        }
 
     factors = [int(r) for r in
                os.environ.get("SPARK_GRAFT_SCALE", "10,30").split(",")

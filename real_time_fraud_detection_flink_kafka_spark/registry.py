@@ -455,6 +455,23 @@ def _stream_lm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same final per-doc scores — same oracle as the batch scorer
 register("stream_lm_score_update", _stream_lm_update,
          _LLM_ORACLES["bigram_lm_score"])
+
+
+def _stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_dedup_incremental_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_dedup_incremental_stream(
+        spark, sf_dir, query_name=f"inc_dedup_{_STREAM_COUNTER['n']}")
+
+
+# delta-as-a-stream vs static corpus index (stream-static band join,
+# stateless first-common-band dedup) drains to the same per-delta-doc
+# verdicts — same oracle as batch dedup_incremental
+register("stream_dedup_incremental", _stream_dedup_incremental,
+         _LLM_ORACLES["dedup_incremental"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.
@@ -630,8 +647,13 @@ register("stream_sliding_window_counts", _stream_sliding,
 # pipelines) are deliberately placed after slot 50.
 
 DRIVER_WINDOW: list[str] = [
-    # fraud-detection core (reference parity)
-    "fraud_scores", "fraud_rules", "fraud_alerts", "risk_audit",
+    # fraud-detection core (reference parity). fraud_alerts yielded
+    # its slot in r7 to give the iterative-graph family
+    # (coincidence_pagerank) a driver-checked representative — its
+    # logic is a filter over fraud_scores' checked lineage and it
+    # stays §2b oracle-gated (the same swap as r6's
+    # multimodal_frame_sample → coincident_events).
+    "fraud_scores", "fraud_rules", "coincidence_pagerank", "risk_audit",
     "fraud_summary", "card_risk_profile", "generated_fraud_scores",
     "cep_card_testing",
     # TPC-H-shape analytics

@@ -224,3 +224,112 @@ def run_lm_score_stream_update(spark, sf_dir: str,
                   .alias("_x"))
             .select("doc_id", F.col("_x.n_bigrams").alias("n_bigrams"),
                     F.col("_x.avg_bigram_p").alias("avg_bigram_p")))
+
+
+def run_dedup_incremental_stream(spark, sf_dir: str,
+                                 query_name: str = "inc_dedup_stream"
+                                 ) -> DataFrame:
+    """STREAMING twin of `dedup.dedup_incremental` — the production
+    daily-intake shape as an actual intake: the DELTA documents
+    arrive as a file stream and are judged against the STATIC
+    existing corpus (its md5 clusters and minhash-signature band
+    index batch-built and persisted, exactly what a production
+    pipeline keeps between increments). Same output contract, same
+    oracle: (doc_id, status, n_exact, n_near) per delta doc.
+
+    Plan shape — everything before the last step is STATELESS:
+    - exact branch: stream md5(text) ⋈ static corpus clusters
+      (stream-static broadcast join);
+    - near branch: per-doc minhash signatures (row-local expressions)
+      → band explode → stream-static band join against the corpus
+      band index → per-pair set-intersection verify. Cross-band
+      duplicate candidates (a pair sharing >1 band) are eliminated
+      ROW-LOCALLY instead of with a stateful distinct: both sides
+      carry their full band-key arrays, and a match only counts at
+      the pair's FIRST common band (no earlier index agrees) — the
+      standard trick for turning LSH's `distinct()` into a
+      stateless predicate;
+    - one streaming groupBy(doc_id) folds exact/near/self branches
+      into the counts (the single stateful op; complete-mode drain,
+      same bounded-drain contract as `run_corpus_dedup_stream` —
+      production uses the update-mode + upsert-sink shape with one
+      state row per in-flight delta doc)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+    from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        DELTA_MOD,
+        JACCARD_THRESHOLD,
+        minhash_signatures,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    is_delta = (F.col("doc_id") % DELTA_MOD) == F.lit(0)
+
+    def band_keys_col():
+        return F.array(*[
+            (F.col(f"m{2 * j}") * H.P + F.col(f"m{2 * j + 1}"))
+            for j in range(H.N_BANDS)])
+
+    # static side: the persisted between-increments corpus index
+    batch = load_table(spark, sf_dir, "documents")
+    corpus = batch.where(~is_delta)
+    c_clusters = tracked_persist(
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+              .agg(F.count(F.lit(1)).alias("c_size"),
+                   F.min("doc_id").alias("c_rep")))
+    c_rep_docs = batch.join(
+        c_clusters.select(F.col("c_rep").alias("doc_id")), "doc_id")
+    c_index = tracked_persist(
+        minhash_signatures(c_rep_docs)
+        .withColumn("c_bands", band_keys_col())
+        .join(c_clusters.select(F.col("c_rep").alias("doc_id"), "c_size"),
+              "doc_id")
+        .select(F.col("doc_id").alias("c_rep"), "c_size",
+                F.col("sh_set").alias("set_c"), "c_bands",
+                F.posexplode("c_bands").alias("band_idx", "band_key")))
+
+    # stream side: the delta increment arriving as files
+    delta = _documents_stream(spark, sf_dir).where(is_delta)
+    dsig = (minhash_signatures(delta)
+            .withColumn("d_bands", band_keys_col())
+            .select("doc_id", F.col("sh_set").alias("set_d"), "d_bands",
+                    F.posexplode("d_bands").alias("band_idx", "band_key")))
+    cand = dsig.join(F.broadcast(c_index), ["band_idx", "band_key"])
+    first_match = F.when(F.col("band_idx") == 0, F.lit(True)).otherwise(
+        F.size(F.filter(
+            F.sequence(F.lit(0), F.col("band_idx") - 1),
+            lambda j: F.element_at(F.col("d_bands"), j + 1)
+            == F.element_at(F.col("c_bands"), j + 1))) == 0)
+    inter = F.size(F.array_intersect("set_d", "set_c"))
+    jac = inter / (F.size("set_d") + F.size("set_c") - inter)
+    near = (cand.where(first_match)
+                .where((F.size("set_d") > 0) & (F.size("set_c") > 0))
+                .where(F.round(jac, 6) >= JACCARD_THRESHOLD)
+                .select("doc_id", F.lit("near").alias("kind"),
+                        F.col("c_size").alias("size")))
+    exact = (delta.select("doc_id", F.md5("text").alias("text_md5"))
+                  .join(F.broadcast(c_clusters), "text_md5")
+                  .select("doc_id", F.lit("exact").alias("kind"),
+                          F.col("c_size").alias("size")))
+    self_rows = delta.select("doc_id", F.lit("self").alias("kind"),
+                             F.lit(0).cast("bigint").alias("size"))
+    counts = (near.unionByName(exact).unionByName(self_rows)
+              .groupBy("doc_id")
+              .agg(F.sum(F.when(F.col("kind") == "exact", F.col("size")))
+                    .alias("x"),
+                   F.sum(F.when(F.col("kind") == "near", F.col("size")))
+                    .alias("n")))
+    out = counts.select(
+        "doc_id",
+        F.when(F.coalesce("x", F.lit(0)) > 0, F.lit("exact_dup"))
+         .when(F.coalesce("n", F.lit(0)) > 0, F.lit("near_dup"))
+         .otherwise(F.lit("new")).alias("status"),
+        F.coalesce("x", F.lit(0).cast("bigint")).alias("n_exact"),
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n_near"))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -103,3 +103,54 @@ def test_detector_on_rocksdb_state_store(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_dedup_durable_checkpoint_on_rocksdb(spark, sf_dir, tmp_path):
+    """The durable-checkpoint dedup drain (parquet sink + offsets) on
+    the RocksDB state store: same rows as the batch dedup, AND the
+    provider is PROVEN engaged — the stateful operator must report
+    rocksdb* custom metrics, which the default HDFS-backed map never
+    emits. This is the 'RocksDB-ready' claim as a test: the
+    production state backend runs the exactly-once file-source drain,
+    not just the conf wiring."""
+    from real_time_fraud_detection_flink_kafka_spark.session import ROCKSDB_PROVIDER
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import (
+        _normalize_ns,
+        load_table,
+        raw_events_schema,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        dedup_events_stream,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        raw_schema = raw_events_schema(spark, sf_dir)
+        stream = (spark.readStream.schema(raw_schema)
+                  .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+        stream = _normalize_ns(stream, ["ts"])
+        q = (dedup_events_stream(stream)
+             .writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        metrics = {k for p in q.recentProgress
+                   for op in p.get("stateOperators", [])
+                   for k in op.get("customMetrics", {})}
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+        got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+        want = dedup_events_stream(
+            load_table(spark, sf_dir, "events")).toPandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
