@@ -91,6 +91,20 @@ SCALE_SUBSET = [
     "decontaminate",
 ]
 
+# at factors >= BIG_FACTOR the curve narrows to one query per
+# heavyweight family (keyed windows, full-fact agg, hash dedup,
+# banded minhash LSH, scale-aware hyperplane LSH) — the third curve
+# point exists to show where fixed overheads stop dominating, not to
+# re-time the whole subset at 100x wall cost
+BIG_FACTOR = 100
+SCALE_SUBSET_BIG = [
+    "fraud_scores",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_lsh_fast",
+    "ann_lsh_fast",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,7 +169,7 @@ def main() -> None:
         }
 
     factors = [int(r) for r in
-               os.environ.get("SPARK_GRAFT_SCALE", "10,30").split(",")
+               os.environ.get("SPARK_GRAFT_SCALE", "10,30,100").split(",")
                if int(r) > 1]
     if factors:
         from scale_testdata import build_scaled
@@ -170,7 +184,9 @@ def main() -> None:
             # cold caches: the scaled pass must not inherit the prior
             # pass's persisted/LRU state or ratios are flattered
             spark.catalog.clearCache()
-            stimes = run_suite(SCALE_SUBSET, out_dir)
+            subset = (SCALE_SUBSET_BIG if replicas >= BIG_FACTOR
+                      else SCALE_SUBSET)
+            stimes = run_suite(subset, out_dir)
             result["scale"].append({
                 "replicas": replicas,
                 "build_seconds": build_s,
@@ -179,7 +195,7 @@ def main() -> None:
                 "queries": stimes,
                 "ratio_per_replica": {
                     n: round(stimes[n] / max(times[n], 1e-9) / replicas, 3)
-                    for n in SCALE_SUBSET},
+                    for n in subset},
             })
 
     print(json.dumps(result))

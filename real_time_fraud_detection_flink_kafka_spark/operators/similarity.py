@@ -44,8 +44,31 @@ MAX_BITS = 20         # pregenerated hyperplanes per table (width ceiling)
 LSH_BASE_N = 2000     # corpus size at which width starts growing
 WIDE_BITS = 14        # the widened width ann_recall_compare measures
 BRUTE_MAX_ID = 1500  # baseline slice bound for the quadratic path
-IVF_K = 16           # coarse-quantizer cells (scales with sqrt(n))
+IVF_K = 16           # coarse-quantizer cells (floor; see ivf_cells_for)
 NPROBE = 4           # cells probed per query (recall knob)
+IVF_DIV = 128        # target occupancy: one cell per IVF_DIV vectors
+
+
+def ivf_cells_for(n: int) -> int:
+    """Scale-aware cell count for PAIR-BLOCKING (dedup): cells grow
+    LINEARLY with the corpus (one per IVF_DIV vectors, floored at
+    IVF_K), holding expected within-cell candidate pairs per row
+    Σ|cell|²/n ≈ n/cells ≈ IVF_DIV constant as the corpus grows —
+    the same lever as `lsh_bits_for`, for the quantizer family.
+    (Query-path IVF trades differently — probe cost n/cells vs
+    centroid-scan cost cells — hence ann_ivf keeps its explicit
+    knob.) Integer-exact in all three engines: plain floor division,
+    mirrored in the oracle as `count(*) // IVF_DIV`."""
+    return max(IVF_K, n // IVF_DIV)
+
+
+def ivf_cell_params(embeddings: DataFrame) -> DataFrame:
+    """1-row (_cells int) relation computing `ivf_cells_for(count)`
+    engine-side (broadcast, no driver collect)."""
+    return embeddings.agg(
+        F.greatest(F.lit(IVF_K),
+                   F.expr(f"count(1) div {IVF_DIV}"))
+         .cast("int").alias("_cells"))
 
 
 def lsh_bits_for(n: int) -> int:
@@ -633,7 +656,7 @@ def ann_ivf_learned(embeddings: DataFrame, k: int = TOP_K,
 
 def dedup_embedding_blocked(embeddings: DataFrame,
                             threshold: float = COS_THRESHOLD,
-                            n_cells: int = IVF_K) -> DataFrame:
+                            n_cells: int | None = None) -> DataFrame:
     """Cell-blocked semantic near-dup pairs — the SCALE path next to
     the quadratic `dedup_embedding_cosine` baseline (SemDeDup-style:
     coarse-quantize, then compare only within a cell).
@@ -650,9 +673,18 @@ def dedup_embedding_blocked(embeddings: DataFrame,
 
     Centroids are the seeded first-`n_cells` vectors (deterministic,
     oracle-replayable); swap in `kmeans_cells` for learned cells —
-    the plan is unchanged, exactly as `ann_ivf_learned` does."""
+    the plan is unchanged, exactly as `ann_ivf_learned` does.
+    `n_cells=None` (the default) sizes the cell count from the corpus
+    via `ivf_cells_for` — one cell per IVF_DIV vectors, a 1-row count
+    broadcast replayed integer-exactly by the oracle — so within-cell
+    candidate pairs per row stay ~constant as the corpus grows."""
     e = _vecs(embeddings)
-    cents = e.where(F.col("vec_id") < n_cells).select(
+    if n_cells is None:
+        seed = (e.crossJoin(F.broadcast(ivf_cell_params(embeddings)))
+                 .where(F.col("vec_id") < F.col("_cells")))
+    else:
+        seed = e.where(F.col("vec_id") < n_cells)
+    cents = seed.select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
         F.col("v_norm").alias("c_norm"))
     cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
@@ -678,7 +710,7 @@ def dedup_embedding_blocked(embeddings: DataFrame,
 def semantic_canonicalize(documents: DataFrame,
                           embeddings: DataFrame,
                           threshold: float = COS_THRESHOLD,
-                          n_cells: int = IVF_K) -> DataFrame:
+                          n_cells: int | None = None) -> DataFrame:
     """Semantic dedup END-TO-END: cell-blocked embedding near-dup
     pairs → connected components → one canonical doc per cluster,
     chosen by QUALITY (`textops.quality_score`, ties to the lower

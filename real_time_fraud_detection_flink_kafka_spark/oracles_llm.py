@@ -28,6 +28,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     DIM,
     COS_THRESHOLD,
     HYPERPLANES,
+    IVF_DIV,
     IVF_K,
     LSH_BASE_N,
     MAX_BITS,
@@ -857,10 +858,15 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
 
 
 def _blocked_pairs_sql() -> str:
+    # scale-aware cell count in lockstep with similarity.ivf_cells_for:
+    # one cell per IVF_DIV vectors, floored at IVF_K, integer-exact
     return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 """
-            + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
+            + (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
+               " AS cells FROM e),\n")
+            + "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
+              " WHERE vec_id < cells),\n"
             + f"""ac AS (
   SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
               ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn

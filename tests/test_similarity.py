@@ -151,3 +151,41 @@ def test_ann_lsh_scale_aware_width_lockstep(spark, sf_dir):
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_blocked_dedup_scale_aware_cells_lockstep(spark, sf_dir):
+    """Past IVF_K*IVF_DIV vectors the cell count grows (one cell per
+    IVF_DIV vectors) and the engine's dynamic branch (vec_id <
+    broadcast _cells) must still match the DuckDB oracle (cells
+    recomputed in SQL) — the widened-quantizer branch the base
+    testdata never takes."""
+    import duckdb
+
+    from real_time_fraud_detection_flink_kafka_spark.oracles_llm import (
+        _blocked_pairs_sql,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        IVF_DIV,
+        IVF_K,
+        dedup_embedding_blocked,
+        ivf_cells_for,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n0 = emb.count()
+    reps = (IVF_K * IVF_DIV) // n0 + 2
+    assert ivf_cells_for(reps * n0) > IVF_K
+    big = emb
+    for r in range(1, reps):
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * n0)))
+    cols = ["vec_a", "vec_b", "cos_sim", "cell"]
+    got = (dedup_embedding_blocked(big).toPandas()[cols]
+           .sort_values(cols).reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("embeddings", big.toPandas())
+    want = (con.execute(_blocked_pairs_sql()).fetchdf()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
