@@ -1491,3 +1491,43 @@ def funnel_ordered(events: DataFrame) -> DataFrame:
               .select("n_view", "n_then_click", "n_then_purchase",
                       (F.col("n_then_purchase") / F.col("n_view"))
                        .alias("conversion")))
+
+
+def cohort_retention(orders: DataFrame) -> DataFrame:
+    """Cohort retention matrix — customers cohorted by first-order
+    month; for each (cohort_month, month_offset) count how many of
+    that cohort ordered again `offset` months later. The standard
+    growth-analytics triangle, all integer arithmetic (counts and
+    calendar month diffs) so parity is exact; the single float
+    (retention_rate) is a rounded ratio of two integers.
+
+    Scale shape: month-truncate is a projection; first-order is one
+    groupBy(custkey) min; active months is a distinct over
+    (custkey, month) — both shuffle on custkey, and AQE coalesces the
+    second into the first's exchange where possible. The cohort join
+    is custkey⋈custkey (co-partitioned with the agg), the final
+    groupBy is |months|² rows. No window over the whole fact table,
+    no global sort; cohort_size joins back off the offset-0 row of
+    the (tiny) matrix itself rather than a second pass over orders.
+    """
+    o = orders.select(
+        "o_custkey",
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("mon"))
+    first = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort_month"))
+    active = o.distinct()
+    j = active.join(first, "o_custkey").select(
+        "cohort_month",
+        F.months_between(F.to_date("mon"), F.to_date("cohort_month"))
+         .cast("int").alias("month_offset"),
+        "o_custkey")
+    ret = j.groupBy("cohort_month", "month_offset").agg(
+        F.count_distinct("o_custkey").alias("n_active"))
+    size = (ret.where(F.col("month_offset") == 0)
+               .select("cohort_month", F.col("n_active").alias("cohort_size")))
+    return (ret.join(F.broadcast(size), "cohort_month")
+               .select("cohort_month",
+                       F.col("month_offset"),
+                       F.col("n_active").cast("int").alias("n_active"),
+                       F.col("cohort_size").cast("int").alias("cohort_size"),
+                       F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                        .alias("retention_rate")))

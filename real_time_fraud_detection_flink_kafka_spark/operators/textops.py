@@ -252,3 +252,43 @@ def fuzzy_match_names(part: DataFrame) -> DataFrame:
     return (cand.where(dist <= FUZZY_TAU)
                 .select("dirty_name", "match_name",
                         dist.cast("int").alias("dist")))
+
+
+TFIDF_K = 5
+
+
+def tfidf_topk(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic keyword /
+    salience extractor a corpus pipeline runs before topic routing or
+    quality triage.
+
+    Scale shape: one shuffle for tf (groupBy doc_id, word — map-side
+    combined), one vocab-bounded shuffle for df (groupBy word over the
+    already-distinct tf relation, so df = docs-containing-term without
+    a countDistinct), corpus size N as a 1-row aggregate broadcast
+    into the scoring join (the mix_rebalance move — no driver
+    collect). The tf⋈df join shuffles on `word`, bounded by vocab not
+    corpus. Ranking windows partition by doc_id — no global sort.
+
+    Determinism: both engines order by the ROUNDED tfidf (6 dp) with
+    `word` as tie-break, so a last-ulp ln() difference between libm
+    and the JVM cannot flip ranks except exactly at a rounding
+    boundary; tf/df/N are integers, ln input is the identical double.
+    """
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").cast("double").alias("_n"))
+    scored = (tf.join(dfr, "word")
+                .join(F.broadcast(n))
+                .withColumn("tfidf",
+                            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= k)
+                  .select("doc_id", F.col("rnk").cast("int").alias("rnk"),
+                          "word", F.col("tf").cast("int").alias("tf"),
+                          F.col("df").cast("int").alias("df"), "tfidf"))

@@ -822,4 +822,31 @@ SELECT week, revenue,
             THEN (revenue - lag(revenue) OVER (ORDER BY week))
                  / lag(revenue) OVER (ORDER BY week) END AS wow_growth
 FROM dense""",
+        # mirrors analytics.cohort_retention: all-integer matrix, the
+        # one float is a rounded ratio of two integers
+        "cohort_retention": """
+WITH o AS (
+  SELECT o_custkey,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon
+  FROM orders
+),
+first AS (SELECT o_custkey, min(mon) AS cohort_month FROM o GROUP BY 1),
+active AS (SELECT DISTINCT o_custkey, mon FROM o),
+j AS (
+  SELECT f.cohort_month,
+         CAST(datediff('month', CAST(f.cohort_month AS DATE),
+                       CAST(a.mon AS DATE)) AS INTEGER) AS month_offset,
+         a.o_custkey
+  FROM active a JOIN first f USING (o_custkey)
+),
+ret AS (SELECT cohort_month, month_offset,
+               count(DISTINCT o_custkey) AS n_active
+        FROM j GROUP BY 1, 2),
+size AS (SELECT cohort_month, n_active AS cohort_size
+         FROM ret WHERE month_offset = 0)
+SELECT r.cohort_month, r.month_offset,
+       CAST(r.n_active AS INTEGER) AS n_active,
+       CAST(s.cohort_size AS INTEGER) AS cohort_size,
+       round(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention_rate
+FROM ret r JOIN size s USING (cohort_month)""",
     }

@@ -957,6 +957,7 @@ def _text_oracles() -> dict[str, str]:
         best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
     from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
         FUZZY_TAU,
+        TFIDF_K,
     )
 
     # ground truth is the UNBLOCKED quadratic join — the blocked plan
@@ -996,6 +997,24 @@ FROM documents""",
 SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
         "lang_id_ngram": _lang_id_ngram_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        # mirrors textops.tfidf_topk: rank on the ROUNDED score so a
+        # last-ulp ln() drift between libm and the JVM can't flip rows
+        "tfidf_topk": f"""
+WITH words AS (
+  SELECT doc_id, unnest({ws}) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df, round(tf * ln(_n / df), 6) AS tfidf
+  FROM tf JOIN dfr USING (word) CROSS JOIN n
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, word,
+       CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, word) AS rnk FROM scored) t
+WHERE rnk <= {TFIDF_K}""",
     }
 
 

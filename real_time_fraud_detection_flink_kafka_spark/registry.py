@@ -173,6 +173,8 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")),
     "funnel_ordered": lambda s, d: analytics.funnel_ordered(
         load_table(s, d, "events")),
+    "cohort_retention": lambda s, d: analytics.cohort_retention(
+        load_table(s, d, "orders")),
 }
 for _name, _fn in _ANALYTICS_BUILDERS.items():
     register(_name, _fn, _ANALYTICS_ORACLES[_name])
@@ -213,6 +215,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_ngram": lambda s, d: textops.lang_id_ngram(load_table(s, d, "documents")),
     "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
     "pii_scrub": lambda s, d: textops.pii_scrub(load_table(s, d, "documents")),
+    "tfidf_topk": lambda s, d: textops.tfidf_topk(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),

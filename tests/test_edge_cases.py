@@ -241,3 +241,35 @@ def test_skyline_matches_bruteforce_with_ties(spark):
         if not dominated:
             want.add(k)
     assert got == want
+
+
+def test_tfidf_ubiquitous_term_zero_unique_term_first(spark):
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        tfidf_topk,
+    )
+    docs = spark.createDataFrame(
+        [(1, "common alpha alpha"), (2, "common beta"), (3, "common gamma")],
+        "doc_id bigint, text string")
+    out = tfidf_topk(docs, k=3).toPandas()
+    # idf of a term in every doc is ln(1) = 0 → tfidf exactly 0
+    common = out[out.word == "common"]
+    assert (common.tfidf == 0.0).all() and (common.df == 3).all()
+    # a doc's unique term beats the ubiquitous one (rank 1)
+    top = out[out.rnk == 1].set_index("doc_id").word.to_dict()
+    assert top == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_cohort_retention_offset0_full_and_bounded(spark, sf_dir):
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        cohort_retention,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    out = cohort_retention(load_table(spark, sf_dir, "orders")).toPandas()
+    zero = out[out.month_offset == 0]
+    # every cohort has its offset-0 row, fully retained by construction
+    assert len(zero) == out.cohort_month.nunique()
+    assert (zero.n_active == zero.cohort_size).all()
+    assert (zero.retention_rate == 1.0).all()
+    # later offsets never exceed the cohort and rates stay in (0, 1]
+    assert (out.n_active <= out.cohort_size).all()
+    assert ((out.retention_rate > 0) & (out.retention_rate <= 1.0)).all()
