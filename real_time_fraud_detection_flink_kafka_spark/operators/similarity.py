@@ -784,3 +784,216 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     return (agg.select("dim", "n", mean.alias("mean"), var.alias("var"),
                        "mn", "mx")
                .orderBy("dim"))
+
+
+# --- product quantization (PQ / ADC) ----------------------------------------
+# The third production ANN index family next to sign-LSH and IVF:
+# compress each vector to PQ_M codebook ids (here 4 bytes vs 256
+# float bytes — the memory lever that lets a 100 TB corpus's index
+# fit executor RAM), then rank by ASYMMETRIC distance: exact query
+# subvectors scored against a tiny per-query distance table instead
+# of the raw corpus floats (Jégou et al., TPAMI 2011). Training and
+# encoding are the kmeans_cells discipline per subspace: broadcast
+# codebooks, argmin assignment with a lower-code tie-break,
+# fixed-point centroid means — so the DuckDB oracle replays the
+# identical iterations.
+PQ_M = 4              # subspaces (contiguous dim blocks)
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 16             # codes per subspace codebook
+PQ_ITERS = 2          # Lloyd iterations (same budget as kmeans_cells)
+PQ_SCALE = 1_000_000  # fixed-point scale for order-free float sums
+
+
+def _subvectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv[PQ_SUB]) — each vector split into PQ_M
+    contiguous subvector rows (a projection + explode, no shuffle)."""
+    v = F.col("embedding").cast("array<double>")
+    subs = F.array(*[
+        F.struct(F.lit(m).alias("sub"),
+                 F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("sv"))
+        for m in range(PQ_M)])
+    return (embeddings.select("vec_id", F.explode(subs).alias("s"))
+            .select("vec_id", F.col("s.sub").alias("sub"),
+                    F.col("s.sv").alias("sv")))
+
+
+def _pq_d2(sv: Column, cv: Column) -> Column:
+    """Squared L2 reconstruction error — written as the exact token
+    sequence both engines evaluate (left-assoc, no fma)."""
+    return dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv)
+
+
+def _pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """argmin-d2 code per (vec_id, sub); ties to the lower code —
+    broadcast(codebook) × one scan, map-side combinable min_by."""
+    d2 = _pq_d2(F.col("sv"), F.col("cv"))
+    return (e.join(F.broadcast(cb), "sub")
+             .select("vec_id", "sub", "sv", "code", d2.alias("d2"))
+             .groupBy("vec_id", "sub")
+             .agg(F.expr("min_by(code, struct(d2, code))").alias("code"),
+                  F.first("sv").alias("sv")))
+
+
+def pq_codebooks_rel(embeddings: DataFrame, k: int = PQ_K,
+                     iters: int = PQ_ITERS) -> DataFrame:
+    """(sub, code, cv[PQ_SUB]) trained codebooks — PQ_M independent
+    Lloyd jobs ride ONE declarative DAG by keying every stage on
+    `sub`: assignment is broadcast(all codebooks) × one subvector
+    scan, the update one groupBy(sub, code) of fixed-point dim sums.
+    Codebook rows are ≤ PQ_M·PQ_K regardless of corpus size, so the
+    broadcast never grows with data. Seeded with the first k vectors'
+    subvectors (deterministic, oracle-replayable); a code that loses
+    all members drops out of later iterations in both engines."""
+    e = _subvectors(embeddings)
+    cb = (e.where(F.col("vec_id") < k)
+           .select("sub", F.col("vec_id").alias("code"),
+                   F.col("sv").alias("cv")))
+    for _ in range(iters):
+        assigned = _pq_assign(e, cb)
+        sums = [F.sum(F.round(F.col("sv")[i] * PQ_SCALE).cast("bigint"))
+                 .alias(f"s{i}") for i in range(PQ_SUB)]
+        upd = assigned.groupBy("sub", "code").agg(
+            *sums, F.count(F.lit(1)).alias("n"))
+        cb = upd.select("sub", "code", F.array(*[
+            (F.col(f"s{i}") / float(PQ_SCALE)) / F.col("n")
+            for i in range(PQ_SUB)
+        ]).alias("cv"))
+    return cb
+
+
+def pq_codebooks(embeddings: DataFrame, k: int = PQ_K,
+                 iters: int = PQ_ITERS) -> DataFrame:
+    """`pq_codebooks_rel` exploded to (sub, code, dim, centroid_val)
+    scalar rows for the compare harness (the kmeans_centroids move)."""
+    return (pq_codebooks_rel(embeddings, k, iters)
+            .select(F.col("sub").cast("int").alias("sub"),
+                    F.col("code").cast("int").alias("code"),
+                    F.posexplode("cv").alias("dim", "centroid_val"))
+            .orderBy("sub", "code", "dim"))
+
+
+def ann_pq_adc(embeddings: DataFrame, k: int = TOP_K,
+               n_queries: int = N_QUERIES) -> DataFrame:
+    """PQ top-k by asymmetric distance computation: encode the corpus
+    once (argmin code per subspace — the 4-byte index), build the
+    per-query distance table dot(q_m, c_{m,code}) (≤ n_queries · PQ_M
+    · PQ_K rows — broadcast), and score every corpus vector by summing
+    its PQ_M table entries. The scan side carries codes, not floats:
+    per-row work is PQ_M integer adds instead of a DIM-dim fold, and
+    the shuffle key is (query, vec) with fixed-point partial sums —
+    order-free, so the groupBy is map-side combinable at any
+    partitioning. approx_dot ≈ dot(q, v) with reconstruction bias
+    measured honestly by `ann_pq_recall`."""
+    cb = pq_codebooks_rel(embeddings)
+    e = _subvectors(embeddings)
+    enc = _pq_assign(e, cb).select("vec_id", "sub", "code")
+    q = (e.where(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"), "sub",
+                  F.col("sv").alias("qsv")))
+    dtab = (q.join(cb, "sub")
+             .select("query_id", "sub", "code",
+                     F.round(dot(F.col("qsv"), F.col("cv")) * PQ_SCALE)
+                      .cast("bigint").alias("pdot_fp")))
+    scored = (enc.join(F.broadcast(dtab), ["sub", "code"])
+                 .where(F.col("vec_id") != F.col("query_id"))
+                 .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+                 .agg(F.sum("pdot_fp").alias("fp")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("fp"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= k)
+                  .select("query_id", "neighbor_id",
+                          F.round(F.col("fp") / float(PQ_SCALE), 6)
+                           .alias("approx_dot"),
+                          F.col("rnk").cast("int").alias("rnk")))
+
+
+def ann_pq_recall(embeddings: DataFrame, k: int = TOP_K,
+                  n_queries: int = N_QUERIES) -> DataFrame:
+    """Measured recall@k of BOTH PQ stages against the exact cosine
+    top-k, per query — the `ann_lsh_recall` habit applied to the
+    compressed index: pure compressed-domain ADC ranking
+    (reconstruction bias included) next to the shortlist+exact-re-rank
+    pipeline, so the relation shows what re-ranking buys (the
+    index-tuning table a PQ deployment keeps). Counts are integers,
+    recalls rounded divisions — value-exact."""
+    exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id")
+    adc = ann_pq_adc(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_adc"))
+    rr = ann_pq_rerank(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_rr"))
+    j = (exact.join(adc, ["query_id", "neighbor_id"], "left")
+              .join(rr, ["query_id", "neighbor_id"], "left"))
+    return (j.groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_true"),
+                  F.sum(F.coalesce(F.col("hit_adc"), F.lit(0)))
+                   .cast("int").alias("n_adc"),
+                  F.sum(F.coalesce(F.col("hit_rr"), F.lit(0)))
+                   .cast("int").alias("n_rerank"))
+             .select("query_id", "n_true", "n_adc", "n_rerank",
+                     F.round(F.col("n_adc") / F.col("n_true"), 6)
+                      .alias("recall_adc"),
+                     F.round(F.col("n_rerank") / F.col("n_true"), 6)
+                      .alias("recall_rerank")))
+
+
+PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly per query
+
+
+def _pq_shortlist(embeddings: DataFrame, n_queries: int,
+                  shortlist: int) -> DataFrame:
+    """(query_id, neighbor_id) — the top-`shortlist` corpus vectors
+    per query by fixed-point ADC score (the compressed-domain pass
+    shared by ann_pq_adc and the re-rank path)."""
+    cb = pq_codebooks_rel(embeddings)
+    e = _subvectors(embeddings)
+    enc = _pq_assign(e, cb).select("vec_id", "sub", "code")
+    q = (e.where(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"), "sub",
+                  F.col("sv").alias("qsv")))
+    dtab = (q.join(cb, "sub")
+             .select("query_id", "sub", "code",
+                     F.round(dot(F.col("qsv"), F.col("cv")) * PQ_SCALE)
+                      .cast("bigint").alias("pdot_fp")))
+    scored = (enc.join(F.broadcast(dtab), ["sub", "code"])
+                 .where(F.col("vec_id") != F.col("query_id"))
+                 .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+                 .agg(F.sum("pdot_fp").alias("fp")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("fp"), F.asc("neighbor_id"))
+    return (scored.withColumn("srnk", F.row_number().over(w))
+                  .where(F.col("srnk") <= shortlist)
+                  .select("query_id", "neighbor_id"))
+
+
+def ann_pq_rerank(embeddings: DataFrame, k: int = TOP_K,
+                  n_queries: int = N_QUERIES,
+                  shortlist: int = PQ_SHORTLIST) -> DataFrame:
+    """The full production PQ pipeline: compressed-domain ADC
+    shortlist (`PQ_SHORTLIST` per query — a fixed candidate budget,
+    so its share of the corpus SHRINKS as data grows), then EXACT
+    cosine re-rank of only those candidates. Exact scoring touches
+    shortlist·n_queries rows, never the corpus; the candidate ids
+    broadcast back onto one corpus scan to fetch raw vectors. Output
+    ranks by true cosine, so recall vs `ann_topk` equals the
+    shortlist's capture rate — measured per query by
+    `ann_pq_recall.recall_rerank`."""
+    short = _pq_shortlist(embeddings, n_queries, shortlist)
+    e = _vecs(embeddings)
+    qv = (e.where(F.col("vec_id") < n_queries)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")))
+    cand = (e.join(F.broadcast(short),
+                   e.vec_id == short.neighbor_id)
+             .select("query_id", "neighbor_id", "v", "v_norm"))
+    j = cand.join(F.broadcast(qv), "query_id")
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k)
+             .select("query_id", "neighbor_id",
+                     F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                     F.col("rnk").cast("int").alias("rnk")))

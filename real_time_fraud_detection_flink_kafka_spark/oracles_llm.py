@@ -204,6 +204,7 @@ sizes AS (SELECT canonical, count(*) AS cluster_size FROM labels GROUP BY 1)
 SELECT l.id AS doc_id, l.canonical AS canonical_id, s.cluster_size
 FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_similarity_oracles(),
+        **_pq_oracles(),
         **_text_oracles(),
         **_multimodal_oracles(),
         **_pipeline_oracles(),
@@ -703,6 +704,189 @@ def _bucket_dynamic_sql() -> str:
            CASE WHEN m1 <= 0 THEN 0 ELSE length(bin(m1)) END) AS bits
     FROM (SELECT greatest(count(*) - 1, 0) // {LSH_BASE_N} AS m1 FROM e) mm
   ) p"""
+
+
+def _pq_ctes() -> tuple[list[str], str]:
+    """Product-quantization CTE chain mirroring
+    operators/similarity.pq_codebooks_rel / _pq_assign: subvector
+    explode, seeded codebooks, PQ_ITERS Lloyd rounds (argmin-d2 with
+    lower-code tie-break, fixed-point dim means). Returns (ctes,
+    final_codebook_cte); the chain also defines `s` (vec_id, sub,
+    sv)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SCALE,
+        PQ_SUB,
+    )
+
+    d2 = ("(list_dot_product(s.sv, s.sv)"
+          " - 2 * list_dot_product(s.sv, c.cv)"
+          " + list_dot_product(c.cv, c.cv))")
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""s AS (
+  SELECT vec_id, m.m AS sub, v[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+)""",
+        f"""pc0 AS (
+  SELECT sub, vec_id AS code, sv AS cv FROM s WHERE vec_id < {PQ_K}
+)""",
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        prev = f"pc{i - 1}"
+        ctes.append(f"""pa{i} AS (
+  SELECT s.vec_id, s.sub, s.sv, c.code, {d2} AS d2
+  FROM s JOIN {prev} c USING (sub)
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY d2, c.code) = 1
+)""")
+        ctes.append(f"""px{i} AS (
+  SELECT sub, code, unnest(sv) AS val,
+         unnest(generate_series(1, len(sv))) AS d
+  FROM pa{i}
+)""")
+        ctes.append(f"""pu{i} AS (
+  SELECT sub, code, d,
+         sum(CAST(round(val * {PQ_SCALE}) AS BIGINT)) AS sm, count(*) AS n
+  FROM px{i} GROUP BY 1, 2, 3
+)""")
+        ctes.append(f"""pc{i} AS (
+  SELECT sub, code,
+         list((CAST(sm AS DOUBLE) / {float(PQ_SCALE)!r}) / n ORDER BY d) AS cv
+  FROM pu{i} GROUP BY sub, code
+)""")
+    return ctes, f"pc{PQ_ITERS}"
+
+
+def _pq_adc_ctes() -> list[str]:
+    """The full PQ chain through per-(query, neighbor) fixed-point ADC
+    scores (`psc`): codebooks + corpus encode + broadcast distance
+    table — shared by the ann_pq_adc oracle and the recall
+    composition."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_SCALE,
+    )
+
+    ctes, cb = _pq_ctes()
+    d2 = ("(list_dot_product(s.sv, s.sv)"
+          " - 2 * list_dot_product(s.sv, c.cv)"
+          " + list_dot_product(c.cv, c.cv))")
+    ctes.append(f"""penc AS (
+  SELECT s.vec_id, s.sub, c.code
+  FROM s JOIN {cb} c USING (sub)
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY {d2}, c.code) = 1
+)""")
+    ctes.append(f"""pq_q AS (
+  SELECT vec_id AS query_id, sub, sv AS qsv FROM s WHERE vec_id < {N_QUERIES}
+)""")
+    ctes.append(f"""pdtab AS (
+  SELECT query_id, sub, code,
+         CAST(round(list_dot_product(q.qsv, c.cv) * {PQ_SCALE}) AS BIGINT)
+           AS pdot_fp
+  FROM pq_q q JOIN {cb} c USING (sub)
+)""")
+    ctes.append("""psc AS (
+  SELECT d.query_id, penc.vec_id AS neighbor_id, sum(pdot_fp) AS fp
+  FROM penc JOIN pdtab d USING (sub, code)
+  WHERE penc.vec_id <> d.query_id
+  GROUP BY 1, 2
+)""")
+    return ctes
+
+
+def _pq_oracles() -> dict[str, str]:
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_SCALE,
+        TOP_K,
+    )
+
+    ctes, cb = _pq_ctes()
+    codebook_sql = ("WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       unnest(generate_series(0, len(cv) - 1)) AS dim,
+       unnest(cv) AS centroid_val
+FROM {cb} ORDER BY sub, code, dim""")
+
+    adc = _pq_adc_ctes()
+    topk_tail = f"""
+SELECT query_id, neighbor_id,
+       round(CAST(fp AS DOUBLE) / {float(PQ_SCALE)!r}, 6) AS approx_dot,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY fp DESC, neighbor_id) AS rnk FROM psc) t
+WHERE rnk <= {TOP_K}"""
+    adc_sql = "WITH " + ",\n".join(adc) + topk_tail
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        PQ_SHORTLIST,
+    )
+
+    short_cte = f"""pq_short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY fp DESC, neighbor_id) AS srnk FROM psc) t
+  WHERE srnk <= {PQ_SHORTLIST}
+)"""
+    rr_cte = f"""pq_rr AS (
+  SELECT s.query_id, s.neighbor_id, {_cos_sql('qe.v', 'ne.v')} AS cos_raw
+  FROM pq_short s
+  JOIN e qe ON qe.vec_id = s.query_id
+  JOIN e ne ON ne.vec_id = s.neighbor_id
+)"""
+    rerank_sql = ("WITH " + ",\n".join(_pq_adc_ctes() + [short_cte, rr_cte])
+                  + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_raw DESC, neighbor_id) AS rnk FROM pq_rr) t
+WHERE rnk <= {TOP_K}""")
+
+    recall_ctes = _pq_adc_ctes() + [
+        f"""pq_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY fp DESC, neighbor_id) AS rnk FROM psc) t
+  WHERE rnk <= {TOP_K}
+)""",
+        short_cte,
+        rr_cte,
+        f"""rr_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_raw DESC, neighbor_id) AS rnk FROM pq_rr) t
+  WHERE rnk <= {TOP_K}
+)""",
+        f"""exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rnk
+    FROM (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {N_QUERIES}) q, e
+    WHERE e.vec_id <> q.query_id) r
+  WHERE rnk <= {TOP_K}
+)""",
+    ]
+    recall_sql = ("WITH " + ",\n".join(recall_ctes) + """
+SELECT x.query_id, CAST(count(*) AS INTEGER) AS n_true,
+       CAST(count(p.neighbor_id) AS INTEGER) AS n_adc,
+       CAST(count(r.neighbor_id) AS INTEGER) AS n_rerank,
+       round(CAST(count(p.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc,
+       round(CAST(count(r.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_rerank
+FROM exact_top x
+LEFT JOIN pq_top p USING (query_id, neighbor_id)
+LEFT JOIN rr_top r USING (query_id, neighbor_id)
+GROUP BY 1""")
+    return {"pq_codebooks": codebook_sql, "ann_pq_adc": adc_sql,
+            "ann_pq_rerank": rerank_sql, "ann_pq_recall": recall_sql}
 
 
 def _similarity_oracles() -> dict[str, str]:

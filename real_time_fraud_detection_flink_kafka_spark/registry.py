@@ -209,6 +209,10 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_blocked": lambda s, d: similarity.dedup_embedding_blocked(load_table(s, d, "embeddings")),
     "semantic_canonicalize": lambda s, d: similarity.semantic_canonicalize(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
+    "pq_codebooks": lambda s, d: similarity.pq_codebooks(load_table(s, d, "embeddings")),
+    "ann_pq_adc": lambda s, d: similarity.ann_pq_adc(load_table(s, d, "embeddings")),
+    "ann_pq_rerank": lambda s, d: similarity.ann_pq_rerank(load_table(s, d, "embeddings")),
+    "ann_pq_recall": lambda s, d: similarity.ann_pq_recall(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),

@@ -273,3 +273,24 @@ def test_cohort_retention_offset0_full_and_bounded(spark, sf_dir):
     # later offsets never exceed the cohort and rates stay in (0, 1]
     assert (out.n_active <= out.cohort_size).all()
     assert ((out.retention_rate > 0) & (out.retention_rate <= 1.0)).all()
+
+
+def test_pq_rerank_dominates_adc_and_matches_exact_on_shortlist(spark, sf_dir):
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_pq_recall,
+        ann_pq_rerank,
+        ann_topk,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = ann_pq_recall(emb).toPandas()
+    # exact re-rank of a superset shortlist can never do worse than
+    # ranking in the compressed domain
+    assert (rec.n_rerank >= rec.n_adc).all()
+    assert (rec.recall_rerank >= rec.recall_adc).all()
+    # rerank rows carry TRUE cosine: every (query, neighbor) it emits
+    # that the exact top-k also emits must agree on cos_sim exactly
+    rr = ann_pq_rerank(emb).toPandas()[["query_id", "neighbor_id", "cos_sim"]]
+    ex = ann_topk(emb).toPandas()[["query_id", "neighbor_id", "cos_sim"]]
+    m = rr.merge(ex, on=["query_id", "neighbor_id"], suffixes=("_rr", "_ex"))
+    assert len(m) > 0 and (m.cos_sim_rr == m.cos_sim_ex).all()

@@ -418,3 +418,16 @@ def test_skyline_verify_join_is_bin_keyed(spark, sf_dir):
              if ("SortMergeJoin" in l or "ShuffledHashJoin" in l
                  or "BroadcastHashJoin" in l) and "bin" in l]
     assert keyed, plan[:2000]
+
+
+def test_pq_adc_broadcasts_codebooks_and_dtab_no_cartesian(spark, sf_dir):
+    """PQ's scale contract: codebook and distance-table relations are
+    bounded (≤ PQ_M·PQ_K and n_queries·PQ_M·PQ_K rows) and must reach
+    the corpus-sized scans as broadcasts — assignment, encode and ADC
+    scoring each ride a BroadcastHashJoin; nothing falls back to a
+    cartesian or a corpus×corpus sort-merge."""
+    plan = _plan(spark, sf_dir, "ann_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # train-assign (×iters), final encode, dtab build, ADC join
+    assert plan.count("BroadcastHashJoin") >= 4
