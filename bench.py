@@ -77,6 +77,9 @@ HEADLINE = [
     "coincident_events",      # bin-bucketed non-equi range join (r6)
     "coincidence_pagerank",   # 5 power-iteration rounds over the pair graph (r6)
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
+    "ann_pq_rerank",          # PQ train + encode + ADC shortlist + exact re-rank (r7)
+    "tfidf_topk",             # vocab-bounded df + per-doc top-k ranking (r7)
+    "cohort_retention",       # first-order cohort triangle over orders (r7)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per

@@ -817,17 +817,19 @@ def _subvectors(embeddings: DataFrame) -> DataFrame:
                     F.col("s.sv").alias("sv")))
 
 
-def _pq_d2(sv: Column, cv: Column) -> Column:
-    """Squared L2 reconstruction error — written as the exact token
-    sequence both engines evaluate (left-assoc, no fma)."""
-    return dot(sv, sv) - 2 * dot(sv, cv) + dot(cv, cv)
-
-
 def _pq_assign(e: DataFrame, cb: DataFrame) -> DataFrame:
-    """argmin-d2 code per (vec_id, sub); ties to the lower code —
-    broadcast(codebook) × one scan, map-side combinable min_by."""
-    d2 = _pq_d2(F.col("sv"), F.col("cv"))
-    return (e.join(F.broadcast(cb), "sub")
+    """argmin code per (vec_id, sub); ties to the lower code —
+    broadcast(codebook) × one scan, map-side combinable min_by.
+
+    Ranks by the RANK-EQUIVALENT distance |c|² − 2⟨sv,c⟩ (the ‖sv‖²
+    term is constant per row, so dropping it can't change the argmin)
+    with |c|² computed ONCE on the PQ_M·PQ_K-row codebook relation —
+    one 16-dim fold per (row, code) pair instead of three. The oracle
+    evaluates the identical token sequence."""
+    cbn = cb.select("sub", "code", "cv",
+                    dot(F.col("cv"), F.col("cv")).alias("cv2"))
+    d2 = F.col("cv2") - 2 * dot(F.col("sv"), F.col("cv"))
+    return (e.join(F.broadcast(cbn), "sub")
              .select("vec_id", "sub", "sv", "code", d2.alias("d2"))
              .groupBy("vec_id", "sub")
              .agg(F.expr("min_by(code, struct(d2, code))").alias("code"),

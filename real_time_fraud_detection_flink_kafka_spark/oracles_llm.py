@@ -721,9 +721,9 @@ def _pq_ctes() -> tuple[list[str], str]:
         PQ_SUB,
     )
 
-    d2 = ("(list_dot_product(s.sv, s.sv)"
-          " - 2 * list_dot_product(s.sv, c.cv)"
-          " + list_dot_product(c.cv, c.cv))")
+    # rank-equivalent distance: |c|^2 - 2<sv,c> (see _pq_assign)
+    d2 = ("(list_dot_product(c.cv, c.cv)"
+          " - 2 * list_dot_product(s.sv, c.cv))")
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""s AS (
@@ -771,9 +771,9 @@ def _pq_adc_ctes() -> list[str]:
     )
 
     ctes, cb = _pq_ctes()
-    d2 = ("(list_dot_product(s.sv, s.sv)"
-          " - 2 * list_dot_product(s.sv, c.cv)"
-          " + list_dot_product(c.cv, c.cv))")
+    # rank-equivalent distance: |c|^2 - 2<sv,c> (see _pq_assign)
+    d2 = ("(list_dot_product(c.cv, c.cv)"
+          " - 2 * list_dot_product(s.sv, c.cv))")
     ctes.append(f"""penc AS (
   SELECT s.vec_id, s.sub, c.code
   FROM s JOIN {cb} c USING (sub)
