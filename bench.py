@@ -96,6 +96,7 @@ SCALE_SUBSET = [
     "dedup_exact",
     "dedup_minhash_lsh_fast",
     "ann_lsh_fast",
+    "ann_pq_rerank",
     "vocab_topk",
     "decontaminate",
 ]

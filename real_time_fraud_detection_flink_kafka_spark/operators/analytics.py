@@ -1501,27 +1501,31 @@ def cohort_retention(orders: DataFrame) -> DataFrame:
     calendar month diffs) so parity is exact; the single float
     (retention_rate) is a rounded ratio of two integers.
 
-    Scale shape: month-truncate is a projection; first-order is one
-    groupBy(custkey) min; active months is a distinct over
-    (custkey, month) — both shuffle on custkey, and AQE coalesces the
-    second into the first's exchange where possible. The cohort join
-    is custkey⋈custkey (co-partitioned with the agg), the final
-    groupBy is |months|² rows. No window over the whole fact table,
-    no global sort; cohort_size joins back off the offset-0 row of
-    the (tiny) matrix itself rather than a second pass over orders.
+    Scale shape: ONE pass over the fact table — `active`
+    (distinct custkey × month) is persisted and every downstream
+    relation derives from it: the first-order month is min(mon) over
+    `active` (identical to min over raw orders), the cohort join is
+    custkey⋈custkey on the persisted relation (co-partitioned with
+    the agg that produced it), and the final groupBy is |months|²
+    rows. `ret` is also persisted because cohort_size reads its
+    offset-0 slice — without it, the self-reference would replay the
+    whole lineage including the fact scan. No window over the fact
+    table, no global sort.
     """
-    o = orders.select(
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+
+    active = tracked_persist(orders.select(
         "o_custkey",
         F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("mon"))
-    first = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort_month"))
-    active = o.distinct()
+        .distinct())
+    first = active.groupBy("o_custkey").agg(F.min("mon").alias("cohort_month"))
     j = active.join(first, "o_custkey").select(
         "cohort_month",
         F.months_between(F.to_date("mon"), F.to_date("cohort_month"))
          .cast("int").alias("month_offset"),
         "o_custkey")
-    ret = j.groupBy("cohort_month", "month_offset").agg(
-        F.count_distinct("o_custkey").alias("n_active"))
+    ret = tracked_persist(j.groupBy("cohort_month", "month_offset").agg(
+        F.count_distinct("o_custkey").alias("n_active")))
     size = (ret.where(F.col("month_offset") == 0)
                .select("cohort_month", F.col("n_active").alias("cohort_size")))
     return (ret.join(F.broadcast(size), "cohort_month")
