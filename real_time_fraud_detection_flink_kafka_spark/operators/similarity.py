@@ -999,3 +999,39 @@ def ann_pq_rerank(embeddings: DataFrame, k: int = TOP_K,
              .select("query_id", "neighbor_id",
                      F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                      F.col("rnk").cast("int").alias("rnk")))
+
+
+def _pq_codebook_array(cb: DataFrame) -> DataFrame:
+    """(sub, codes: array<struct<code, cv, cv2>>) — the codebook
+    collapsed to one row per subspace with |c|² precomputed, sorted
+    by code (array_sort on the struct orders by its FIRST field, and
+    codes are unique per sub — deterministic regardless of
+    collect_list arrival order). PQ_M rows total; broadcasts into
+    any scan."""
+    return (cb.groupBy("sub")
+              .agg(F.array_sort(F.collect_list(F.struct(
+                   "code", "cv",
+                   dot(F.col("cv"), F.col("cv")).alias("cv2"))))
+                   .alias("codes")))
+
+
+def pq_encode(embeddings: DataFrame, cb: DataFrame | None = None) -> DataFrame:
+    """STATELESS PQ encode — the serving-path shape: one row in, PQ_M
+    code rows out, no shuffle after the broadcast join. The argmin
+    over a subspace's PQ_K codes happens INSIDE the row (transform →
+    array_min over struct(d2, code) — struct comparison is
+    field-ordered, so ties break to the lower code exactly like
+    `_pq_assign`'s min_by), which is what lets the streaming twin run
+    in append mode with zero state. Same codes as the stateful
+    groupBy path, same oracle."""
+    if cb is None:
+        cb = pq_codebooks_rel(embeddings)
+    e = _subvectors(embeddings)
+    j = e.join(F.broadcast(_pq_codebook_array(cb)), "sub")
+    scored = F.transform(
+        F.col("codes"),
+        lambda c: F.struct(
+            (c["cv2"] - 2 * dot(F.col("sv"), c["cv"])).alias("d2"),
+            c["code"].alias("code")))
+    return j.select("vec_id", F.col("sub").cast("int").alias("sub"),
+                    F.array_min(scored)["code"].cast("int").alias("code"))

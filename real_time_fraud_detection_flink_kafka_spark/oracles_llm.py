@@ -885,8 +885,14 @@ FROM exact_top x
 LEFT JOIN pq_top p USING (query_id, neighbor_id)
 LEFT JOIN rr_top r USING (query_id, neighbor_id)
 GROUP BY 1""")
+    # unreferenced trailing CTEs (pq_q/pdtab/psc) are never evaluated
+    # by DuckDB's lazy CTE planner — penc is the last one this reads
+    encode_sql = ("WITH " + ",\n".join(_pq_adc_ctes()) + """
+SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code
+FROM penc""")
     return {"pq_codebooks": codebook_sql, "ann_pq_adc": adc_sql,
-            "ann_pq_rerank": rerank_sql, "ann_pq_recall": recall_sql}
+            "ann_pq_rerank": rerank_sql, "ann_pq_recall": recall_sql,
+            "pq_encode": encode_sql}
 
 
 def _similarity_oracles() -> dict[str, str]:

@@ -212,6 +212,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codebooks": lambda s, d: similarity.pq_codebooks(load_table(s, d, "embeddings")),
     "ann_pq_adc": lambda s, d: similarity.ann_pq_adc(load_table(s, d, "embeddings")),
     "ann_pq_rerank": lambda s, d: similarity.ann_pq_rerank(load_table(s, d, "embeddings")),
+    "pq_encode": lambda s, d: similarity.pq_encode(load_table(s, d, "embeddings")),
     "ann_pq_recall": lambda s, d: similarity.ann_pq_recall(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
@@ -431,6 +432,22 @@ def _stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrival-order free — same oracle as the batch scorer
 register("stream_lm_score", _stream_lm_score,
          _LLM_ORACLES["bigram_lm_score"])
+
+
+def _stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_pq_encode_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_pq_encode_stream(
+        spark, sf_dir, query_name=f"pq_encode_stream_{_STREAM_COUNTER['n']}")
+
+
+# stream-static serving path for the PQ index: batch-trained
+# codebooks broadcast into a vector file stream, row-local argmin →
+# zero state, append mode; drained rows equal the batch encode
+register("stream_pq_encode", _stream_pq_encode, _LLM_ORACLES["pq_encode"])
 
 
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

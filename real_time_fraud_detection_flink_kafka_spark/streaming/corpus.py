@@ -333,3 +333,35 @@ def run_dedup_incremental_stream(spark, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_pq_encode_stream(spark, sf_dir: str,
+                         query_name: str = "pq_encode_stream") -> DataFrame:
+    """STREAM-STATIC serving path for the PQ index: codebooks trained
+    on the BATCH corpus, vectors arriving as a file stream encoded to
+    their PQ_M code ids per micro-batch — the
+    model-trained-offline / applied-online shape a production vector
+    store runs at ingest. `pq_encode` is row-local (the argmin over a
+    subspace's codes happens inside the row via array_min, not a
+    groupBy), so the stream needs ZERO state and append mode streams
+    code rows straight through; the drained result must equal the
+    batch encode exactly (shared oracle)."""
+    import os
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        pq_codebooks_rel,
+        pq_encode,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    cb = pq_codebooks_rel(load_table(spark, sf_dir, "embeddings"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+    out = pq_encode(stream, cb=cb)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
