@@ -294,3 +294,31 @@ def test_pq_rerank_dominates_adc_and_matches_exact_on_shortlist(spark, sf_dir):
     ex = ann_topk(emb).toPandas()[["query_id", "neighbor_id", "cos_sim"]]
     m = rr.merge(ex, on=["query_id", "neighbor_id"], suffixes=("_rr", "_ex"))
     assert len(m) > 0 and (m.cos_sim_rr == m.cos_sim_ex).all()
+
+
+def test_pq_tiny_corpus_fewer_seeds_than_codes(spark):
+    """A corpus smaller than PQ_K seeds fewer codes per subspace; the
+    argmin and encode must still work (and agree between the stateful
+    groupBy path and the row-local array_min path) — the empty-cell /
+    short-seed edge every quantizer hits on a cold-start corpus."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        DIM,
+        PQ_M,
+        _pq_assign,
+        _subvectors,
+        pq_codebooks_rel,
+        pq_encode,
+    )
+    rows = [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(DIM)])
+            for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb = pq_codebooks_rel(emb)
+    cb_rows = cb.collect()
+    # at most 3 seeds per subspace survive, none beyond the corpus
+    assert 0 < len(cb_rows) <= 3 * PQ_M
+    assert all(r.code < 3 for r in cb_rows)
+    # stateful and row-local encode agree exactly
+    grouped = {(r.vec_id, r.sub): r.code
+               for r in _pq_assign(_subvectors(emb), cb).collect()}
+    stateless = {(r.vec_id, r.sub): r.code for r in pq_encode(emb, cb=cb).collect()}
+    assert stateless == grouped and len(stateless) == 3 * PQ_M
