@@ -78,6 +78,7 @@ HEADLINE = [
     "coincidence_pagerank",   # 5 power-iteration rounds over the pair graph (r6)
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
     "ann_pq_rerank",          # PQ train + encode + ADC shortlist + exact re-rank (r7)
+    "ann_ivfpq",              # k-means cells + residual PQ + probed compressed scoring (r7)
     "tfidf_topk",             # vocab-bounded df + per-doc top-k ranking (r7)
     "cohort_retention",       # first-order cohort triangle over orders (r7)
 ]

@@ -706,11 +706,14 @@ def _bucket_dynamic_sql() -> str:
   ) p"""
 
 
-def _pq_ctes() -> tuple[list[str], str]:
+def _pq_ctes(src: str = "e") -> tuple[list[str], str]:
     """Product-quantization CTE chain mirroring
     operators/similarity.pq_codebooks_rel / _pq_assign: subvector
     explode, seeded codebooks, PQ_ITERS Lloyd rounds (argmin-d2 with
-    lower-code tie-break, fixed-point dim means). Returns (ctes,
+    lower-code tie-break, fixed-point dim means). `src` names the
+    (vec_id, v) relation the subvectors come from — the default `e`
+    (raw embeddings, defined here) or a caller-defined CTE such as
+    the IVF-PQ residual relation. Returns (ctes,
     final_codebook_cte); the chain also defines `s` (vec_id, sub,
     sv)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
@@ -724,11 +727,12 @@ def _pq_ctes() -> tuple[list[str], str]:
     # rank-equivalent distance: |c|^2 - 2<sv,c> (see _pq_assign)
     d2 = ("(list_dot_product(c.cv, c.cv)"
           " - 2 * list_dot_product(s.sv, c.cv))")
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+    ctes = ([] if src != "e" else
+            ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"])
+    ctes += [
         f"""s AS (
   SELECT vec_id, m.m AS sub, v[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS sv
-  FROM e CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+  FROM {src} CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
 )""",
         f"""pc0 AS (
   SELECT sub, vec_id AS code, sv AS cv FROM s WHERE vec_id < {PQ_K}
@@ -796,6 +800,98 @@ def _pq_adc_ctes() -> list[str]:
   GROUP BY 1, 2
 )""")
     return ctes
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ composition — mirrors operators/similarity.ann_ivfpq:
+    k-means LEARNED coarse cells (the shared `_kmeans_ctes` Lloyd
+    chain — residuals vs cell MEANS are what the PQ codebook can
+    cover), assignment/probe with ann_ivf's tie-breaks, residual
+    v−c, the PQ chain trained over residuals (`_pq_ctes(src='res')`),
+    and compressed-domain scoring fp_qc + Σ fp_tab in fixed-point
+    ints."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        NPROBE,
+        PQ_M,
+        PQ_SCALE,
+        PQ_SUB,
+        TOP_K,
+    )
+
+    d2 = ("(list_dot_product(c.cv, c.cv)"
+          " - 2 * list_dot_product(s.sv, c.cv))")
+    km_ctes, km_final = _kmeans_ctes()
+    coarse = km_ctes + [
+        f"ivc AS (SELECT cell, cv FROM {km_final})",
+        f"""iac AS (
+  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
+       ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, ivc c
+)""",
+        "iassigned AS (SELECT vec_id, cell FROM iac WHERE arn = 1)",
+        """res AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(generate_series(1, len(e.v)), i -> e.v[i] - c.cv[i]) AS v
+  FROM e JOIN iassigned a USING (vec_id) JOIN ivc c USING (cell)
+)""",
+    ]
+    pq, cb = _pq_ctes(src="res")
+    penc = f"""penc AS (
+  SELECT s.vec_id, s.sub, c.code
+  FROM s JOIN {cb} c USING (sub)
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY {d2}, c.code) = 1
+)"""
+    tail = [
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES})",
+        f"""ipr AS (
+  SELECT query_id, cell, row_number() OVER (PARTITION BY query_id
+       ORDER BY {_cos_sql('qv', 'cv')} DESC, cell) AS prn
+  FROM q, ivc c
+)""",
+        f"iprobes AS (SELECT query_id, cell FROM ipr WHERE prn <= {NPROBE})",
+        f"""qs AS (
+  SELECT query_id, m.m AS sub,
+         qv[m.m * {PQ_SUB} + 1 : m.m * {PQ_SUB} + {PQ_SUB}] AS qsv
+  FROM q CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+)""",
+        f"""dtab AS (
+  SELECT query_id, sub, code,
+         CAST(round(list_dot_product(qs.qsv, c.cv) * {PQ_SCALE}) AS BIGINT)
+           AS fp_tab
+  FROM qs JOIN {cb} c USING (sub)
+)""",
+        f"""qctab AS (
+  SELECT query_id, cell,
+         CAST(round(list_dot_product(q.qv, c.cv) * {PQ_SCALE}) AS BIGINT)
+           AS fp_qc
+  FROM q, ivc c
+)""",
+        """candv AS (
+  SELECT p.query_id, a.vec_id, a.cell
+  FROM iprobes p JOIN iassigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)""",
+        """isc AS (
+  SELECT cd.query_id, cd.vec_id, cd.cell, sum(d.fp_tab) AS fp_res
+  FROM candv cd JOIN penc ON penc.vec_id = cd.vec_id
+  JOIN dtab d ON d.query_id = cd.query_id
+             AND d.sub = penc.sub AND d.code = penc.code
+  GROUP BY 1, 2, 3
+)""",
+        """itot AS (
+  SELECT isc.query_id, isc.vec_id AS neighbor_id, qc.fp_qc + isc.fp_res AS fp
+  FROM isc JOIN qctab qc ON qc.query_id = isc.query_id AND qc.cell = isc.cell
+)""",
+    ]
+    return ("WITH " + ",\n".join(coarse + pq + [penc] + tail) + f"""
+SELECT query_id, neighbor_id,
+       round(CAST(fp AS DOUBLE) / {float(PQ_SCALE)!r}, 6) AS approx_dot,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY fp DESC, neighbor_id) AS rnk FROM itot) t
+WHERE rnk <= {TOP_K}""")
 
 
 def _pq_oracles() -> dict[str, str]:
@@ -892,7 +988,7 @@ SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code
 FROM penc""")
     return {"pq_codebooks": codebook_sql, "ann_pq_adc": adc_sql,
             "ann_pq_rerank": rerank_sql, "ann_pq_recall": recall_sql,
-            "pq_encode": encode_sql}
+            "pq_encode": encode_sql, "ann_ivfpq": _ivfpq_oracle()}
 
 
 def _similarity_oracles() -> dict[str, str]:

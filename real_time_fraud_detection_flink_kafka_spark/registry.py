@@ -213,6 +213,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc": lambda s, d: similarity.ann_pq_adc(load_table(s, d, "embeddings")),
     "ann_pq_rerank": lambda s, d: similarity.ann_pq_rerank(load_table(s, d, "embeddings")),
     "pq_encode": lambda s, d: similarity.pq_encode(load_table(s, d, "embeddings")),
+    "ann_ivfpq": lambda s, d: similarity.ann_ivfpq(load_table(s, d, "embeddings")),
     "ann_pq_recall": lambda s, d: similarity.ann_pq_recall(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),

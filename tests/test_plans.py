@@ -431,3 +431,25 @@ def test_pq_adc_broadcasts_codebooks_and_dtab_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # train-assign (×iters), final encode, dtab build, ADC join
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ivfpq_broadcasts_everywhere_no_pairwise(spark, sf_dir):
+    """IVF-PQ's scale contract: centroids, probes, codebooks,
+    distance tables and the per-query cell table are all bounded
+    relations and must reach the corpus-sized side as broadcasts
+    (cells/codebook fan-outs appear as broadcast nested-loop joins,
+    exactly like ann_ivf's centroid cross); candidate generation is
+    the probes⋈assigned equi-join on cell — never a sort-merge or an
+    unbroadcast product — and both argmin/argmax assignments partial-
+    aggregate map-side."""
+    plan = _plan(spark, sf_dir, "ann_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "max_by" in plan and "min_by" in plan
+    # the ONE permitted shuffle join: candv⋈enc — both corpus-sized,
+    # co-keyed on vec_id, where sort-merge IS the scale plan; every
+    # bounded relation must broadcast instead
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert len(smj) == 1 and "vec_id" in smj[0]
+    # coarse assign + probes + qctab crosses, dtab/codebook joins,
+    # candv, ADC dtab join, residual fetch
+    assert plan.count("BroadcastExchange") >= 6
