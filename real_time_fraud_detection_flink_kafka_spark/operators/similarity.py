@@ -1069,8 +1069,11 @@ def ann_ivfpq(embeddings: DataFrame, k: int = TOP_K,
     from pyspark.sql import Window
 
     e = _vecs(embeddings)
-    cents = kmeans_cells(embeddings, k=n_cells).select(
-        "cell", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm"))
+    # cents feeds FOUR consumers (assign, residual fetch, probes,
+    # qctab) and cb TWO (encode, dtab) — persist both tiny relations
+    # so the Lloyd training DAGs materialize once, not per consumer
+    cents = tracked_persist(kmeans_cells(embeddings, k=n_cells).select(
+        "cell", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("c_norm")))
     cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
     assigned = (e.join(F.broadcast(cents))
                  .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
@@ -1084,7 +1087,7 @@ def ann_ivfpq(embeddings: DataFrame, k: int = TOP_K,
                 .select("vec_id", "cell",
                         F.zip_with("v", "cv", lambda a, b: a - b)
                          .alias("embedding")))
-    cb = pq_codebooks_rel(res)
+    cb = tracked_persist(pq_codebooks_rel(res))
     enc = _pq_assign(_subvectors(res), cb).select("vec_id", "sub", "code")
 
     q = e.where(F.col("vec_id") < n_queries).select(
@@ -1114,9 +1117,11 @@ def ann_ivfpq(embeddings: DataFrame, k: int = TOP_K,
                       F.round(dot(F.col("qv"), F.col("cv")) * PQ_SCALE)
                        .cast("bigint").alias("fp_qc")))
 
-    candv = (assigned.select("vec_id", "cell")
-                     .join(F.broadcast(probes), "cell")
-                     .where(F.col("vec_id") != F.col("query_id")))
+    # (vec_id, cell) comes off the PERSISTED residual relation — the
+    # unpersisted `assigned` would replay the coarse assignment here
+    candv = (res.select("vec_id", "cell")
+                .join(F.broadcast(probes), "cell")
+                .where(F.col("vec_id") != F.col("query_id")))
     scored = (candv.join(enc, "vec_id")
                    .join(F.broadcast(dtab), ["query_id", "sub", "code"])
                    .groupBy("query_id", "vec_id", "cell")
