@@ -418,22 +418,40 @@ def ann_ivf(embeddings: DataFrame, k: int = TOP_K,
 
 def ann_topk_fast(embeddings: DataFrame, k: int = TOP_K,
                   n_queries: int = N_QUERIES) -> DataFrame:
-    """Arrow-vectorized brute-force top-k: the numpy-matmul fast path.
+    """Arrow-vectorized brute-force top-k — BIT-IDENTICAL to
+    `ann_topk` and value-oracled since r7.
 
     Queries (tiny) are collected once and closed over — the broadcast
-    pattern; the corpus streams through mapInPandas, each Arrow batch
-    scored with one BLAS matmul. ~10-100× the per-element expression
-    fold of `ann_topk`, but summation order differs (SIMD/pairwise),
-    so cos values can drift in the last ulps vs the SQL oracle —
-    hence rows-only registration + a tolerance-equivalence pytest
-    against the exact path."""
+    pattern; the corpus streams through mapInPandas. The kernel is
+    DIM-SEQUENTIAL accumulation (`S += V[:,j]·Q[:,j]` for ascending
+    j): vectorized ACROSS rows but left-to-right ACROSS dims, so
+    every pair's float64 op sequence — ((0+p₀)+p₁)+… — is exactly
+    the expression fold's and DuckDB's list_dot_product. That's ~2-4×
+    slower than one BLAS matmul (whose SIMD/pairwise summation
+    reorders the adds and drifts last-ulp) but still vectorized, and
+    it buys exact oracle parity — the same trade the minhash/lsh fast
+    paths make with integer hashing. Norms use the same sequential
+    kernel; multiplication/division operand order mirrors the
+    expression (commutative ops are bit-exact either way)."""
     import numpy as np
+
+    def _seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        S = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            S += A[:, j][:, None] * B[:, j][None, :]
+        return S
+
+    def _seq_norm(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return np.sqrt(acc)
 
     q_rows = (embeddings.where(F.col("vec_id") < n_queries)
               .select("vec_id", "embedding").collect())
     qids = [int(r.vec_id) for r in q_rows]
     Q = np.array([list(r.embedding) for r in q_rows], dtype=np.float64)
-    qn = np.linalg.norm(Q, axis=1)
+    qn = _seq_norm(Q)
 
     def score(it):
         import pandas as pd
@@ -442,8 +460,8 @@ def ann_topk_fast(embeddings: DataFrame, k: int = TOP_K,
             if not len(pdf):
                 continue
             V = np.array(list(pdf["embedding"]), dtype=np.float64)
-            vn = np.linalg.norm(V, axis=1)
-            S = (V @ Q.T) / (vn[:, None] * qn[None, :])
+            vn = _seq_norm(V)
+            S = _seq_dot(V, Q) / (qn[None, :] * vn[:, None])
             n, m = S.shape
             yield pd.DataFrame({
                 "query_id": np.tile(np.array(qids, dtype=np.int64), n),

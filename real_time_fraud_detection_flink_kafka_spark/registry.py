@@ -259,6 +259,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # same oracles apply
 _LLM_ORACLES["dedup_minhash_lsh_fast"] = _LLM_ORACLES["dedup_minhash_lsh"]
 _LLM_ORACLES["ann_lsh_fast"] = _LLM_ORACLES["ann_lsh"]
+# dim-sequential Arrow kernel (r7): same float64 op sequence as the
+# expression fold, so the exact path's oracle applies bit-for-bit
+_LLM_ORACLES["ann_topk_fast"] = _LLM_ORACLES["ann_topk"]
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
 
