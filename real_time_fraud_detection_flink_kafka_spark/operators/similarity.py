@@ -480,11 +480,13 @@ def ann_topk_fast(embeddings: DataFrame, k: int = TOP_K,
                           F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
 
 
-def dedup_embedding_cosine(embeddings: DataFrame,
-                           threshold: float = COS_THRESHOLD,
-                           max_id: int = BRUTE_MAX_ID) -> DataFrame:
-    """Brute-force near-dup pairs on a bounded slice (baseline for the
-    LSH path; quadratic by construction)."""
+def dedup_embedding_cosine_expr(embeddings: DataFrame,
+                                threshold: float = COS_THRESHOLD,
+                                max_id: int = BRUTE_MAX_ID) -> DataFrame:
+    """Brute-force near-dup pairs via the pure expression fold — the
+    reference implementation the Arrow kernel below must reproduce
+    bit-for-bit (pinned by pytest); kept for that gate, not the
+    registry path."""
     e = _vecs(embeddings).where(F.col("vec_id") < max_id)
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -494,6 +496,66 @@ def dedup_embedding_cosine(embeddings: DataFrame,
                          cos.alias("cos_raw"))
                  .where(F.col("cos_raw") >= threshold)
                  .select("vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")))
+
+
+def dedup_embedding_cosine(embeddings: DataFrame,
+                           threshold: float = COS_THRESHOLD,
+                           max_id: int = BRUTE_MAX_ID) -> DataFrame:
+    """Brute-force near-dup pairs on a bounded slice (ground-truth
+    baseline for the blocked/LSH paths; quadratic by construction —
+    which is exactly why the slice bound exists).
+
+    Arrow fast path since r7: the slice is BOUNDED (≤ max_id rows —
+    96 KB of float64 at the default), so it collects once and closes
+    over the mapInPandas scorer (the ann_topk_fast broadcast
+    pattern); each Arrow batch of left-side rows scores against the
+    whole slice with the DIM-SEQUENTIAL kernel — vectorized across
+    pairs, left-to-right across dims — so every pair's float64 op
+    sequence (dot fold, per-vector norms, a.norm*b.norm, divide,
+    ≥ threshold) is bit-identical to the expression join in
+    `dedup_embedding_cosine_expr` (equality pytest) and to the DuckDB
+    oracle. The threshold filter runs inside the kernel on identical
+    doubles, so only surviving pairs ride the Arrow return path
+    (~1/50 of the 1.1M candidate pairs at the default τ)."""
+    import numpy as np
+
+    rows = (embeddings.where(F.col("vec_id") < max_id)
+            .select("vec_id", "embedding").collect())
+    ids = np.array([int(r.vec_id) for r in rows], dtype=np.int64)
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    norms = np.sqrt(acc)
+
+    def score(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            an = np.zeros(A.shape[0])
+            S = np.zeros((A.shape[0], M.shape[0]))
+            for j in range(A.shape[1]):
+                an += A[:, j] * A[:, j]
+                S += A[:, j][:, None] * M[:, j][None, :]
+            an = np.sqrt(an)
+            C = S / (an[:, None] * norms[None, :])
+            keep = (aid[:, None] < ids[None, :]) & (C >= threshold)
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame({
+                "vec_a": aid[ai],
+                "vec_b": ids[bi],
+                "cos_raw": C[ai, bi],
+            })
+
+    scored = (embeddings.where(F.col("vec_id") < max_id)
+              .select("vec_id", "embedding")
+              .mapInPandas(score, "vec_a bigint, vec_b bigint, cos_raw double"))
+    return scored.select("vec_a", "vec_b",
+                         F.round(F.col("cos_raw"), 6).alias("cos_sim"))
 
 
 RECALL_BAND_EDGES = (0.95, 0.80, 0.60)  # cos bands for recall accounting
@@ -1154,3 +1216,137 @@ def ann_ivfpq(embeddings: DataFrame, k: int = TOP_K,
                          F.round(F.col("fp") / float(PQ_SCALE), 6)
                           .alias("approx_dot"),
                          F.col("rnk").cast("int").alias("rnk")))
+
+
+# --- scalar quantization (SQ8) ----------------------------------------------
+# The FOURTH production ANN index family next to sign-LSH, IVF, and
+# PQ: per-dimension linear quantization to one byte (FAISS
+# ScalarQuantizer QT_8bit). SQ8 is the middle of the memory/accuracy
+# ladder — 8× smaller than float64 where PQ is 64×, but with
+# per-DIMENSION reconstruction error bounded by (mx−mn)/2·255 instead
+# of PQ's per-SUBSPACE codebook residual, so it needs no training
+# iterations (one min/max pass) and typically ranks near-exactly.
+# `ann_sq8_recall` measures exactly that trade on this corpus.
+SQ_LEVELS = 255  # code range 0..255 → one byte per dimension
+
+
+def sq_params(embeddings: DataFrame) -> DataFrame:
+    """1-row (qp: array<struct<mn,mx>>) per-dimension quantization
+    range learned from the corpus in ONE pass: posexplode to
+    (dim, x) — fixed 16-byte rows — a map-side-combinable
+    groupBy(dim) min/max, then the DIM-row result collapses to a
+    single broadcastable array (array_sort on struct(dim,…) makes
+    collect_list's arrival order irrelevant; dims are unique).
+    Output is DIM structs however many vectors flow through — the
+    same any-scale-fits-in-a-broadcast shape as PQ's codebooks."""
+    comp = embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("dim", "x"))
+    st = comp.groupBy("dim").agg(F.min("x").alias("mn"),
+                                 F.max("x").alias("mx"))
+    return (st.agg(F.array_sort(F.collect_list(
+                F.struct("dim", "mn", "mx"))).alias("s"))
+              .select(F.transform("s", lambda r: F.struct(
+                  r["mn"].alias("mn"), r["mx"].alias("mx"))).alias("qp")))
+
+
+def sq8_encode_rel(embeddings: DataFrame,
+                   params: DataFrame | None = None) -> DataFrame:
+    """(vec_id, codes array<int>) — SQ8 encode: each dimension
+    linearly mapped to an integer code 0..SQ_LEVELS over the corpus'
+    per-dim [mn, mx] range. Row-local after the 1-row params
+    broadcast — zero shuffle, zero state (the pq_encode property, so
+    a streaming twin runs append-mode). The clamp only bites for
+    vectors OUTSIDE the training range (the serving case: params are
+    trained once, later data may exceed historical extremes); a
+    degenerate dimension (mx == mn) encodes as 0. All arithmetic is
+    token-identical in the DuckDB oracle — `(x−mn)/(mx−mn)·255`,
+    round, clamp, int — and the rounded value is exactly integral, so
+    Spark's truncating int cast and DuckDB's rounding one agree."""
+    if params is None:
+        params = sq_params(embeddings)
+    v = F.col("embedding").cast("array<double>")
+    code = F.zip_with(
+        v, F.col("qp"),
+        lambda x, p: F.when(
+            p["mx"] > p["mn"],
+            F.least(F.lit(SQ_LEVELS), F.greatest(F.lit(0), F.round(
+                (x - p["mn"]) / (p["mx"] - p["mn"]) * SQ_LEVELS))))
+         .otherwise(F.lit(0)).cast("int"))
+    return (embeddings.join(F.broadcast(params))
+            .select("vec_id", code.alias("codes")))
+
+
+def sq8_encode(embeddings: DataFrame) -> DataFrame:
+    """`sq8_encode_rel` exploded to (vec_id, dim, code) scalar rows
+    for the compare harness (the pq_codebooks move)."""
+    return (sq8_encode_rel(embeddings)
+            .select("vec_id", F.posexplode("codes").alias("dim", "code"))
+            .orderBy("vec_id", "dim"))
+
+
+def _sq8_decoded(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, xh, xh_norm) — the dequantized corpus the asymmetric
+    scorer scans: x̂[i] = mn[i] + code[i]·(mx[i]−mn[i])/255. In
+    production the SCAN SIDE stores only the 1-byte codes (the 8×
+    lever); decode is a row-local projection at read time, token-
+    identical in the oracle so x̂ doubles match bitwise."""
+    params = tracked_persist(sq_params(embeddings))
+    enc = sq8_encode_rel(embeddings, params)
+    xh = F.zip_with(
+        F.col("codes"), F.col("qp"),
+        lambda c, p: p["mn"] + c * (p["mx"] - p["mn"]) / F.lit(SQ_LEVELS))
+    return (enc.join(F.broadcast(params))
+               .select("vec_id", xh.alias("xh"))
+               .select("vec_id", "xh",
+                       F.sqrt(dot(F.col("xh"), F.col("xh"))).alias("xh_norm")))
+
+
+def ann_sq8(embeddings: DataFrame, k: int = TOP_K,
+            n_queries: int = N_QUERIES) -> DataFrame:
+    """SQ8 top-k by asymmetric scoring: EXACT query floats against
+    the dequantized corpus (queries are few and arrive raw; only the
+    corpus pays the compression). Plan shape is `ann_topk`'s —
+    broadcast queries × one corpus scan, per-query top-k window —
+    with the scan side derived from 1-byte codes instead of raw
+    floats. Rank is by approximate cosine; the reconstruction error
+    this costs vs exact is measured per query by `ann_sq8_recall`."""
+    from pyspark.sql import Window
+
+    e = _vecs(embeddings)
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"))
+    d = _sq8_decoded(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"), "xh", "xh_norm")
+    j = d.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("qv"), F.col("xh")) / (F.col("q_norm") * F.col("xh_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("neighbor_id"))
+    return (j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k)
+             .select("query_id", "neighbor_id",
+                     F.round(F.col("cos_raw"), 6).alias("approx_cos"),
+                     F.col("rnk").cast("int").alias("rnk")))
+
+
+def ann_sq8_recall(embeddings: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES) -> DataFrame:
+    """Measured recall@k of SQ8 ranking vs the exact cosine top-k,
+    per query (the ann_pq_recall habit) — the row that places SQ8 on
+    the index ladder between exact floats and PQ: expect near-1.0
+    here where ADC sits far lower, at 8× compression instead of 64×.
+    Counts are integers, recall a rounded division — value-exact."""
+    exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id")
+    sq = ann_sq8(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_sq"))
+    j = exact.join(sq, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_true"),
+                  F.sum(F.coalesce(F.col("hit_sq"), F.lit(0)))
+                   .cast("int").alias("n_sq8"))
+             .select("query_id", "n_true", "n_sq8",
+                     F.round(F.col("n_sq8") / F.col("n_true"), 6)
+                      .alias("recall_sq8")))

@@ -190,3 +190,20 @@ def test_blocked_dedup_scale_aware_cells_lockstep(spark, sf_dir):
             .sort_values(cols).reset_index(drop=True))
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_embedding_cosine_arrow_kernel_bit_equals_expression(spark, sf_dir):
+    """The collected-slice Arrow kernel must reproduce the expression
+    join bit-for-bit — pair set AND cos values exactly equal — which
+    is what lets the fast path keep the quadratic baseline's oracle."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_expr,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = (dedup_embedding_cosine(emb).toPandas()
+            .set_index(["vec_a", "vec_b"]).sort_index())
+    expr = (dedup_embedding_cosine_expr(emb).toPandas()
+            .set_index(["vec_a", "vec_b"]).sort_index())
+    assert list(fast.index) == list(expr.index)
+    assert (fast["cos_sim"] == expr["cos_sim"]).all()
