@@ -79,6 +79,9 @@ HEADLINE = [
     "stream_fraud_detector",  # full Structured Streaming drain (file → state → sink)
     "ann_pq_rerank",          # PQ train + encode + ADC shortlist + exact re-rank (r7)
     "ann_ivfpq",              # k-means cells + residual PQ + probed compressed scoring (r7)
+    "ann_sq8",                # scalar-quantized corpus scan, all-broadcast scorer (r7)
+    "ann_jl_rerank",          # JL shortlist-100 + exact re-rank (r7)
+    "bm25_more_like_this",    # BM25 more-like-this, fixed-point term sums (r7)
     "tfidf_topk",             # vocab-bounded df + per-doc top-k ranking (r7)
     "cohort_retention",       # first-order cohort triangle over orders (r7)
 ]

@@ -292,3 +292,69 @@ def tfidf_topk(documents: DataFrame, k: int = TFIDF_K) -> DataFrame:
                   .select("doc_id", F.col("rnk").cast("int").alias("rnk"),
                           "word", F.col("tf").cast("int").alias("tf"),
                           F.col("df").cast("int").alias("df"), "tfidf"))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+BM25_SCALE = 1_000_000  # fixed-point scale for the order-free term sum
+
+
+def bm25_more_like_this(documents: DataFrame,
+                        topn: int = BM25_TOPN) -> DataFrame:
+    """BM25 related-document retrieval — the IR ranker next to
+    `tfidf_topk`'s keyword extractor: the QUERY is the lowest-doc_id
+    document's distinct terms (deterministic, oracle-replayable —
+    the "more like this" shape every corpus browser serves), every
+    OTHER document scored by Okapi BM25 (k1=1.2, b=0.75, the Lucene
+    `ln(1 + (N−df+0.5)/(df+0.5))` idf), global top-`topn`.
+
+    Scale shape: ONE corpus-sized shuffle (tf groupBy(doc, word) —
+    dl rides the key since it is functional on doc_id, so no second
+    pass or dl join); everything else is bounded broadcasts — query
+    terms (≤|q| rows), df-of-query-terms (≤|q| rows after the
+    broadcast semi-join), N/avgdl (1-row aggregate). The final
+    top-n is orderBy+limit → TakeOrderedAndProject (per-partition
+    heaps + driver merge of topn rows), NEVER a global sort; rnk is
+    a row_number over the already-bounded topn-row relation.
+
+    Determinism: per-term scores are FIXED-POINT bigints (the PQ
+    discipline) so the per-doc sum is order-free; idf's ln() runs on
+    identical doubles in both engines and a last-ulp drift can only
+    matter exactly at a 1e-6 rounding boundary (the tfidf_topk
+    trade, stated there)."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "dl", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qid = documents.agg(F.min("doc_id").alias("_qid"))
+    qterms = (words.join(F.broadcast(qid),
+                         F.col("doc_id") == F.col("_qid"))
+                   .select("word", "_qid").distinct())
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.size(_words(F.col("text")))) /
+         F.count(F.lit(1))).alias("_avgdl"))
+    dfq = dfr.join(F.broadcast(qterms), "word")
+    idf = F.log(1 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    den = (F.col("tf") + BM25_K1 *
+           (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")))
+    term_fp = F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / den
+                      * BM25_SCALE).cast("bigint")
+    scored = (tf.join(F.broadcast(dfq), "word")
+                .join(F.broadcast(stats))
+                .where(F.col("doc_id") != F.col("_qid"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
+                     F.sum(term_fp).alias("fp")))
+    top = scored.orderBy(F.desc("fp"), F.asc("doc_id")).limit(topn)
+    w = Window.orderBy(F.desc("fp"), F.asc("doc_id"))
+    return (top.withColumn("rnk", F.row_number().over(w))
+               .select("doc_id", F.col("rnk").cast("int").alias("rnk"),
+                       "n_terms",
+                       F.round(F.col("fp") / float(BM25_SCALE), 6)
+                        .alias("bm25")))

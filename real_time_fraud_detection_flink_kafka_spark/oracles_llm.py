@@ -205,6 +205,8 @@ SELECT l.id AS doc_id, l.canonical AS canonical_id, s.cluster_size
 FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_similarity_oracles(),
         **_pq_oracles(),
+        **_sq_oracles(),
+        **_jl_oracles(),
         **_text_oracles(),
         **_multimodal_oracles(),
         **_pipeline_oracles(),
@@ -991,6 +993,189 @@ FROM penc""")
             "pq_encode": encode_sql, "ann_ivfpq": _ivfpq_oracle()}
 
 
+def _sq_ctes() -> list[str]:
+    """SQ8 CTE chain mirroring operators/similarity.sq_params /
+    sq8_encode_rel / _sq8_decoded token-for-token: one min/max pass
+    per dimension, linear encode to 0..SQ_LEVELS with the same
+    round/clamp/int sequence, linear decode back to x̂ doubles.
+    Defines `e` (vec_id, v), `enc` (vec_id, codes), `dec`
+    (neighbor_id, xh) and the params relation `p` (mns, mxs)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        DIM,
+        SQ_LEVELS,
+    )
+
+    return [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """comp AS (
+  SELECT i - 1 AS dim, v[i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS s(i)
+)""",
+        "st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM comp GROUP BY 1)",
+        ("p AS (SELECT list(mn ORDER BY dim) AS mns, "
+         "list(mx ORDER BY dim) AS mxs FROM st)"),
+        f"""enc AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {DIM}), i ->
+           CAST(CASE WHEN mxs[i] > mns[i]
+                THEN least({SQ_LEVELS}, greatest(0,
+                     round((v[i] - mns[i]) / (mxs[i] - mns[i]) * {SQ_LEVELS})))
+                ELSE 0 END AS INT)) AS codes
+  FROM e, p
+)""",
+        f"""dec AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(generate_series(1, {DIM}), i ->
+           mns[i] + codes[i] * (mxs[i] - mns[i]) / {SQ_LEVELS}) AS xh
+  FROM enc, p
+)""",
+    ]
+
+
+def _sq_oracles() -> dict[str, str]:
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        DIM,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    ctes = _sq_ctes()
+    encode_sql = ("WITH " + ",\n".join(ctes[:5]) + f"""
+SELECT vec_id, i - 1 AS dim, codes[i] AS code
+FROM enc, unnest(generate_series(1, {DIM})) AS s(i)
+ORDER BY vec_id, dim""")
+
+    topk_ctes = ctes + [
+        f"""q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}
+)""",
+        f"""r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM (SELECT query_id, neighbor_id, {_cos_sql('qv', 'xh')} AS cos_raw
+        FROM q, dec WHERE neighbor_id <> query_id) j
+)""",
+    ]
+    sq8_sql = ("WITH " + ",\n".join(topk_ctes) + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS approx_cos, rnk
+FROM r WHERE rnk <= {TOP_K}""")
+
+    recall_ctes = topk_ctes + [
+        f"sq_top AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {TOP_K})",
+        f"""exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_cos_sql('q.qv', 'e.v')} DESC, e.vec_id) AS rnk
+    FROM q, e WHERE e.vec_id <> q.query_id) x
+  WHERE rnk <= {TOP_K}
+)""",
+    ]
+    recall_sql = ("WITH " + ",\n".join(recall_ctes) + """
+SELECT x.query_id, CAST(count(*) AS INTEGER) AS n_true,
+       CAST(count(s.neighbor_id) AS INTEGER) AS n_sq8,
+       round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_sq8
+FROM exact_top x
+LEFT JOIN sq_top s USING (query_id, neighbor_id)
+GROUP BY 1""")
+    return {"sq8_encode": encode_sql, "ann_sq8": sq8_sql,
+            "ann_sq8_recall": recall_sql}
+
+
+def _jl_oracles() -> dict[str, str]:
+    """Mirrors operators/similarity.jl_project / ann_jl /
+    ann_jl_recall: each projected component is list_dot_product
+    against the identical LCG direction literal (the same left fold
+    as the engine's `dot`), so pv doubles match bitwise and the
+    projected-space ranking replays exactly."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        JL_DIM,
+        JL_MATRIX,
+        JL_SHORTLIST,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    pv = ("[" + ", ".join(
+        f"list_dot_product(v, {_hp_literal(JL_MATRIX[j])})"
+        for j in range(JL_DIM)) + "]")
+    base = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"proj AS (SELECT vec_id, {pv} AS pv FROM e)",
+    ]
+    project_sql = ("WITH " + ",\n".join(base) + f"""
+SELECT vec_id, i - 1 AS dim, pv[i] AS val
+FROM proj, unnest(generate_series(1, {JL_DIM})) AS s(i)
+ORDER BY vec_id, dim""")
+
+    topk_ctes = base + [
+        f"""q AS (
+  SELECT vec_id AS query_id, pv AS qpv FROM proj WHERE vec_id < {N_QUERIES}
+)""",
+        f"""r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM (SELECT query_id, p.vec_id AS neighbor_id,
+               {_cos_sql('qpv', 'p.pv')} AS cos_raw
+        FROM q, proj p WHERE p.vec_id <> query_id) j
+)""",
+    ]
+    jl_sql = ("WITH " + ",\n".join(topk_ctes) + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS approx_cos, rnk
+FROM r WHERE rnk <= {TOP_K}""")
+
+    rerank_ctes = topk_ctes + [
+        f"short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {JL_SHORTLIST})",
+        f"""rr AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rrnk
+  FROM (SELECT s.query_id, s.neighbor_id,
+               {_cos_sql('eq.v', 'ec.v')} AS cos_raw
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.neighbor_id) x
+)""",
+    ]
+    rerank_sql = ("WITH " + ",\n".join(rerank_ctes) + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim,
+       rrnk AS rnk
+FROM rr WHERE rrnk <= {TOP_K}""")
+
+    recall_ctes = rerank_ctes + [
+        f"jl_top AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {TOP_K})",
+        f"rr_top AS (SELECT query_id, neighbor_id FROM rr WHERE rrnk <= {TOP_K})",
+        f"""exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT eq.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY {_cos_sql('eq.v', 'e.v')} DESC, e.vec_id) AS rnk
+    FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) eq, e
+    WHERE e.vec_id <> eq.vec_id) x
+  WHERE rnk <= {TOP_K}
+)""",
+    ]
+    recall_sql = ("WITH " + ",\n".join(recall_ctes) + """
+SELECT x.query_id, CAST(count(*) AS INTEGER) AS n_true,
+       CAST(count(s.neighbor_id) AS INTEGER) AS n_jl,
+       CAST(count(rr2.neighbor_id) AS INTEGER) AS n_rerank,
+       round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_jl,
+       round(CAST(count(rr2.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_rerank
+FROM exact_top x
+LEFT JOIN jl_top s USING (query_id, neighbor_id)
+LEFT JOIN rr_top rr2 USING (query_id, neighbor_id)
+GROUP BY 1""")
+    return {"jl_project": project_sql, "ann_jl": jl_sql,
+            "ann_jl_rerank": rerank_sql, "ann_jl_recall": recall_sql}
+
+
 def _similarity_oracles() -> dict[str, str]:
     bucket_union = _bucket_union_sql()
     return {
@@ -1242,6 +1427,10 @@ def _text_oracles() -> dict[str, str]:
         best_lang = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
         best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
     from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_SCALE,
+        BM25_TOPN,
         FUZZY_TAU,
         TFIDF_K,
     )
@@ -1283,6 +1472,36 @@ FROM documents""",
 SELECT doc_id, {rolling_hash_sql(ws)} AS fingerprint FROM documents""",
         "lang_id_ngram": _lang_id_ngram_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        # mirrors textops.bm25_more_like_this: per-term scores as
+        # fixed-point bigints so the per-doc sum is order-free; the
+        # (1.2 + 1) / (1 - 0.75 + ...) constant arithmetic folds to
+        # the identical doubles Python precomputes on the Spark side
+        "bm25_more_like_this": f"""
+WITH words AS (
+  SELECT doc_id, len({ws}) AS dl, unnest({ws}) AS word FROM documents
+),
+tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM words GROUP BY 1, 2, 3),
+dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+qid AS (SELECT min(doc_id) AS _qid FROM documents),
+qterms AS (SELECT DISTINCT word, _qid FROM words, qid WHERE doc_id = _qid),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS _n,
+                 (sum(len({ws})) / count(*)) AS _avgdl
+          FROM documents),
+dfq AS (SELECT word, df, _qid FROM dfr JOIN qterms USING (word)),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         sum(CAST(round(ln(1 + (_n - df + 0.5) / (df + 0.5))
+             * (tf * ({BM25_K1} + 1))
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / _avgdl))
+             * {BM25_SCALE}) AS BIGINT)) AS fp
+  FROM tf JOIN dfq USING (word) CROSS JOIN stats
+  WHERE doc_id <> _qid GROUP BY 1
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, n_terms,
+       round(CAST(fp AS DOUBLE) / {float(BM25_SCALE)!r}, 6) AS bm25
+FROM (SELECT *, row_number() OVER (ORDER BY fp DESC, doc_id) AS rnk
+      FROM scored) t
+WHERE rnk <= {BM25_TOPN}""",
         # mirrors textops.tfidf_topk: rank on the ROUNDED score so a
         # last-ulp ln() drift between libm and the JVM can't flip rows
         "tfidf_topk": f"""

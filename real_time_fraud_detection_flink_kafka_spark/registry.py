@@ -215,6 +215,13 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_encode": lambda s, d: similarity.pq_encode(load_table(s, d, "embeddings")),
     "ann_ivfpq": lambda s, d: similarity.ann_ivfpq(load_table(s, d, "embeddings")),
     "ann_pq_recall": lambda s, d: similarity.ann_pq_recall(load_table(s, d, "embeddings")),
+    "jl_project": lambda s, d: similarity.jl_project(load_table(s, d, "embeddings")),
+    "ann_jl": lambda s, d: similarity.ann_jl(load_table(s, d, "embeddings")),
+    "ann_jl_rerank": lambda s, d: similarity.ann_jl_rerank(load_table(s, d, "embeddings")),
+    "ann_jl_recall": lambda s, d: similarity.ann_jl_recall(load_table(s, d, "embeddings")),
+    "sq8_encode": lambda s, d: similarity.sq8_encode(load_table(s, d, "embeddings")),
+    "ann_sq8": lambda s, d: similarity.ann_sq8(load_table(s, d, "embeddings")),
+    "ann_sq8_recall": lambda s, d: similarity.ann_sq8_recall(load_table(s, d, "embeddings")),
     "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
     "quality_score": lambda s, d: textops.quality_score(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
@@ -222,6 +229,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": lambda s, d: textops.doc_fingerprint(load_table(s, d, "documents")),
     "pii_scrub": lambda s, d: textops.pii_scrub(load_table(s, d, "documents")),
     "tfidf_topk": lambda s, d: textops.tfidf_topk(load_table(s, d, "documents")),
+    "bm25_more_like_this": lambda s, d: textops.bm25_more_like_this(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
@@ -452,6 +460,19 @@ def _stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codebooks broadcast into a vector file stream, row-local argmin →
 # zero state, append mode; drained rows equal the batch encode
 register("stream_pq_encode", _stream_pq_encode, _LLM_ORACLES["pq_encode"])
+
+
+def _stream_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_sq8_encode_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_sq8_encode_stream(
+        spark, sf_dir, query_name=f"sq8_encode_stream_{_STREAM_COUNTER['n']}")
+
+
+register("stream_sq8_encode", _stream_sq8_encode, _LLM_ORACLES["sq8_encode"])
 
 
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

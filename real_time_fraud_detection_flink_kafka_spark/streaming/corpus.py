@@ -365,3 +365,37 @@ def run_pq_encode_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_sq8_encode_stream(spark, sf_dir: str,
+                          query_name: str = "sq8_encode_stream") -> DataFrame:
+    """STREAM-STATIC serving path for the SQ8 index — the
+    `run_pq_encode_stream` shape at the other compression rung:
+    per-dim [mn, mx] params learned on the BATCH corpus (one min/max
+    pass, a 1-row broadcast), vectors arriving as a file stream
+    encoded to their byte codes per micro-batch. Encode is row-local
+    (zip_with against the broadcast params), so the stream needs ZERO
+    state, append mode streams code rows straight through, and the
+    drained result equals the batch encode exactly (shared oracle)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        sq8_encode_rel,
+        sq_params,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    params = sq_params(load_table(spark, sf_dir, "embeddings"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir))
+    out = (sq8_encode_rel(stream, params)
+           .select("vec_id", F.posexplode("codes").alias("dim", "code")))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

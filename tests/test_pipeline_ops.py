@@ -365,3 +365,23 @@ def test_cms_estimate_is_one_sided_overestimate(spark, sf_dir):
     out = heavy_hitters_cms(load_table(spark, sf_dir, "documents")).toPandas()
     assert len(out) > 0
     assert (out.est_tf >= out.exact_tf).all()
+
+
+def test_bm25_plans_distributed_topn_and_sane_scores(spark, sf_dir):
+    """The global top-n must be TakeOrderedAndProject (per-partition
+    heaps + driver merge of topn rows), never a full sort exchange;
+    scores positive, ranks dense from 1, the query doc excluded."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        BM25_TOPN,
+        bm25_more_like_this,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = bm25_more_like_this(docs)
+    assert "TakeOrderedAndProject" in _plan(df, spark)
+    out = df.toPandas()
+    assert len(out) == BM25_TOPN
+    assert sorted(out["rnk"]) == list(range(1, BM25_TOPN + 1))
+    assert (out["bm25"] > 0).all()
+    qid = docs.agg({"doc_id": "min"}).collect()[0][0]
+    assert qid not in set(out["doc_id"])

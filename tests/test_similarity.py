@@ -207,3 +207,70 @@ def test_embedding_cosine_arrow_kernel_bit_equals_expression(spark, sf_dir):
             .set_index(["vec_a", "vec_b"]).sort_index())
     assert list(fast.index) == list(expr.index)
     assert (fast["cos_sim"] == expr["cos_sim"]).all()
+
+
+def test_sq8_reconstruction_error_bounded(spark, sf_dir):
+    """Every dequantized component must sit within HALF a quantization
+    step of the raw value — |x − x̂| ≤ (mx−mn)/(2·SQ_LEVELS) — the
+    property that makes SQ8 rank near-exactly, checked for EVERY
+    (vector, dimension) in one scan (arrays_zip keeps the check
+    row-local; the tiny float slack covers the decode expression's
+    rounding, not the bound itself)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        SQ_LEVELS,
+        _sq8_decoded,
+        sq_params,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    j = (raw.join(_sq8_decoded(emb).select("vec_id", "xh"), "vec_id")
+            .join(F.broadcast(sq_params(emb))))
+    viol = F.exists(
+        F.arrays_zip("v", "xh", "qp"),
+        lambda s: F.abs(s["v"] - s["xh"]) >
+            (s["qp"]["mx"] - s["qp"]["mn"]) / (2 * SQ_LEVELS) + F.lit(1e-12))
+    assert j.where(viol).count() == 0
+
+
+def test_sq8_ladder_recall_and_plan(spark, sf_dir):
+    """SQ8's index-ladder claim, measured: 8× compression should cost
+    ~nothing in recall@5 vs exact (1.0 at both test SFs when written;
+    bounds left slack for future corpus regeneration), and the scorer
+    plan must stay all-broadcast — the 1-row params and the bounded
+    query set ride BroadcastNestedLoopJoins; a SortMergeJoin or
+    CartesianProduct would mean the corpus scan started shuffling."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_sq8,
+        ann_sq8_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = ann_sq8_recall(emb).toPandas()
+    assert r["recall_sq8"].mean() >= 0.95
+    assert r["recall_sq8"].min() >= 0.8
+    plan = ann_sq8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jl_rerank_dominates_direct_and_plan(spark, sf_dir):
+    """Structural invariant: the re-rank stage consumes `ann_jl`'s own
+    ranking as its shortlist, so direct top-k ⊆ shortlist and re-rank
+    recall can NEVER be below direct recall — per query, not just on
+    average. Measured levels (0.12 direct / 0.78 re-ranked at 32 dims,
+    sf0.01) get slack bounds for corpus regeneration; the plan gate
+    pins the all-broadcast scorer (no shuffle join, no cartesian)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_jl,
+        ann_jl_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = ann_jl_recall(emb).toPandas()
+    assert (r["n_rerank"] >= r["n_jl"]).all()
+    assert r["recall_rerank"].mean() >= 0.5
+    plan = ann_jl(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
