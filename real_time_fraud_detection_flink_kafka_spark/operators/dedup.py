@@ -386,6 +386,94 @@ def min_label_components(pairs: DataFrame, col_a: str = "doc_a",
         f"min_label_components did not converge in {max_iters} rounds")
 
 
+def dedup_clusters_twostar(documents: DataFrame,
+                           threshold: float = JACCARD_THRESHOLD,
+                           max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
+    """`dedup_clusters` with the star-contraction engine swapped in
+    for label propagation — identical pairs, identical output
+    contract, identical oracle (components are engine-independent);
+    the per-round scale trade is documented on each engine."""
+    pairs = dedup_minhash_lsh_fast(documents, threshold)
+    labels = components_twostar(pairs, max_iters=max_iters)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("doc_id"),
+                    F.col("label").alias("canonical_id"), "cluster_size"))
+
+
+def components_twostar(pairs: DataFrame, col_a: str = "doc_a",
+                       col_b: str = "doc_b",
+                       max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-ROUND engine next to
+    `min_label_components`, whose round count is the component
+    DIAMETER. Near-dup clusters are shallow so label propagation wins
+    there; on a 100 TB entity/link graph one long path (diameter in
+    the thousands) stalls propagation cold, while star contraction
+    halves path lengths per round pair. Same output contract (id,
+    label = min reachable id), so the equivalence is pytest-pinned
+    against the propagation engine on identical pairs.
+
+    Each round is groupBy(min) + join — the same shuffle budget per
+    round as one propagation step, on an edge relation that only
+    SHRINKS (toward the star (child, root) fixpoint). Convergence is
+    the standard driver-side control loop: stop when the small-star
+    pass leaves the edge set unchanged (checked as a count of
+    departures, exceptAll on the bounded edge relation).
+
+    Each round's edge relation is localCheckpoint'ed, not just
+    persisted: one round references its predecessor ~16× (union+swap
+    × two join sides × two emit arms), so the LOGICAL plan grows
+    16^rounds without truncation and Catalyst canonicalization blows
+    the stack around round 4 even though the cached data is tiny —
+    persist truncates execution, never the analyzed tree. Truncating
+    lineage per round is exactly what GraphX/production CC jobs do
+    (reliable checkpoints there; local here). min_label_components
+    gets away with persist because near-dup graphs converge in ≤3
+    rounds; this engine exists for DEEP graphs, so it must survive
+    round counts in the tens."""
+    e = pairs.select(F.col(col_a).cast("bigint").alias("u"),
+                     F.col(col_b).cast("bigint").alias("v"))
+    nodes = (e.select(F.col("u").alias("id"))
+              .unionAll(e.select(F.col("v").alias("id"))).distinct()
+              .localCheckpoint(eager=True))
+    edges = (e.where(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        # large-star: every neighbor v > u hangs off m = min(Γ(u) ∪ {u})
+        adj = (edges.unionAll(edges.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v"))))
+        mins = (adj.groupBy("u")
+                   .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        large = (adj.join(mins, "u")
+                    .where(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .where(F.col("u") != F.col("v")).distinct())
+        # small-star: orient (big=u, small=v); u and every smaller
+        # neighbor hang off m = min of the smaller neighbors
+        oriented = large.select(F.greatest("u", "v").alias("u"),
+                                F.least("u", "v").alias("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (oriented.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionAll(oriented.join(smins, "u")
+                           .select("u", F.col("m").alias("v")))
+                 .where(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint(eager=True))
+        changed = (small.exceptAll(edges).limit(1).count()
+                   + edges.exceptAll(small).limit(1).count())
+        edges = small
+        if changed == 0:
+            labels = nodes.join(
+                edges.select(F.col("u").alias("id"),
+                             F.col("v").alias("root")), "id", "left")
+            return labels.select(
+                "id", F.coalesce("root", F.col("id")).alias("label"))
+    raise RuntimeError(
+        f"components_twostar did not converge in {max_iters} rounds")
+
+
 def dedup_clusters(documents: DataFrame,
                    threshold: float = JACCARD_THRESHOLD,
                    max_iters: int = CLUSTER_MAX_ITERS) -> DataFrame:

@@ -258,6 +258,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": lambda s, d: pipeline_ops.boilerplate_ngrams(load_table(s, d, "documents")),
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
+    "dedup_clusters_twostar": lambda s, d: dedup.dedup_clusters_twostar(load_table(s, d, "documents")),
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),
     "dedup_incremental": lambda s, d: dedup.dedup_incremental(load_table(s, d, "documents")),
     "bpe_apply": lambda s, d: pipeline_ops.bpe_apply(load_table(s, d, "documents")),
@@ -270,6 +271,7 @@ _LLM_ORACLES["ann_lsh_fast"] = _LLM_ORACLES["ann_lsh"]
 # dim-sequential Arrow kernel (r7): same float64 op sequence as the
 # expression fold, so the exact path's oracle applies bit-for-bit
 _LLM_ORACLES["ann_topk_fast"] = _LLM_ORACLES["ann_topk"]
+_LLM_ORACLES["dedup_clusters_twostar"] = _LLM_ORACLES["dedup_clusters"]
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))
 

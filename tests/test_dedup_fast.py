@@ -127,3 +127,58 @@ def test_dedup_incremental_statuses(spark):
     assert (out[40]["n_exact"], out[40]["n_near"]) == (1, 0)
     assert out[50]["status"] == "new"
     assert set(out) == {10, 20, 30, 40, 50}
+
+
+def test_components_twostar_deep_path_and_cycles(spark):
+    """Star contraction must label a DEEP path (diameter 29) within its
+    log-round budget — the graph shape label propagation CANNOT take
+    (its logical plan references the prior round's labels twice, so
+    the analyzer tree doubles per round: ~2^30 nodes at diameter 29,
+    driver OOM before any data moves; that asymmetry is this engine's
+    reason to exist). Expected labels are hand-computed; cycle and
+    2-clique stay separate components."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        components_twostar)
+
+    path = [(i, i + 1) for i in range(29)]                # 0-1-...-29
+    cycle = [(100, 101), (101, 102), (102, 100)]
+    pair = [(200, 201)]
+    pairs = spark.createDataFrame(path + cycle + pair,
+                                  "doc_a long, doc_b long")
+    two = {r["id"]: r["label"]
+           for r in components_twostar(pairs, max_iters=20).collect()}
+    assert all(two[i] == 0 for i in range(30))
+    assert all(two[i] == 100 for i in (100, 101, 102))
+    assert two[200] == 200 and two[201] == 200
+    assert len(two) == 35
+
+
+def test_components_twostar_agrees_with_propagation(spark):
+    """On a SHALLOW graph (where propagation is the right engine) the
+    two engines must emit identical (id, label) sets."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        components_twostar, min_label_components)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # triangle
+         (10, 11), (11, 12), (10, 13),    # star + chain
+         (20, 21),                        # pair
+         (30, 30)],                       # self-loop only -> singleton
+        "doc_a long, doc_b long")
+    two = {r["id"]: r["label"] for r in components_twostar(pairs).collect()}
+    prop = {r["id"]: r["label"]
+            for r in min_label_components(pairs).collect()}
+    assert two == prop
+    assert two == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30}
+
+
+def test_dedup_clusters_twostar_equals_propagation(spark, sf_dir):
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_clusters, dedup_clusters_twostar)
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    slow = _norm(dedup_clusters(docs).toPandas())
+    fast = _norm(dedup_clusters_twostar(docs).toPandas())
+    pd.testing.assert_frame_equal(slow, fast)
