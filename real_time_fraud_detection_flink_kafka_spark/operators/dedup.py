@@ -625,6 +625,62 @@ def dedup_winnow(documents: DataFrame, k: int = WINNOW_K,
              .where(F.col("n_shared") >= min_shared))
 
 
+# --- exact-substring span dedup -----------------------------------------------
+
+SUBSTR_K = 8  # minimum duplicated span, in tokens
+
+
+def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Maximal duplicated token spans of ≥ `k` tokens — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed for Spark:
+    instead of the paper's corpus-wide suffix array (a global sort of
+    every suffix — the one primitive that does NOT distribute well),
+    hash every POSITIONAL k-token shingle and mark positions whose
+    hash occurs ≥ 2 times corpus-wide; a run of r consecutive
+    duplicated positions in a doc is exactly a maximal duplicated
+    span of r + k - 1 tokens, recovered islands-and-gaps style
+    (p − row_number() run key). Emits (doc_id, span_start, span_len)
+    in 1-based token coordinates — the cut list a pipeline feeds to a
+    span-removal pass. Occurrence counting is total (a span repeated
+    twice inside ONE doc is still training-data duplication, per the
+    paper), not distinct-doc.
+
+    Scale shape: rows = corpus token count (linear — never the suffix
+    array's O(n log n) global sort); exactly two exchanges — one by
+    shingle hash (the window count; partial-agg-free but 16-byte
+    keys), one by doc_id for the islands window, which at real scale
+    is the narrow already-duplicated remnant. Shingling itself is
+    row-local let-bound HOF expression, same discipline as
+    `dedup_winnow`. Docs shorter than k tokens have no position and
+    drop out (mirrored in the oracle)."""
+    from pyspark.sql import Window
+
+    def pos_hashes(wsv):
+        return F.when(
+            F.size(wsv) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wsv) - k + 1),
+                lambda p: H.md5_int60(F.concat_ws(" ", F.slice(wsv, p, k)))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    ws = _words(F.col("text"))
+    pos = (spread(documents)
+           .select("doc_id", F.posexplode_outer(_let(ws, pos_hashes))
+                   .alias("p0", "h"))
+           .where(F.col("h").isNotNull())
+           .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "h"))
+    dup = (pos.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
+              .where(F.col("cnt") >= 2))
+    run = F.col("p") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("p"))
+    return (dup.select("doc_id", "p", run.alias("run"))
+               .groupBy("doc_id", "run")
+               .agg(F.min("p").alias("span_start"),
+                    (F.count(F.lit(1)) + k - 1).alias("span_len"))
+               .select("doc_id", "span_start", "span_len"))
+
+
 DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 → the incoming increment
 
 

@@ -17,6 +17,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     SHINGLE_N,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    SUBSTR_K,
     WINNOW_K,
     WINNOW_MIN_SHARED,
     WINNOW_W,
@@ -161,6 +162,35 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         # transitive closure over the same verified pairs, min
         # reachable id per node — mirrors dedup_clusters' label
         # propagation fixpoint
+        # exact-substring spans (Lee et al. 2022) — positional
+        # k-shingle hashes, count >= 2 marks duplicated positions,
+        # p - row_number() islands recover maximal spans; mirrors
+        # dedup.dedup_substring exactly (same md5 hashes, same runs)
+        "dedup_substring": f"""
+WITH w0 AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), ph AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - {SUBSTR_K} + 1),
+            p -> {md5_int60_sql(
+                f"array_to_string(array_slice(ws, p, p + {SUBSTR_K} - 1), ' ')")})
+           AS hs
+  FROM w0 WHERE len(ws) >= {SUBSTR_K}
+), e AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p, hs[u.p] AS h
+  FROM ph, unnest(generate_series(1, len(hs))) u(p)
+), dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM e
+  ) WHERE cnt >= 2
+), isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+  FROM dup
+)
+SELECT doc_id, min(p) AS span_start,
+       count(*) + {SUBSTR_K} - 1 AS span_len
+FROM isl GROUP BY doc_id, run""",
         # winnowing fingerprints (Schleimer et al.) — k-gram hashes,
         # per-window minima, pairs on shared selected hashes; mirrors
         # dedup.dedup_winnow exactly (same guards, same md5 hashing)

@@ -182,3 +182,25 @@ def test_dedup_clusters_twostar_equals_propagation(spark, sf_dir):
     slow = _norm(dedup_clusters(docs).toPandas())
     fast = _norm(dedup_clusters_twostar(docs).toPandas())
     pd.testing.assert_frame_equal(slow, fast)
+
+
+def test_dedup_substring_spans(spark):
+    """Exact-substring spans: a 12-token run shared by two docs yields
+    one maximal span per doc at its own offset (run + k - 1 length
+    arithmetic); a WITHIN-doc 8-token repeat is still duplication
+    (total-occurrence counting, per Lee et al.); docs shorter than k
+    or overlapping by < k tokens emit nothing."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import dedup_substring
+
+    w = [f"w{i}" for i in range(40)]
+    shared = w[5:17]                       # 12 tokens
+    rep = w[20:28]                         # 8 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(w[0:5] + shared + w[17:20])),   # shared at tok 6..17
+         (2, " ".join(["x1", "x2"] + shared + ["x3"])),  # shared at 3..14
+         (3, " ".join(rep + ["y1", "y2"] + rep)),     # self-repeat at 1, 11
+         (4, " ".join(w[30:35]))],                    # 5 tokens: too short
+        "doc_id long, text string")
+    out = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                 for r in dedup_substring(docs).collect())
+    assert out == [(1, 6, 12), (2, 3, 12), (3, 1, 8), (3, 11, 8)]
