@@ -32,26 +32,13 @@ from pyspark.sql import functions as F
 
 ZO_BITS = 8          # bits per dimension -> 16-bit z-values
 ZO_FILE_SHIFT = 10   # keep the top 6 z-bits -> up to 64 cells ("files")
-LIN_SHIFT = ZO_BITS - (16 - ZO_FILE_SHIFT) // 2  # same cell count for 1-D layouts
+# 1-D layouts keep the top 6 bits of their single dimension, so ALL
+# THREE layouts have the same 64-cell ("file") granularity and the
+# prune audit compares layout QUALITY, never file-count advantage
+LIN_SHIFT = ZO_BITS - (16 - ZO_FILE_SHIFT)
 # prune-audit query box, as integer percent of each dimension's range:
 # selective in BOTH dims (the case 1-D layouts half-lose)
 ZO_BOX_PCT = (25, 50, 25, 50)  # user lo, user hi, ts lo, ts hi
-
-
-def _scaled(col: Column, mn: Column, mx: Column, bits: int = ZO_BITS) -> Column:
-    """Min-max scale to [0, 2^bits - 1] with bigint floor division
-    (portable: Spark `div` == DuckDB `//` on non-negative operands).
-    Degenerate ranges (min == max) collapse to cell 0."""
-    top = F.lit((1 << bits) - 1)
-    rng = F.greatest(mx - mn, F.lit(1))
-    return ((col - mn) * top).cast("bigint").alias("_num").__div__  # placeholder
-
-
-def _scale_expr(col: Column, mn: Column, mx: Column, bits: int = ZO_BITS) -> Column:
-    top = (1 << bits) - 1
-    rng = F.greatest((mx - mn).cast("bigint"), F.lit(1).cast("bigint"))
-    num = ((col.cast("bigint") - mn.cast("bigint")) * F.lit(top).cast("bigint"))
-    return F.expr("0").cast("bigint") + num.__class__ and num  # never reached
 
 
 def _scale(col: Column, mn: Column, mx: Column, bits: int = ZO_BITS) -> Column:
@@ -129,7 +116,6 @@ def zorder_prune_compare(events: DataFrame,
     plo, phi, qlo, qhi = box_pct
     e = _with_cells(events)
     ts_us = F.unix_micros(F.col("ts"))
-    ulo = F.col("umin") + ((F.col("umax") - F.col("umin")) * plo).cast("bigint") / 100
     cells = e.select(
         "user_id", ts_us.alias("ts_us"),
         F.col("umin"), F.col("umax"), F.col("tmin"), F.col("tmax"),

@@ -583,6 +583,21 @@ register("user_activity_twins",
          lambda s, d: cep.user_activity_twins(load_table(s, d, "events")),
          _CEP_ORACLES["user_activity_twins"])
 
+# --- data-layout operators ---------------------------------------------------
+# z-order (Morton) clustering + the zone-map prune audit it buys; all
+# integer arithmetic, so the DuckDB oracles replay values exactly
+
+from real_time_fraud_detection_flink_kafka_spark.operators import layout as layout_ops
+
+_LAYOUT_ORACLES = layout_ops.layout_oracles()
+
+register("zorder_layout",
+         lambda s, d: layout_ops.zorder_layout(load_table(s, d, "events")),
+         _LAYOUT_ORACLES["zorder_layout"])
+register("zorder_prune_compare",
+         lambda s, d: layout_ops.zorder_prune_compare(load_table(s, d, "events")),
+         _LAYOUT_ORACLES["zorder_prune_compare"])
+
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 
 register("asof_event_order",

@@ -1,0 +1,56 @@
+"""Z-order layout: registration, equal file granularity, and the
+dominance claim the docstring makes — a box predicate selective in
+BOTH dimensions scans fewer rows under the z-ordered layout than
+under either single-column linear layout (oracle-parity vs DuckDB is
+covered separately by test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from real_time_fraud_detection_flink_kafka_spark.operators import layout
+from real_time_fraud_detection_flink_kafka_spark.registry import ORACLES, QUERIES
+from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+
+def test_layout_registered_with_oracles():
+    for name in ("zorder_layout", "zorder_prune_compare"):
+        assert name in QUERIES and name in ORACLES
+
+
+def test_equal_cell_granularity():
+    """All three layouts get the same cell budget (64 "files") so the
+    prune comparison measures layout quality, not file-count
+    advantage (ADVICE r7: LIN_SHIFT must give 1-D layouts the same
+    2^6 cells the z-order layout gets)."""
+    z_cells = 1 << (2 * layout.ZO_BITS - layout.ZO_FILE_SHIFT)
+    lin_cells = 1 << (layout.ZO_BITS - layout.LIN_SHIFT)
+    assert z_cells == lin_cells == 64
+
+
+def test_zorder_zone_maps_cover_corpus(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    zones = layout.zorder_layout(events).toPandas()
+    assert zones["n_rows"].sum() == n
+    assert (zones["cell"] >= 0).all()
+    assert (zones["cell"] < 64).all()
+    # z-cells are rectangles: every cell's user range must be a
+    # proper sub-range (no cell spans the full user extent unless
+    # there is only one populated user stripe)
+    assert len(zones) > 1
+
+
+def test_zorder_prune_dominates_linear_layouts(spark, sf_dir):
+    """The measured claim: for the default box (25-50% of BOTH dims)
+    z-order forces a reader to scan fewer rows than either 1-D
+    layout, at identical cell granularity."""
+    events = load_table(spark, sf_dir, "events")
+    rows = {r["layout"]: r.asDict()
+            for r in layout.zorder_prune_compare(events).collect()}
+    assert set(rows) == {"zorder", "user_linear", "ts_linear"}
+    z = rows["zorder"]["rows_scanned"]
+    assert z < rows["user_linear"]["rows_scanned"]
+    assert z < rows["ts_linear"]["rows_scanned"]
+    # and it is not pruning by file-count advantage: cell budgets match
+    assert rows["zorder"]["n_cells"] <= 64
+    assert rows["user_linear"]["n_cells"] <= 64
+    assert rows["ts_linear"]["n_cells"] <= 64
