@@ -647,13 +647,23 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     paper), not distinct-doc.
 
     Scale shape: rows = corpus token count (linear — never the suffix
-    array's O(n log n) global sort); exactly two exchanges — one by
-    shingle hash (the window count; partial-agg-free but 16-byte
-    keys), one by doc_id for the islands window, which at real scale
-    is the narrow already-duplicated remnant. Shingling itself is
-    row-local let-bound HOF expression, same discipline as
-    `dedup_winnow`. Docs shorter than k tokens have no position and
-    drop out (mirrored in the oracle)."""
+    array's O(n log n) global sort). The corpus-wide occurrence count
+    is a groupBy(h).count() ≥ 2 collapsed to its distinct hashes and
+    semi-joined back — NOT count().over(Window.partitionBy(h)):
+    the window form ships every position row to its hash's partition
+    with no map-side combine, and ONE mega-boilerplate shingle (a
+    header repeated across millions of docs) hot-keys a single task
+    that AQE cannot split (window exchanges aren't skew-splittable;
+    skew-join splitting on the semi-join IS). The groupBy arrives
+    pre-combined — per input partition each hash contributes one
+    partial row, so the hot hash costs one long-tail reduce of
+    |partitions| rows instead of |occurrences| rows. Exchanges: the
+    combinable groupBy + the (AQE-splittable) semi-join by h, then
+    one by doc_id for the islands window — at real scale the narrow
+    already-duplicated remnant. Shingling itself is row-local
+    let-bound HOF expression, same discipline as `dedup_winnow`.
+    Docs shorter than k tokens have no position and drop out
+    (mirrored in the oracle)."""
     from pyspark.sql import Window
 
     def pos_hashes(wsv):
@@ -665,13 +675,15 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         ).otherwise(F.array().cast("array<bigint>"))
 
     ws = _words(F.col("text"))
-    pos = (spread(documents)
-           .select("doc_id", F.posexplode_outer(_let(ws, pos_hashes))
-                   .alias("p0", "h"))
-           .where(F.col("h").isNotNull())
-           .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "h"))
-    dup = (pos.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("h")))
-              .where(F.col("cnt") >= 2))
+    pos = tracked_persist(
+        spread(documents)
+        .select("doc_id", F.posexplode_outer(_let(ws, pos_hashes))
+                .alias("p0", "h"))
+        .where(F.col("h").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "h"))
+    dup_h = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+                .where(F.col("cnt") >= 2))
+    dup = pos.join(dup_h.select("h"), "h", "left_semi")
     run = F.col("p") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("p"))
     return (dup.select("doc_id", "p", run.alias("run"))

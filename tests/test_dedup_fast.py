@@ -204,3 +204,27 @@ def test_dedup_substring_spans(spark):
     out = sorted((r["doc_id"], r["span_start"], r["span_len"])
                  for r in dedup_substring(docs).collect())
     assert out == [(1, 6, 12), (2, 3, 12), (3, 1, 8), (3, 11, 8)]
+
+
+def test_dedup_substring_hot_hash_skew(spark):
+    """Skew fixture for the occurrence-count stage: ONE boilerplate
+    shingle shared by every doc (the mega-hot hash a window-based
+    count would funnel into a single partition). Correctness must
+    hold, and the plan must count hashes with a COMBINABLE groupBy
+    (partial_count visible) rather than count().over(partitionBy(h))
+    — exactly one Window (the per-doc islands row_number) survives."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import dedup_substring
+
+    boiler = [f"b{i}" for i in range(8)]          # one hot 8-shingle
+    docs = spark.createDataFrame(
+        [(i, " ".join(boiler + [f"u{i}_{j}" for j in range(6)]))
+         for i in range(200)],
+        "doc_id long, text string")
+    out = dedup_substring(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, "hash count lost its map-side combine"
+    assert plan.count("Window") == 1, plan
+    rows = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                  for r in out.collect())
+    # every doc: exactly the boilerplate span, position 1, length 8
+    assert rows == [(i, 1, 8) for i in range(200)]
