@@ -693,6 +693,54 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
                .select("doc_id", "span_start", "span_len"))
 
 
+def apply_span_removal(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Span REMOVAL — the second half of the Lee et al. 2022
+    exact-substring pipeline: consume `dedup_substring`'s cut list,
+    drop every token covered by ≥ 1 duplicated span, and re-emit the
+    cleaned text plus before/after token counts (the cut arithmetic a
+    training-data pipeline reports next to the cut itself). One row
+    per input document: docs with no spans pass through whole; a doc
+    that is ENTIRELY duplicated spans comes out with
+    n_tokens_after = 0 and empty text_clean (the funnel drops it).
+
+    Adjacent spans can overlap in TOKEN space even though their
+    position runs are disjoint (a run gap shorter than k - 1 still
+    extends into the next span's tokens); coverage is judged per
+    token against ALL of the doc's spans, so overlap needs no special
+    casing.
+
+    Scale shape: the cut list aggregates to one narrow array row per
+    AFFECTED doc (the already-duplicated remnant), joins back keyed
+    by doc_id, and the cut itself is a row-local filter over the
+    let-bound token array — the corpus body shuffles once (the
+    doc_id join) and never explodes per token."""
+    spans = (dedup_substring(documents, k)
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("span_start", "span_len"))
+                   .alias("spans")))
+    ws = _words(F.col("text"))
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:bigint,span_len:bigint>>"))
+
+    def out_of(wsv):
+        kept = F.filter(
+            wsv,
+            lambda t, i: ~F.exists(
+                sp, lambda s: (s["span_start"] <= i + 1)
+                & (i + 1 < s["span_start"] + s["span_len"])))
+        return _let(kept, lambda kp: F.struct(
+            F.size(wsv).cast("bigint").alias("n_tokens_before"),
+            F.size(kp).cast("bigint").alias("n_tokens_after"),
+            F.array_join(kp, " ").alias("text_clean")))
+
+    return (spread(documents)
+            .join(spans, "doc_id", "left")
+            .select("doc_id", _let(ws, out_of).alias("_r"))
+            .select("doc_id", "_r.n_tokens_before", "_r.n_tokens_after",
+                    "_r.text_clean"))
+
+
 DELTA_MOD = 10  # doc_id % DELTA_MOD == 0 → the incoming increment
 
 

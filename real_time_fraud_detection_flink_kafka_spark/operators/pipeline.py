@@ -583,13 +583,23 @@ def corpus_filter_funnel(documents: DataFrame,
     token counts after every filter stage — the observability piece a
     production pipeline ships next to the pipeline itself (how much
     did dedup / decontamination / sampling / the quality gate each
-    cost?). Six tiny aggregates over the shared stage chain, with
-    EVERY stage persisted (`persist_all_stages=True`): each count
-    branch reads its stage from cache, so the expensive interior
+    cost?). Seven tiny aggregates over the shared stage chain, with
+    EVERY interior stage persisted (`persist_all_stages=True`): each
+    count branch reads its stage from cache, so the expensive interior
     stages (decontaminate's shingle job above all) run exactly once
     instead of once per downstream branch — the cache-audit test pins
-    the top-level plan to zero direct parquet scans. Each stage count
-    is one map-side partial aggregation."""
+    the top-level plan to exactly two direct parquet scans. Each stage
+    count is one map-side partial aggregation.
+
+    Stage 06 is the Lee et al. exact-substring CUT applied to the
+    quality survivors: `apply_span_removal(d5)` — n_tokens is the
+    post-cut token total and docs left with zero tokens (entirely
+    duplicated) drop out, so 05 → 06 attrition is the span-dedup cost
+    the paper reports."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        apply_span_removal,
+    )
+
     d1, d2, d3, d4, d5 = _intake_stages(documents, jaccard_threshold,
                                         min_quality,
                                         persist_all_stages=True)
@@ -603,6 +613,11 @@ def corpus_filter_funnel(documents: DataFrame,
           .select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
         for name, df in stages
     ]
+    d6 = apply_span_removal(d5).where(F.col("n_tokens_after") > 0)
+    outs.append(
+        d6.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.sum("n_tokens_after").alias("n_tokens"))
+          .select(F.lit("06_span_dedup").alias("stage"), "n_docs", "n_tokens"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)

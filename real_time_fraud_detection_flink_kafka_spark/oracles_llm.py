@@ -115,6 +115,41 @@ LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id"""
 
 
+def _substring_ctes(src: str = "documents", k: int | None = None) -> str:
+    """CTE chain for the Lee et al. exact-substring pipeline over the
+    relation `src` (prefixed sub_* so it composes into other chains,
+    e.g. the intake funnel's stage-6 cut over d5): positional
+    k-shingle md5 hashes → corpus-wide count ≥ 2 → islands → maximal
+    spans in sub_spans. Mirrors dedup.dedup_substring exactly."""
+    if k is None:
+        k = SUBSTR_K
+    return f"""sub_w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM {src}
+), sub_ph AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - {k} + 1),
+            p -> {md5_int60_sql(
+                f"array_to_string(array_slice(ws, p, p + {k} - 1), ' ')")})
+           AS hs
+  FROM sub_w WHERE len(ws) >= {k}
+), sub_e AS (
+  SELECT doc_id, CAST(u.p AS BIGINT) AS p, hs[u.p] AS h
+  FROM sub_ph, unnest(generate_series(1, len(hs))) u(p)
+), sub_dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM sub_e
+  ) WHERE cnt >= 2
+), sub_isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
+  FROM sub_dup
+), sub_spans AS (
+  SELECT doc_id, min(p) AS span_start,
+         count(*) + {k} - 1 AS span_len
+  FROM sub_isl GROUP BY doc_id, run
+)"""
+
+
 def llm_oracles() -> dict[str, str]:
     return {
         "dedup_incremental": _INCREMENTAL_SQL,
@@ -167,30 +202,30 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         # p - row_number() islands recover maximal spans; mirrors
         # dedup.dedup_substring exactly (same md5 hashes, same runs)
         "dedup_substring": f"""
-WITH w0 AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
-), ph AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, len(ws) - {SUBSTR_K} + 1),
-            p -> {md5_int60_sql(
-                f"array_to_string(array_slice(ws, p, p + {SUBSTR_K} - 1), ' ')")})
-           AS hs
-  FROM w0 WHERE len(ws) >= {SUBSTR_K}
-), e AS (
-  SELECT doc_id, CAST(u.p AS BIGINT) AS p, hs[u.p] AS h
-  FROM ph, unnest(generate_series(1, len(hs))) u(p)
-), dup AS (
-  SELECT doc_id, p FROM (
-    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM e
-  ) WHERE cnt >= 2
-), isl AS (
-  SELECT doc_id, p,
-         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run
-  FROM dup
+WITH {_substring_ctes()}
+SELECT doc_id, span_start, span_len FROM sub_spans""",
+        # span REMOVAL (the second half of the Lee et al. pipeline):
+        # replays the cut arithmetic — every token covered by >= 1
+        # span is dropped, counts + cleaned text re-emitted
+        "apply_span_removal": f"""
+WITH {_substring_ctes()},
+sub_toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, ws[u.i] AS tok
+  FROM sub_w, unnest(generate_series(1, len(ws))) u(i)
+),
+sub_kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM sub_toks t
+  WHERE NOT EXISTS (SELECT 1 FROM sub_spans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.i >= s.span_start
+                      AND t.i < s.span_start + s.span_len)
 )
-SELECT doc_id, min(p) AS span_start,
-       count(*) + {SUBSTR_K} - 1 AS span_len
-FROM isl GROUP BY doc_id, run""",
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens_before,
+       CAST(count(k.i) AS BIGINT) AS n_tokens_after,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text_clean
+FROM sub_w w LEFT JOIN sub_kept k ON k.doc_id = w.doc_id
+GROUP BY 1, len(w.ws)""",
         # winnowing fingerprints (Schleimer et al.) — k-gram hashes,
         # per-window minima, pairs on shared selected hashes; mirrors
         # dedup.dedup_winnow exactly (same guards, same md5 hashing)
@@ -1751,7 +1786,10 @@ SELECT doc_id, shard, pack_id, n_tokens FROM rec"""
 
 def corpus_filter_funnel_oracle(min_quality: float) -> str:
     """Per-stage attrition mirror: doc and token counts after every
-    intake stage (same shared CTE chain as corpus_to_packs)."""
+    intake stage (same shared CTE chain as corpus_to_packs), plus the
+    stage-6 exact-substring cut over the quality survivors (the
+    sub_* chain replayed on d5; kept tokens = len(ws) − covered
+    positions, zero-token docs drop)."""
     nt = f"sum(len({WS}))"
     stages = [("00_raw", "documents"), ("01_exact_dedup", "d1"),
               ("02_near_dup", "d2"), ("03_decontaminated", "d3"),
@@ -1760,8 +1798,27 @@ def corpus_filter_funnel_oracle(min_quality: float) -> str:
         f"SELECT '{name}' AS stage, count(*) AS n_docs, {nt} AS n_tokens FROM {rel}"
         for name, rel in stages)
     return f"""
-WITH {_intake_ctes(min_quality)}
-{selects}"""
+WITH {_intake_ctes(min_quality)},
+{_substring_ctes("d5")},
+sub_toks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i
+  FROM sub_w, unnest(generate_series(1, len(ws))) u(i)
+),
+span_after AS (
+  SELECT w.doc_id, len(w.ws) - count(c.i) AS n_after
+  FROM sub_w w
+  LEFT JOIN (
+    SELECT DISTINCT t.doc_id, t.i
+    FROM sub_toks t JOIN sub_spans s
+      ON s.doc_id = t.doc_id
+     AND t.i >= s.span_start AND t.i < s.span_start + s.span_len
+  ) c ON c.doc_id = w.doc_id
+  GROUP BY w.doc_id, len(w.ws)
+)
+{selects}
+UNION ALL SELECT '06_span_dedup' AS stage, count(*) AS n_docs,
+          coalesce(sum(n_after), 0) AS n_tokens
+FROM span_after WHERE n_after > 0"""
 
 
 def _multimodal_oracles() -> dict[str, str]:

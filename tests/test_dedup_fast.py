@@ -228,3 +228,68 @@ def test_dedup_substring_hot_hash_skew(spark):
                   for r in out.collect())
     # every doc: exactly the boilerplate span, position 1, length 8
     assert rows == [(i, 1, 8) for i in range(200)]
+
+
+def test_apply_span_removal_cut_arithmetic(spark):
+    """Span removal replays dedup_substring's cut list: shared spans
+    are cut at each doc's own offset, a self-repeat is cut at both
+    sites, short docs pass through whole, and a doc that is ENTIRELY
+    one duplicated span is emptied (n_tokens_after = 0)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        apply_span_removal,
+    )
+
+    w = [f"w{i}" for i in range(40)]
+    shared = w[5:17]                       # 12 tokens
+    rep = w[20:28]                         # 8 tokens
+    whole = [f"z{i}" for i in range(8)]    # exactly k tokens, duplicated
+    docs = spark.createDataFrame(
+        [(1, " ".join(w[0:5] + shared + w[17:20])),
+         (2, " ".join(["x1", "x2"] + shared + ["x3"])),
+         (3, " ".join(rep + ["y1", "y2"] + rep)),
+         (4, " ".join(w[30:35])),
+         (5, " ".join(whole)),
+         (6, " ".join(whole))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in apply_span_removal(docs).collect()}
+    assert len(got) == 6
+    assert (got[1]["n_tokens_before"], got[1]["n_tokens_after"]) == (20, 8)
+    assert got[1]["text_clean"] == " ".join(w[0:5] + w[17:20])
+    assert (got[2]["n_tokens_before"], got[2]["n_tokens_after"]) == (15, 3)
+    assert got[2]["text_clean"] == "x1 x2 x3"
+    assert (got[3]["n_tokens_before"], got[3]["n_tokens_after"]) == (18, 2)
+    assert got[3]["text_clean"] == "y1 y2"
+    assert (got[4]["n_tokens_before"], got[4]["n_tokens_after"]) == (5, 5)
+    assert got[4]["text_clean"] == " ".join(w[30:35])
+    for d in (5, 6):
+        assert (got[d]["n_tokens_before"], got[d]["n_tokens_after"]) == (8, 0)
+        assert got[d]["text_clean"] == ""
+
+
+def test_apply_span_removal_overlapping_token_spans(spark):
+    """Two position runs separated by one non-duplicated position have
+    OVERLAPPING token extents (gap < k - 1): per-token coverage must
+    cut the union, not double-count or miss the overlap."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        SUBSTR_K,
+        apply_span_removal,
+        dedup_substring,
+    )
+
+    a = [f"a{i}" for i in range(SUBSTR_K)]      # 8-token run A
+    b = [f"b{i}" for i in range(SUBSTR_K)]      # 8-token run B
+    # doc 1: A ++ B back to back → positions 1 and 9 duplicated, the
+    # gap positions 2..8 are unique to doc 1 (A⧺B junction shingles)
+    docs = spark.createDataFrame(
+        [(1, " ".join(a + b)),
+         (2, " ".join(a + ["q1", "q2"])),
+         (3, " ".join(["r1", "r2"] + b))],
+        "doc_id long, text string")
+    spans = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                   for r in dedup_substring(docs).collect())
+    assert spans == [(1, 1, 8), (1, 9, 8), (2, 1, 8), (3, 3, 8)]
+    got = {r["doc_id"]: r.asDict() for r in apply_span_removal(docs).collect()}
+    # doc 1: spans [1..8] and [9..16] tile the doc exactly → emptied
+    assert (got[1]["n_tokens_before"], got[1]["n_tokens_after"]) == (16, 0)
+    assert got[2]["text_clean"] == "q1 q2"
+    assert got[3]["text_clean"] == "r1 r2"
