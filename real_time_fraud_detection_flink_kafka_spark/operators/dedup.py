@@ -359,7 +359,18 @@ def min_label_components(pairs: DataFrame, col_a: str = "doc_a",
     rounds = component diameter; the driver-side per-round count is
     the standard convergence control loop (GraphX/Pregel do the
     same). Raises rather than return wrong labels if `max_iters` is
-    hit un-converged."""
+    hit un-converged.
+
+    SHALLOW GRAPHS ONLY (the dedup regime: observed diameters ≤ 3).
+    Each round's persist truncates execution but not the analyzed
+    logical plan, so the tree grows per round — the r8 bench
+    (bench.py `_bench_components_engines`, 64-chain path graphs)
+    measured: depth 4 this engine wins (2.9 s vs two-star's 3.2 s —
+    cheap rounds beat fewer-but-heavier ones while the diameter is
+    small), depth 16 it OOMs an 8 GiB driver outright while
+    `components_twostar` stays flat through depth 64 (5.6 s / 8.3 s).
+    Measured crossover: depth 16. Deep or unknown-diameter graphs:
+    use `components_twostar` (same output contract)."""
     edges = tracked_persist(pairs.select(col_a, col_b))
     adj = (edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
            .unionAll(edges.select(F.col(col_b).alias("src"),

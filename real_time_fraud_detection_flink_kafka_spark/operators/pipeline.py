@@ -864,3 +864,106 @@ def feature_hash_docs(documents: DataFrame, d: int = FEAT_D) -> DataFrame:
                .groupBy("doc_id", "feature")
                .agg(F.sum("s").cast("bigint").alias("weight"))
                .where(F.col("weight") != 0))
+
+
+# --- DSIR: importance resampling toward a target distribution ------------------
+
+DSIR_BUCKETS = 4096          # hashed-bigram feature space
+DSIR_TARGET_QUALITY = 0.64   # target carve: top-quality slice of the corpus
+
+
+def dsir_feature_counts(documents: DataFrame,
+                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, f, c) — hashed-BIGRAM feature counts, the DSIR
+    feature map (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): bigram → md5 bucket in [0, n_buckets).
+    Row-local bigram zip (`doc_bigrams`) + one combinable groupBy —
+    the fixed-width relation every DSIR stage shuffles instead of
+    document bodies."""
+    f = F.pmod(md5_int60(F.concat_ws(" ", "a", "b")), F.lit(n_buckets))
+    return (doc_bigrams(documents)
+            .select("doc_id", f.alias("f"))
+            .groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_weights(documents: DataFrame,
+                 n_buckets: int = DSIR_BUCKETS,
+                 target_quality: float = DSIR_TARGET_QUALITY) -> DataFrame:
+    """DSIR importance weights: how much more likely is each document
+    under the TARGET feature distribution than under the RAW corpus
+    distribution? Target here is the corpus's own high-quality slice
+    (quality ≥ `target_quality`, the `quality_score` gate — in
+    production it is Wikipedia/books vs the crawl). Two hashed-bigram
+    bag-of-features models with Laplace smoothing, per Xie et al.;
+    the per-doc statistic is the MEAN per-occurrence likelihood
+    ratio, in 1e6 fixed point.
+
+    Engine-exactness (the `bigram_lm_score` discipline, taken
+    further): the ratio
+      (cnt_t+1)/(tot_t+B) ÷ (cnt_r+1)/(tot_r+B)
+    factors into a per-bucket part (cnt_t+1)/(cnt_r+1) and a GLOBAL
+    constant (tot_r+B)/(tot_t+B), so every number is an exact bigint
+    floor division: p_f = (cnt_t+1)·1e6 div (cnt_r+1), global
+    g6 = (tot_r+B)·1e6 div (tot_t+B), per doc
+    mean_ratio6 = ((Σ c·p) div Σc) · g6 div 1e6. No doubles, no
+    logs — the log-ratio's ranking survives the monotone per-feature
+    substitution while libm never enters the hash gate. Overflow
+    headroom: p ≤ 2e6 (target ⊆ raw ⇒ cnt_r ≥ cnt_t), Σc·p ≤ 2e10
+    per doc, g6·m1 ≤ ~1e13 — int64-safe at 100 TB token counts.
+
+    Scale shape: feature counts persist once and feed three
+    aggregates (raw model, target model, per-doc score join); the
+    models are ≤ n_buckets rows (broadcast); tot/g6 ride as 1-row
+    broadcasts; the only doc-keyed shuffle is the final per-doc sum.
+    Docs with < 2 tokens have no bigrams and are absent (oracle's
+    inner joins agree)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    feats = tracked_persist(dsir_feature_counts(documents, n_buckets))
+    raw = feats.groupBy("f").agg(F.sum("c").alias("cnt_r"))
+    tgt_ids = (quality_score(documents)
+               .where(F.col("quality") >= target_quality).select("doc_id"))
+    tgt = (feats.join(tgt_ids, "doc_id", "left_semi")
+                .groupBy("f").agg(F.sum("c").alias("cnt_t")))
+    tots = (raw.agg(F.sum("cnt_r").alias("tot_r"))
+               .crossJoin(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0))
+                                  .alias("tot_t"))))
+    model = (raw.join(tgt, "f", "left")
+             .select("f", "cnt_r",
+                     F.coalesce("cnt_t", F.lit(0).cast("bigint")).alias("cnt_t"))
+             .withColumn("p", F.expr(
+                 "(cnt_t + 1) * 1000000 div (cnt_r + 1)")))
+    g6 = tots.select(F.expr(
+        f"(tot_r + {n_buckets}) * 1000000 div (tot_t + {n_buckets})").alias("g6"))
+    per_doc = (feats.join(F.broadcast(model.select("f", "p")), "f")
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("c") * F.col("p")).alias("num"),
+                    F.sum("c").alias("den")))
+    return (per_doc.crossJoin(F.broadcast(g6))
+            .select("doc_id", F.col("den").alias("n_bigrams"),
+                    F.expr("(num div den) * g6 div 1000000")
+                     .alias("mean_ratio6")))
+
+
+def dsir_resample(documents: DataFrame,
+                  n_buckets: int = DSIR_BUCKETS,
+                  target_quality: float = DSIR_TARGET_QUALITY) -> DataFrame:
+    """Importance RESAMPLING over the DSIR weights: keep each doc
+    with probability proportional to its weight (rate_bp =
+    weight·10000 div max-weight basis points), decided by the same
+    deterministic md5 gate as `stratified_sample` — reproducible
+    across engines, retries and partitionings (the paper's Gumbel
+    top-k is one global sort; the proportional hash gate is the
+    shuffle-free equivalent at corpus scale). Output: kept docs with
+    their keep rate. The max weight rides as a 1-row broadcast."""
+    w = tracked_persist(dsir_weights(documents, n_buckets, target_quality))
+    wmax = w.agg(F.max("mean_ratio6").alias("wmax"))
+    gated = (w.crossJoin(F.broadcast(wmax))
+             .withColumn("rate_bp", F.expr(
+                 f"mean_ratio6 * {SAMPLE_MOD} div wmax")))
+    bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")),
+                    F.lit(SAMPLE_MOD))
+    return (gated.where(bucket < F.col("rate_bp"))
+            .select("doc_id", F.col("rate_bp").cast("bigint").alias("rate_bp")))

@@ -506,7 +506,8 @@ def dedup_embedding_cosine(embeddings: DataFrame,
     which is exactly why the slice bound exists).
 
     Arrow fast path since r7: the slice is BOUNDED (≤ max_id rows —
-    96 KB of float64 at the default), so it collects once and closes
+    1500 × 64 dims × 8 B ≈ 768 KB of float64 at the default), so it
+    collects once and closes
     over the mapInPandas scorer (the ann_topk_fast broadcast
     pattern); each Arrow batch of left-side rows scores against the
     whole slice with the DIM-SEQUENTIAL kernel — vectorized across
@@ -801,7 +802,18 @@ def semantic_canonicalize(documents: DataFrame,
 
     - pairs: `dedup_embedding_blocked` (candidates bounded per cell);
     - components: `dedup.min_label_components` (per-round join +
-      min-agg, persisted labels, convergence-checked);
+      min-agg, persisted labels, convergence-checked). Fallback
+      contract: near-dup graphs are shallow (diameter ≤ 3 observed),
+      which is the ONLY regime propagation is safe in — its logical
+      plan grows per round (persist truncates execution, not the
+      analyzed tree) and the r8 bench measured it winning at path
+      depth 4 (2.9 s vs 3.2 s) but OOMing an 8 GiB driver at depth
+      16, while `dedup.components_twostar` stayed flat through depth
+      64 (5.6 s / 8.3 s) — measured crossover: depth 16. If cluster
+      diameters can exceed a handful of hops (entity/link graphs,
+      chained paraphrases), swap in `dedup_clusters_twostar` /
+      `components_twostar` — same (id, label) contract, same oracle,
+      pytest-pinned equivalence;
     - canonical: one `max_by(doc_id, struct(quality, -doc_id))`
       aggregate per cluster — quality is the 6dp-rounded score, so
       the argmax compares identical doubles in both engines.
@@ -1390,8 +1402,8 @@ def jl_project(embeddings: DataFrame) -> DataFrame:
 def ann_jl(embeddings: DataFrame, k: int = TOP_K,
            n_queries: int = N_QUERIES) -> DataFrame:
     """Top-k by cosine IN THE PROJECTED SPACE — `ann_topk`'s
-    broadcast-queries × one-scan plan with every fold 4× shorter
-    (JL_DIM=16 vs DIM=64). Rank quality is what the JL lemma buys at
+    broadcast-queries × one-scan plan with every fold 2× shorter
+    (JL_DIM=32 vs DIM=64). Rank quality is what the JL lemma buys at
     this dimension budget, measured per query by `ann_jl_recall`;
     production composes this as a shortlist stage with exact re-rank
     (the ann_pq_rerank shape) once the corpus no longer fits raw."""

@@ -275,6 +275,7 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_text_oracles(),
         **_multimodal_oracles(),
         **_pipeline_oracles(),
+        **_dsir_oracles(),
         "kmeans_centroids": _kmeans_oracle(),
         "ann_ivf_learned": _ann_ivf_learned_oracle(),
         # token-identical moment expressions over fixed-point sums
@@ -352,6 +353,63 @@ def _ann_ivf_learned_oracle() -> str:
     assignment/probe/re-rank tie-breaks)."""
     ctes, final = _kmeans_ctes()
     return "WITH " + ",\n".join(ctes) + ",\n" + _ivf_tail(final)
+
+
+def _dsir_oracles() -> dict[str, str]:
+    """DSIR (Xie et al. 2023) mirrors: hashed-bigram feature counts,
+    target = quality ≥ threshold slice, Laplace-smoothed likelihood
+    ratio in exact bigint floor divisions — replays
+    pipeline.dsir_weights / dsir_resample arithmetic step for step."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_QUALITY,
+        SAMPLE_MOD,
+    )
+
+    score = _quality_parts()["score"]
+    b = DSIR_BUCKETS
+    chain = f"""w AS (SELECT doc_id, {WS} AS ws FROM documents),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+feats AS (
+  SELECT doc_id, {md5_int60_sql("ws[i] || ' ' || ws[i + 1]")} % {b} AS f,
+         count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+tq AS (SELECT doc_id FROM documents WHERE round({score}, 6) >= {DSIR_TARGET_QUALITY}),
+raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS cnt_r FROM feats GROUP BY 1),
+tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS cnt_t
+        FROM feats JOIN tq USING (doc_id) GROUP BY 1),
+tot AS (SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw) AS tot_r,
+               (SELECT CAST(coalesce(sum(cnt_t), 0) AS BIGINT) FROM tgt) AS tot_t),
+model AS (
+  SELECT r.f,
+         CAST((coalesce(t.cnt_t, 0) + 1) * 1000000 // (r.cnt_r + 1) AS BIGINT) AS p
+  FROM raw r LEFT JOIN tgt t USING (f)
+),
+g AS (SELECT CAST((tot_r + {b}) * 1000000 // (tot_t + {b}) AS BIGINT) AS g6 FROM tot),
+per_doc AS (
+  SELECT fe.doc_id, CAST(sum(fe.c * m.p) AS BIGINT) AS num,
+         CAST(sum(fe.c) AS BIGINT) AS den
+  FROM feats fe JOIN model m USING (f) GROUP BY 1
+),
+wts AS (
+  SELECT doc_id, den AS n_bigrams,
+         CAST((num // den) * g6 // 1000000 AS BIGINT) AS mean_ratio6
+  FROM per_doc, g
+)"""
+    return {
+        "dsir_weights": f"""
+WITH {chain}
+SELECT doc_id, n_bigrams, mean_ratio6 FROM wts""",
+        "dsir_resample": f"""
+WITH {chain},
+mx AS (SELECT max(mean_ratio6) AS wmax FROM wts)
+SELECT doc_id,
+       CAST(mean_ratio6 * {SAMPLE_MOD} // wmax AS BIGINT) AS rate_bp
+FROM wts, mx
+WHERE {md5_int60_sql("CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD}
+      < mean_ratio6 * {SAMPLE_MOD} // wmax""",
+    }
 
 
 def _pipeline_oracles() -> dict[str, str]:

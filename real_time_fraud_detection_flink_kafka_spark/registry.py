@@ -264,6 +264,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),
     "dedup_incremental": lambda s, d: dedup.dedup_incremental(load_table(s, d, "documents")),
     "bpe_apply": lambda s, d: pipeline_ops.bpe_apply(load_table(s, d, "documents")),
+    "dsir_weights": lambda s, d: pipeline_ops.dsir_weights(load_table(s, d, "documents")),
+    "dsir_resample": lambda s, d: pipeline_ops.dsir_resample(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the

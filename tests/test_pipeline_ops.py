@@ -385,3 +385,61 @@ def test_bm25_plans_distributed_topn_and_sane_scores(spark, sf_dir):
     assert (out["bm25"] > 0).all()
     qid = docs.agg({"doc_id": "min"}).collect()[0][0]
     assert qid not in set(out["doc_id"])
+
+
+def test_dsir_weights_favor_target_slice(spark, sf_dir):
+    """The defining DSIR property: documents inside the target carve
+    (quality >= DSIR_TARGET_QUALITY) must average a HIGHER importance
+    weight than documents outside it — the hashed-bigram likelihood
+    ratio points toward the distribution it was trained on. Also:
+    every >=2-token doc gets a weight, and weights are positive."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        DSIR_TARGET_QUALITY,
+        dsir_weights,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs).toPandas()
+    n_scorable = docs.where(
+        F.size(F.split(F.trim("text"), " ")) >= 2).count()
+    assert len(w) == n_scorable
+    assert (w["mean_ratio6"] > 0).all()
+    tgt = {r["doc_id"] for r in quality_score(docs)
+           .where(F.col("quality") >= DSIR_TARGET_QUALITY)
+           .select("doc_id").collect()}
+    assert 0 < len(tgt) < len(w), "target carve must be a proper slice"
+    in_t = w[w["doc_id"].isin(tgt)]["mean_ratio6"].mean()
+    out_t = w[~w["doc_id"].isin(tgt)]["mean_ratio6"].mean()
+    assert in_t > out_t, (in_t, out_t)
+
+
+def test_dsir_resample_gates_proportionally(spark, sf_dir):
+    """Resampling keeps a weight-proportional subset: kept docs are a
+    subset of scored docs, rates are in (0, SAMPLE_MOD], the max-weight
+    doc is always kept (rate == SAMPLE_MOD beats any hash bucket), and
+    higher-weight docs survive at a visibly higher rate than
+    lower-weight docs."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        SAMPLE_MOD,
+        dsir_resample,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs).toPandas().set_index("doc_id")
+    kept = dsir_resample(docs).toPandas().set_index("doc_id")
+    assert set(kept.index) <= set(w.index)
+    assert (kept["rate_bp"] > 0).all()
+    assert (kept["rate_bp"] <= SAMPLE_MOD).all()
+    assert w["mean_ratio6"].idxmax() in kept.index
+    med = w["mean_ratio6"].median()
+    hi = w[w["mean_ratio6"] >= med].index
+    lo = w[w["mean_ratio6"] < med].index
+    hi_rate = len(kept.index.intersection(hi)) / max(len(hi), 1)
+    lo_rate = len(kept.index.intersection(lo)) / max(len(lo), 1)
+    assert hi_rate > lo_rate, (hi_rate, lo_rate)
