@@ -886,6 +886,42 @@ def dsir_feature_counts(documents: DataFrame,
             .groupBy("doc_id", "f").agg(F.count(F.lit(1)).alias("c")))
 
 
+def dsir_model(documents: DataFrame,
+               n_buckets: int = DSIR_BUCKETS,
+               target_quality: float = DSIR_TARGET_QUALITY
+               ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The 'trained' DSIR model: (feature counts, per-bucket model,
+    1-row global factor) — reused by the streaming twin, which
+    applies the batch-trained model to a document stream
+    (stream-static broadcast join, the `lm_model` pattern).
+
+    feats: (doc_id, f, c) persisted — it feeds three aggregates here
+    and the per-doc score join in `dsir_weights`. model: ≤ n_buckets
+    rows (f, cnt_r, cnt_t, p) with p = (cnt_t+1)·1e6 div (cnt_r+1).
+    g6: the global constant (tot_r+B)·1e6 div (tot_t+B)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    feats = tracked_persist(dsir_feature_counts(documents, n_buckets))
+    raw = feats.groupBy("f").agg(F.sum("c").alias("cnt_r"))
+    tgt_ids = (quality_score(documents)
+               .where(F.col("quality") >= target_quality).select("doc_id"))
+    tgt = (feats.join(tgt_ids, "doc_id", "left_semi")
+                .groupBy("f").agg(F.sum("c").alias("cnt_t")))
+    tots = (raw.agg(F.sum("cnt_r").alias("tot_r"))
+               .crossJoin(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0))
+                                  .alias("tot_t"))))
+    model = (raw.join(tgt, "f", "left")
+             .select("f", "cnt_r",
+                     F.coalesce("cnt_t", F.lit(0).cast("bigint")).alias("cnt_t"))
+             .withColumn("p", F.expr(
+                 "(cnt_t + 1) * 1000000 div (cnt_r + 1)")))
+    g6 = tots.select(F.expr(
+        f"(tot_r + {n_buckets}) * 1000000 div (tot_t + {n_buckets})").alias("g6"))
+    return feats, model, g6
+
+
 def dsir_weights(documents: DataFrame,
                  n_buckets: int = DSIR_BUCKETS,
                  target_quality: float = DSIR_TARGET_QUALITY) -> DataFrame:
@@ -917,26 +953,7 @@ def dsir_weights(documents: DataFrame,
     broadcasts; the only doc-keyed shuffle is the final per-doc sum.
     Docs with < 2 tokens have no bigrams and are absent (oracle's
     inner joins agree)."""
-    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
-        quality_score,
-    )
-
-    feats = tracked_persist(dsir_feature_counts(documents, n_buckets))
-    raw = feats.groupBy("f").agg(F.sum("c").alias("cnt_r"))
-    tgt_ids = (quality_score(documents)
-               .where(F.col("quality") >= target_quality).select("doc_id"))
-    tgt = (feats.join(tgt_ids, "doc_id", "left_semi")
-                .groupBy("f").agg(F.sum("c").alias("cnt_t")))
-    tots = (raw.agg(F.sum("cnt_r").alias("tot_r"))
-               .crossJoin(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0))
-                                  .alias("tot_t"))))
-    model = (raw.join(tgt, "f", "left")
-             .select("f", "cnt_r",
-                     F.coalesce("cnt_t", F.lit(0).cast("bigint")).alias("cnt_t"))
-             .withColumn("p", F.expr(
-                 "(cnt_t + 1) * 1000000 div (cnt_r + 1)")))
-    g6 = tots.select(F.expr(
-        f"(tot_r + {n_buckets}) * 1000000 div (tot_t + {n_buckets})").alias("g6"))
+    feats, model, g6 = dsir_model(documents, n_buckets, target_quality)
     per_doc = (feats.join(F.broadcast(model.select("f", "p")), "f")
                .groupBy("doc_id")
                .agg(F.sum(F.col("c") * F.col("p")).alias("num"),

@@ -481,6 +481,22 @@ def _stream_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("stream_sq8_encode", _stream_sq8_encode, _LLM_ORACLES["sq8_encode"])
 
 
+def _stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_dsir_weights_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_dsir_weights_stream(
+        spark, sf_dir, query_name=f"dsir_stream_{_STREAM_COUNTER['n']}")
+
+
+# stream-static DSIR scoring: batch-trained bucket-ratio model
+# broadcast into a document stream, one integer-sum stateful agg —
+# drained state is arrival-order free and equals batch dsir_weights
+register("stream_dsir_weights", _stream_dsir, _LLM_ORACLES["dsir_weights"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

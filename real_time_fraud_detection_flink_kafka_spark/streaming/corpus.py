@@ -399,3 +399,52 @@ def run_sq8_encode_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_dsir_weights_stream(spark, sf_dir: str,
+                            query_name: str = "dsir_stream") -> DataFrame:
+    """DSIR scoring AS an intake stage: the importance model is
+    trained on the BATCH corpus (`dsir_model` — per-bucket ratios +
+    the 1-row global factor) and applied to documents arriving as a
+    file stream — the offline-trained / online-scored shape of every
+    production data-selection filter (the `run_lm_score_stream`
+    pattern). The per-doc sum runs over bigram OCCURRENCES (one row
+    per bigram, bucket join against the ≤4096-row broadcast model) so
+    the whole query has exactly ONE stateful aggregation — Spark
+    forbids stacked streaming aggs, and Σ_occurrences p ≡ Σ_f c·p
+    keeps the arithmetic identical to the batch path. g6 rides as
+    collected model metadata (a constant of the trained model, the
+    `v = uni.count()` move). Integer sums make the drained complete-
+    mode state arrival-order free: equals batch `dsir_weights`
+    exactly, shares its oracle."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+        md5_int60,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        doc_bigrams,
+        dsir_model,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    batch = load_table(spark, sf_dir, "documents")
+    _, model, g6_rel = dsir_model(batch)
+    g6 = g6_rel.first()["g6"]  # model metadata, like the LM's |V|
+
+    occ = (doc_bigrams(_documents_stream(spark, sf_dir))
+           .select("doc_id",
+                   F.pmod(md5_int60(F.concat_ws(" ", "a", "b")),
+                          F.lit(DSIR_BUCKETS)).alias("f")))
+    out = (occ.join(F.broadcast(model.select("f", "p")), "f")
+           .groupBy("doc_id")
+           .agg(F.sum("p").alias("num"), F.count(F.lit(1)).alias("den"))
+           .select("doc_id", F.col("den").alias("n_bigrams"),
+                   F.expr(f"(num div den) * {g6} div 1000000")
+                    .alias("mean_ratio6")))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
