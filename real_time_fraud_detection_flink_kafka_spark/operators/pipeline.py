@@ -984,3 +984,93 @@ def dsir_resample(documents: DataFrame,
                     F.lit(SAMPLE_MOD))
     return (gated.where(bucket < F.col("rate_bp"))
             .select("doc_id", F.col("rate_bp").cast("bigint").alias("rate_bp")))
+
+
+# --- corpus-law diagnostics -----------------------------------------------------
+
+ZIPF_TOP = 1000  # fit over the top-R vocabulary (R >> this corpus's |V|)
+
+
+def zipf_slope(documents: DataFrame, top: int = ZIPF_TOP) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of
+    ln(tf) vs ln(rank) for the top-`top` tokens — the corpus-health
+    diagnostic (natural language sits near slope −1; a synthetic or
+    templated corpus shows up immediately as a flat or cliffed
+    curve). One row: (n_points, slope, intercept).
+
+    Engine-exactness (the `linreg_value_by_hour` discipline): each
+    point's logs are snapped to 1e6 fixed-point bigints — ln runs on
+    identical INTEGER args in both engines, and the sufficient
+    statistics (Σx, Σy, Σxy, Σx²) are exact integer sums, so
+    partial-agg order cannot drift; slope/intercept are token-
+    identical IEEE expressions over those exact ints (the fixed-point
+    scale cancels in cov/var). Overflow headroom: xq·yq ≤ ~1e14,
+    summed over ≤1000 points ≤ 1e17 — int64-safe.
+
+    Scale shape: one explode + one combinable groupBy(token); the
+    rank window runs on the `top` SURVIVORS of a distributed top-R
+    (TakeOrderedAndProject — the `vocab_topk` move), never the full
+    vocabulary; the final fit is a 1-row aggregate."""
+    tok = documents.select(F.explode(_words(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    topr = tf.orderBy(F.desc("tf"), F.asc("token")).limit(top)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    pts = (topr.withColumn("rank", F.row_number().over(w))
+           .select(F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+                    .cast("bigint").alias("xq"),
+                   F.round(F.log(F.col("tf").cast("double")) * 1e6, 0)
+                    .cast("bigint").alias("yq")))
+    s = pts.agg(F.count(F.lit(1)).alias("n_points"),
+                F.sum("xq").alias("sx"), F.sum("yq").alias("sy"),
+                F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+                F.sum(F.col("xq") * F.col("xq")).alias("sxx"))
+    n = F.col("n_points").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy / F.lit(1e6) - slope * (sx / F.lit(1e6))) / n
+    return s.select("n_points", F.round(slope, 6).alias("slope"),
+                    F.round(intercept, 6).alias("intercept"))
+
+
+# --- cross-source contamination matrix ------------------------------------------
+
+
+def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Which sources copy from each other? Pairwise n-gram-shingle
+    Jaccard BETWEEN SOURCES — the corpus-forensics matrix run before
+    mixing crawls (a source pair with high overlap double-counts its
+    content in the blend and leaks dedup pressure across mix weights).
+    One row per unordered source pair: shared shingle count + the
+    Jaccard of the sources' distinct-shingle SETS, 6dp-rounded.
+
+    Scale shape: doc-level distinct shingles (row-local, the
+    `shingle_sets` HOF) collapse to DISTINCT (source, shingle) — the
+    per-source vocabulary, shrinking with corpus redundancy; the
+    pair stage self-joins that relation ON THE SHINGLE, so fan-out
+    per shingle is bounded by the SOURCE count (≤ a few dozen in any
+    real mix), never document count; per-source set sizes ride a
+    |sources|-row broadcast. Output is |sources|² / 2 rows."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        shingles,
+    )
+
+    src_sh = tracked_persist(
+        shingles(documents.select("doc_id", "text"), n)
+        .join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle").distinct())
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = src_sh.select(F.col("source").alias("src_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("src_a") < F.col("src_b"))
+             .groupBy("src_a", "src_b")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (inter
+            .join(F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                           F.col("n_sh").alias("na"))), "src_a")
+            .join(F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                           F.col("n_sh").alias("nb"))), "src_b")
+            .select("src_a", "src_b", "n_shared",
+                    F.round(jac, 6).alias("jaccard")))

@@ -276,6 +276,7 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_multimodal_oracles(),
         **_pipeline_oracles(),
         **_dsir_oracles(),
+        **_corpus_law_oracles(),
         "kmeans_centroids": _kmeans_oracle(),
         "ann_ivf_learned": _ann_ivf_learned_oracle(),
         # token-identical moment expressions over fixed-point sums
@@ -409,6 +410,70 @@ SELECT doc_id,
 FROM wts, mx
 WHERE {md5_int60_sql("CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD}
       < mean_ratio6 * {SAMPLE_MOD} // wmax""",
+    }
+
+
+def _corpus_law_oracles() -> dict[str, str]:
+    """Zipf fit + cross-source overlap mirrors. zipf_slope: logs snap
+    to 1e6 fixed-point bigints (ln runs on identical integer args in
+    both engines), sufficient statistics are exact integer sums,
+    slope/intercept are token-identical IEEE expressions over the
+    exact ints. source_overlap: distinct (source, shingle) sets,
+    pairwise intersection counts, 6dp Jaccard."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        ZIPF_TOP,
+    )
+
+    num = ("(CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    den = ("(CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    return {
+        "zipf_slope": f"""
+WITH tf AS (
+  SELECT token, count(*) AS tf
+  FROM (SELECT unnest({WS}) AS token FROM documents) GROUP BY 1
+),
+topr AS (SELECT token, tf FROM tf ORDER BY tf DESC, token ASC LIMIT {ZIPF_TOP}),
+pts AS (
+  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY tf DESC, token ASC)
+                            AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+         CAST(round(ln(CAST(tf AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+  FROM topr
+),
+s AS (
+  SELECT count(*) AS n_points,
+         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         CAST(sum(xq * xq) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n_points,
+       round({num} / {den}, 6) AS slope,
+       round((CAST(sy AS DOUBLE) / 1000000.0
+              - ({num} / {den}) * (CAST(sx AS DOUBLE) / 1000000.0))
+             / CAST(n_points AS DOUBLE), 6) AS intercept
+FROM s""",
+        "source_overlap": f"""
+WITH sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+    FROM (SELECT doc_id, {WS} AS ws FROM documents),
+         unnest(generate_series(1, len(ws) - 2)) u(i)
+  ) s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / (na.n_sh + nb.n_sh - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.source = src_a
+JOIN sizes nb ON nb.source = src_b""",
     }
 
 

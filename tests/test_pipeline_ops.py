@@ -443,3 +443,49 @@ def test_dsir_resample_gates_proportionally(spark, sf_dir):
     hi_rate = len(kept.index.intersection(hi)) / max(len(hi), 1)
     lo_rate = len(kept.index.intersection(lo)) / max(len(lo), 1)
     assert hi_rate > lo_rate, (hi_rate, lo_rate)
+
+
+def test_zipf_slope_recovers_power_law(spark):
+    """A hand-built corpus with tf(rank i) = 600//i must fit slope
+    ~ -1 (the Zipf exponent the construction encodes); the real
+    corpus just has to produce a finite negative slope."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import zipf_slope
+
+    words = []
+    for i in range(1, 31):
+        words += [f"t{i:02d}"] * (600 // i)
+    docs = spark.createDataFrame(
+        [(j, " ".join(words[j::4])) for j in range(4)],  # spread across docs
+        "doc_id long, text string")
+    row = zipf_slope(docs).collect()[0]
+    assert row["n_points"] == 30
+    assert -1.25 < row["slope"] < -0.75, row["slope"]
+
+
+def test_source_overlap_matrix(spark, sf_dir):
+    """Known fixture: srcA and srcB share exactly half their shingle
+    vocabularies, srcC shares nothing → jaccard(A,B) = 1/3 and the C
+    pairs are absent (no shared shingles → no row). Real corpus: one
+    row per unordered source pair, jaccard in (0, 1]."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        source_overlap,
+    )
+
+    shared = "s1 s2 s3 s4 s5"          # 3 shingles
+    only_a = "a1 a2 a3 a4 a5"          # 3 shingles
+    only_b = "b1 b2 b3 b4 b5"          # 3 shingles
+    docs = spark.createDataFrame(
+        [(1, shared, "srcA"), (2, only_a, "srcA"),
+         (3, shared, "srcB"), (4, only_b, "srcB"),
+         (5, "c1 c2 c3 c4 c5", "srcC")],
+        "doc_id long, text string, source string")
+    rows = {(r["src_a"], r["src_b"]): r.asDict()
+            for r in source_overlap(docs).collect()}
+    assert set(rows) == {("srcA", "srcB")}
+    assert rows[("srcA", "srcB")]["n_shared"] == 3
+    assert rows[("srcA", "srcB")]["jaccard"] == round(3 / 9, 6)
+
+    real = source_overlap(load_table(spark, sf_dir, "documents")).toPandas()
+    assert len(real) > 0
+    assert (real["jaccard"] > 0).all() and (real["jaccard"] <= 1).all()
+    assert (real["src_a"] < real["src_b"]).all()
