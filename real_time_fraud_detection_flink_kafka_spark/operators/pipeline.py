@@ -1074,3 +1074,49 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
                                            F.col("n_sh").alias("nb"))), "src_b")
             .select("src_a", "src_b", "n_shared",
                     F.round(jac, 6).alias("jaccard")))
+
+
+# --- curriculum phase assignment -------------------------------------------------
+
+CURRICULUM_PHASES = 4
+
+
+def curriculum_phases(documents: DataFrame,
+                      n_phases: int = CURRICULUM_PHASES) -> DataFrame:
+    """Curriculum-learning phase assignment: bucket every document
+    into one of `n_phases` corpus-relative quality bands (phase
+    ascends with quality; a clean-first curriculum consumes phases in
+    descending order, an anti-curriculum ascending). The operator a
+    training scheduler joins against when the corpus is staged rather
+    than shuffled wholesale.
+
+    NOT an ntile(): a global ntile is one single-task sort of the
+    whole corpus. Thresholds are exact DISCRETE percentiles computed
+    over the VALUE HISTOGRAM (the `quality_percentile_gate` move —
+    groupBy(quality) bounded at ≤1e6+1 distinct 6dp values), cut
+    points land on actual data values via the integer-exact
+    ceil(k·n/P) = (k·n+P−1) div P rank, and the ≤ P−1 thresholds
+    collapse into ONE broadcast array row — phase is then a row-local
+    count of thresholds strictly below the doc's quality. Ties share
+    a phase by construction (strict > against the cut value), so the
+    assignment is engine- and partitioning-independent."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    qd = quality_score(documents).select("doc_id", "quality")
+    counts = qd.groupBy("quality").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("quality", F.sum("c").over(w).alias("cum"))
+    n = qd.agg(F.count(F.lit(1)).alias("n"))
+    ks = (n.sparkSession.range(1, n_phases)
+          .select(F.col("id").alias("k")))
+    thr = (cum.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ks))
+           .where(F.col("cum") >= F.expr(
+               f"(k * n + {n_phases} - 1) div {n_phases}"))
+           .groupBy("k").agg(F.min("quality").alias("t")))
+    ts = thr.groupBy().agg(F.sort_array(F.collect_list("t")).alias("ts"))
+    phase = (F.lit(1) + F.size(F.filter(
+        F.col("ts"), lambda t: F.col("quality") > t))).cast("bigint")
+    return (qd.crossJoin(F.broadcast(ts))
+            .select("doc_id", "quality", phase.alias("phase")))

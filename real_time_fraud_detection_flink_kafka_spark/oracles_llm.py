@@ -421,6 +421,7 @@ def _corpus_law_oracles() -> dict[str, str]:
     exact ints. source_overlap: distinct (source, shingle) sets,
     pairwise intersection counts, 6dp Jaccard."""
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        CURRICULUM_PHASES,
         ZIPF_TOP,
     )
 
@@ -454,6 +455,22 @@ SELECT n_points,
               - ({num} / {den}) * (CAST(sx AS DOUBLE) / 1000000.0))
              / CAST(n_points AS DOUBLE), 6) AS intercept
 FROM s""",
+        "curriculum_phases": f"""
+WITH q AS (SELECT doc_id, round({_quality_parts()["score"]}, 6) AS quality
+           FROM documents),
+counts AS (SELECT quality, count(*) AS c FROM q GROUP BY 1),
+cum AS (SELECT quality, sum(c) OVER (ORDER BY quality) AS cum FROM counts),
+nn AS (SELECT count(*) AS n FROM q),
+thr AS (
+  SELECT k, min(quality) AS t
+  FROM cum, nn, (SELECT unnest(generate_series(1, {CURRICULUM_PHASES - 1})) AS k) ks
+  WHERE cum >= (k * n + {CURRICULUM_PHASES} - 1) // {CURRICULUM_PHASES}
+  GROUP BY k
+)
+SELECT doc_id, quality,
+       CAST(1 + (SELECT count(*) FROM thr WHERE q.quality > thr.t) AS BIGINT)
+         AS phase
+FROM q""",
         "source_overlap": f"""
 WITH sh AS (
   SELECT DISTINCT d.source, s.shingle

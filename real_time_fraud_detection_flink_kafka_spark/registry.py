@@ -268,6 +268,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_resample": lambda s, d: pipeline_ops.dsir_resample(load_table(s, d, "documents")),
     "zipf_slope": lambda s, d: pipeline_ops.zipf_slope(load_table(s, d, "documents")),
     "source_overlap": lambda s, d: pipeline_ops.source_overlap(load_table(s, d, "documents")),
+    "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the

@@ -489,3 +489,27 @@ def test_source_overlap_matrix(spark, sf_dir):
     assert len(real) > 0
     assert (real["jaccard"] > 0).all() and (real["jaccard"] <= 1).all()
     assert (real["src_a"] < real["src_b"]).all()
+
+
+def test_curriculum_phases_partition_by_quality(spark, sf_dir):
+    """Phases partition the corpus into strictly quality-separated
+    bands: every doc gets exactly one phase in [1, P], bands are
+    non-empty and roughly n/P-sized (ties share a band), and
+    max(quality, phase p) < min(quality, phase p+1) is impossible to
+    violate because phase counts thresholds STRICTLY below."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        CURRICULUM_PHASES,
+        curriculum_phases,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = curriculum_phases(docs).toPandas()
+    assert len(got) == docs.count()
+    assert set(got["phase"]) <= set(range(1, CURRICULUM_PHASES + 1))
+    assert got["phase"].nunique() == CURRICULUM_PHASES
+    for p in range(1, CURRICULUM_PHASES):
+        lo = got[got["phase"] == p]["quality"].max()
+        hi = got[got["phase"] == p + 1]["quality"].min()
+        assert lo < hi, (p, lo, hi)
+    sizes = got.groupby("phase").size()
+    assert sizes.min() > 0.5 * len(got) / CURRICULUM_PHASES
