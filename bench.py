@@ -84,6 +84,9 @@ HEADLINE = [
     "bm25_more_like_this",    # BM25 more-like-this, fixed-point term sums (r7)
     "tfidf_topk",             # vocab-bounded df + per-doc top-k ranking (r7)
     "cohort_retention",       # first-order cohort triangle over orders (r7)
+    "dedup_substring",        # Lee et al. span recovery, skew-hardened count (r8)
+    "apply_span_removal",     # the span CUT over the substring cut list (r8)
+    "dsir_weights",           # hashed-bigram importance model, all-int ratios (r8)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -103,6 +106,7 @@ SCALE_SUBSET = [
     "ann_pq_rerank",
     "ann_sq8",        # r8: a quantizer on the curve — "Lloyd/train
                       # overhead amortizes" is measured, not argued
+    "dedup_substring",  # r8: the skew-hardened occurrence count, measured
     "vocab_topk",
     "decontaminate",
 ]

@@ -910,8 +910,9 @@ def dsir_model(documents: DataFrame,
     tgt = (feats.join(tgt_ids, "doc_id", "left_semi")
                 .groupBy("f").agg(F.sum("c").alias("cnt_t")))
     tots = (raw.agg(F.sum("cnt_r").alias("tot_r"))
-               .crossJoin(tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0))
-                                  .alias("tot_t"))))
+               .crossJoin(F.broadcast(
+                   tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0))
+                           .alias("tot_t")))))
     model = (raw.join(tgt, "f", "left")
              .select("f", "cnt_r",
                      F.coalesce("cnt_t", F.lit(0).cast("bigint")).alias("cnt_t"))

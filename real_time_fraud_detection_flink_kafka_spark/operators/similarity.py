@@ -1509,3 +1509,81 @@ def ann_sq8_recall(embeddings: DataFrame, k: int = TOP_K,
              .select("query_id", "n_true", "n_sq8",
                      F.round(F.col("n_sq8") / F.col("n_true"), 6)
                       .alias("recall_sq8")))
+
+
+# --- label-aware training-data ops ---------------------------------------------
+
+OUTLIER_TOP = 5  # flagged farthest-from-centroid vectors per label
+
+
+def hard_negatives(embeddings: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the top-k most-similar vectors with a
+    DIFFERENT label — the highest-value negatives a triplet/InfoNCE
+    batch builder wants (easy negatives teach nothing; the near-miss
+    wrong-label neighbors carry the gradient). `ann_topk`'s broadcast
+    queries × one corpus scan plan with the label inequality fused
+    into the join predicate, so wrong-label filtering happens
+    map-side before any ranking state exists; per-query top-k is the
+    same rank window + lower-id tie-break."""
+    from pyspark.sql import Window
+
+    v = F.col("embedding").cast("array<double>")
+    e = embeddings.select("vec_id", "label", v.alias("v"),
+                          F.sqrt(dot(v, v)).alias("v_norm"))
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"), F.col("v_norm").alias("q_norm"))
+    cand = e.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("neighbor_label"), "v", "v_norm")
+    j = cand.join(F.broadcast(q),
+                  F.col("neighbor_label") != F.col("query_label"))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("neighbor_id"))
+    return (j.select("query_id", "query_label", "neighbor_id",
+                     "neighbor_label", cos.alias("cos_raw"))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= k)
+             .select("query_id", "query_label", "neighbor_id",
+                     "neighbor_label",
+                     F.round(F.col("cos_raw"), 6).alias("cos_sim"), "rnk"))
+
+
+def label_outliers(embeddings: DataFrame, top: int = OUTLIER_TOP) -> DataFrame:
+    """Mislabeled-point candidates (the CleanLab-flavored audit): the
+    `top` vectors FARTHEST from their own label's centroid, per
+    label — the rows a labeling-quality review queue surfaces first.
+
+    Engine-determinism: centroids are per-dimension FIXED-POINT means
+    (sum of round(v·1e6) bigints / n — the `kmeans_cells`
+    discipline), and the distance is the token-identical composition
+    d² = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ of the same left-fold dot both
+    engines already agree on. Scale shape: one groupBy(label) with
+    map-side partials builds the |labels|-row centroid relation,
+    which BROADCASTS back onto the scan; the per-label top-n window
+    partitions by label — no global sort, no pairwise join
+    anywhere."""
+    from pyspark.sql import Window
+
+    scale = 1_000_000
+    v = F.col("embedding").cast("array<double>")
+    e = embeddings.select("vec_id", "label", v.alias("v"))
+    sums = [F.sum(F.round(F.col("v")[i] * scale).cast("bigint")).alias(f"s{i}")
+            for i in range(DIM)]
+    cent = (e.groupBy("label").agg(*sums, F.count(F.lit(1)).alias("n"))
+            .select("label", F.array(*[
+                (F.col(f"s{i}") / float(scale)) / F.col("n")
+                for i in range(DIM)]).alias("cv")))
+    d2 = (dot(F.col("v"), F.col("v"))
+          - 2 * dot(F.col("v"), F.col("cv"))
+          + dot(F.col("cv"), F.col("cv")))
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (e.join(F.broadcast(cent), "label")
+             .select("label", "vec_id", d2.alias("d2"))
+             .withColumn("rnk", F.row_number().over(w))
+             .where(F.col("rnk") <= top)
+             .select("label", "vec_id", F.round(F.col("d2"), 6).alias("dist2"),
+                     "rnk"))

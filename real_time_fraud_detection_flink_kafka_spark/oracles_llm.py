@@ -277,6 +277,7 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_pipeline_oracles(),
         **_dsir_oracles(),
         **_corpus_law_oracles(),
+        **_label_oracles(),
         "kmeans_centroids": _kmeans_oracle(),
         "ann_ivf_learned": _ann_ivf_learned_oracle(),
         # token-identical moment expressions over fixed-point sums
@@ -410,6 +411,62 @@ SELECT doc_id,
 FROM wts, mx
 WHERE {md5_int60_sql("CAST(doc_id AS VARCHAR)")} % {SAMPLE_MOD}
       < mean_ratio6 * {SAMPLE_MOD} // wmax""",
+    }
+
+
+def _label_oracles() -> dict[str, str]:
+    """Label-aware embedding ops: hard-negative mining (ann_topk's
+    plan + a label-inequality join predicate) and per-label centroid
+    outliers (kmeans-discipline fixed-point means, d² as the
+    token-identical dot-product composition)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        OUTLIER_TOP,
+        TOP_K,
+    )
+
+    return {
+        "hard_negatives": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM e WHERE vec_id < {N_QUERIES}),
+j AS (
+  SELECT query_id, query_label, e.vec_id AS neighbor_id,
+         e.label AS neighbor_label, {_cos_sql('qv', 'v')} AS cos_raw
+  FROM q, e WHERE e.label <> query_label
+),
+r AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM j
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos_raw, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOP_K}""",
+        "label_outliers": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT label, unnest(v) AS val, unnest(generate_series(1, len(v))) AS d
+      FROM e),
+u AS (SELECT label, d, sum(CAST(round(val * 1000000) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM x GROUP BY 1, 2),
+c AS (SELECT label, list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY d) AS cv
+      FROM u GROUP BY label),
+j AS (
+  SELECT e.label, e.vec_id,
+         (list_dot_product(v, v) - 2 * list_dot_product(v, cv)
+          + list_dot_product(cv, cv)) AS d2
+  FROM e JOIN c USING (label)
+),
+r AS (
+  SELECT label, vec_id, d2,
+         CAST(row_number() OVER (PARTITION BY label
+              ORDER BY d2 DESC, vec_id) AS INTEGER) AS rnk
+  FROM j
+)
+SELECT label, vec_id, round(d2, 6) AS dist2, rnk
+FROM r WHERE rnk <= {OUTLIER_TOP}""",
     }
 
 

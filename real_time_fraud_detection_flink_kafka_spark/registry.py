@@ -269,6 +269,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_slope": lambda s, d: pipeline_ops.zipf_slope(load_table(s, d, "documents")),
     "source_overlap": lambda s, d: pipeline_ops.source_overlap(load_table(s, d, "documents")),
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
+    "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),
+    "label_outliers": lambda s, d: similarity.label_outliers(load_table(s, d, "embeddings")),
 }
 # the Arrow signature stages are bit-identical to the expression paths
 # (same md5-derived integer hashes / same IEEE fold order), so the

@@ -453,3 +453,42 @@ def test_ivfpq_broadcasts_everywhere_no_pairwise(spark, sf_dir):
     # coarse assign + probes + qctab crosses, dtab/codebook joins,
     # candv, ADC dtab join, residual fetch
     assert plan.count("BroadcastExchange") >= 6
+
+
+def test_dsir_model_joins_broadcast_no_cartesian(spark, sf_dir):
+    """DSIR's scoring join must broadcast the ≤4096-row bucket model
+    (explicit hint, not size estimation — auto-broadcast disabled),
+    and the whole DAG must stay cartesian-free; the 1-row g6 factor
+    rides a broadcast nested-loop (the trained-relation pattern,
+    expected), never a CartesianProduct."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("dsir_weights", "dsir_resample"):
+            plan = _plan(spark, sf_dir, name)
+            assert plan.count("BroadcastHashJoin") >= 1, (name, plan[:3000])
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_source_overlap_no_cartesian_sizes_broadcast(spark, sf_dir):
+    """The source-pair stage joins ON the shingle (fan-out bounded by
+    source count) and per-source sizes broadcast — no cartesian
+    anywhere."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "source_overlap")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_zipf_rank_window_on_topk_survivors_only(spark, sf_dir):
+    """The Zipf fit's rank window must run on the distributed top-R
+    survivors (TakeOrderedAndProject), never a full-vocabulary global
+    sort exchange."""
+    plan = _plan(spark, sf_dir, "zipf_slope")
+    assert "TakeOrderedAndProject" in plan

@@ -274,3 +274,47 @@ def test_jl_rerank_dominates_direct_and_plan(spark, sf_dir):
     plan = ann_jl(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_exclude_own_label(spark, sf_dir):
+    """Every mined negative carries a different label than its query,
+    each query gets a full top-k, and the best hard negative can
+    never beat the best UNCONSTRAINED neighbor (it solves a
+    constrained max of the same objective)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        TOP_K,
+        ann_topk,
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hn = hard_negatives(emb).toPandas()
+    assert (hn["query_label"] != hn["neighbor_label"]).all()
+    assert (hn.groupby("query_id").size() == TOP_K).all()
+    best_any = (ann_topk(emb).toPandas().query("rnk == 1")
+                .set_index("query_id")["cos_sim"])
+    best_neg = hn.query("rnk == 1").set_index("query_id")["cos_sim"]
+    assert (best_neg <= best_any.loc[best_neg.index] + 1e-9).all()
+
+
+def test_label_outliers_are_farthest_per_label(spark, sf_dir):
+    """Per label: exactly OUTLIER_TOP flagged rows, ranked by
+    non-increasing centroid distance, and the flagged set really is
+    the label's distance tail (every flagged dist2 >= that label's
+    median member distance)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        OUTLIER_TOP,
+        label_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = label_outliers(emb).toPandas()
+    n_labels = emb.select("label").distinct().count()
+    sizes = out.groupby("label").size()
+    assert len(sizes) == n_labels
+    assert (sizes == OUTLIER_TOP).all()
+    for lbl, grp in out.groupby("label"):
+        d = grp.sort_values("rnk")["dist2"].to_numpy()
+        assert (d[:-1] >= d[1:]).all(), lbl
