@@ -677,6 +677,19 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     (mirrored in the oracle)."""
     from pyspark.sql import Window
 
+    pos = tracked_persist(substring_positions(documents, k))
+    dup_h = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+                .where(F.col("cnt") >= 2))
+    dup = pos.join(dup_h.select("h"), "h", "left_semi")
+    return _spans_from_positions(dup, k)
+
+
+def substring_positions(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, p, h): every 1-based token position with its k-shingle
+    md5 hash — the shared position relation under the substring-dedup
+    family. Row-local let-bound HOF shingling; docs shorter than k
+    drop out."""
+
     def pos_hashes(wsv):
         return F.when(
             F.size(wsv) >= k,
@@ -686,15 +699,19 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         ).otherwise(F.array().cast("array<bigint>"))
 
     ws = _words(F.col("text"))
-    pos = tracked_persist(
-        spread(documents)
-        .select("doc_id", F.posexplode_outer(_let(ws, pos_hashes))
-                .alias("p0", "h"))
-        .where(F.col("h").isNotNull())
-        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "h"))
-    dup_h = (pos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-                .where(F.col("cnt") >= 2))
-    dup = pos.join(dup_h.select("h"), "h", "left_semi")
+    return (spread(documents)
+            .select("doc_id", F.posexplode_outer(_let(ws, pos_hashes))
+                    .alias("p0", "h"))
+            .where(F.col("h").isNotNull())
+            .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "h"))
+
+
+def _spans_from_positions(dup: DataFrame, k: int) -> DataFrame:
+    """Islands-and-gaps span recovery over duplicated (doc_id, p)
+    rows: a run of r consecutive positions is a maximal duplicated
+    span of r + k − 1 tokens."""
+    from pyspark.sql import Window
+
     run = F.col("p") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("p"))
     return (dup.select("doc_id", "p", run.alias("run"))
@@ -702,6 +719,41 @@ def dedup_substring(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:
                .agg(F.min("p").alias("span_start"),
                     (F.count(F.lit(1)) + k - 1).alias("span_len"))
                .select("doc_id", "span_start", "span_len"))
+
+
+def dedup_substring_incremental(documents: DataFrame,
+                                k: int = SUBSTR_K,
+                                delta_mod: int | None = None) -> DataFrame:
+    """Delta-vs-corpus exact-substring spans — the daily-intake twin
+    of `dedup_substring` (the `dedup_incremental` asymmetry applied
+    to the Lee et al. pipeline): today's increment (doc_id %
+    delta_mod == 0) is cut against the standing corpus WITHOUT
+    re-counting the corpus. A delta position is duplicated iff its
+    shingle hash appears anywhere in the CORPUS INDEX (the distinct
+    corpus hash set — what production persists between increments)
+    OR ≥ 2 times within the delta itself; that disjunction equals
+    total-count ≥ 2 restricted to delta positions, so the oracle is
+    the full-corpus spans filtered to delta docs while the PLAN
+    touches corpus text only to build the reusable index.
+
+    Scale shape: the corpus side collapses to DISTINCT hashes (the
+    persisted index — fixed-width, shrinking with redundancy); delta
+    positions (small) probe it with one semi-join plus one
+    delta-local combinable count; islands run on the duplicated
+    remnant of the DELTA only."""
+    if delta_mod is None:
+        delta_mod = DELTA_MOD  # module global, defined below
+    is_delta = (F.col("doc_id") % delta_mod) == F.lit(0)
+    corpus_index = (substring_positions(documents.where(~is_delta), k)
+                    .select("h").distinct())
+    dpos = tracked_persist(
+        substring_positions(documents.where(is_delta), k))
+    ddup_h = (dpos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+                  .where(F.col("cnt") >= 2))
+    dup = (dpos.join(corpus_index, "h", "left_semi")
+           .unionAll(dpos.join(ddup_h.select("h"), "h", "left_semi"))
+           .select("doc_id", "p").distinct())
+    return _spans_from_positions(dup, k)
 
 
 def apply_span_removal(documents: DataFrame, k: int = SUBSTR_K) -> DataFrame:

@@ -204,6 +204,13 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_MAX}""",
         "dedup_substring": f"""
 WITH {_substring_ctes()}
 SELECT doc_id, span_start, span_len FROM sub_spans""",
+        # delta-position duplication (corpus-index hit OR >=2 within
+        # delta) == total-count >= 2 restricted to delta docs, so the
+        # incremental twin shares the full-corpus chain filtered
+        "dedup_substring_incremental": f"""
+WITH {_substring_ctes()}
+SELECT doc_id, span_start, span_len FROM sub_spans
+WHERE doc_id % {DELTA_MOD} = 0""",
         # span REMOVAL (the second half of the Lee et al. pipeline):
         # replays the cut arithmetic — every token covered by >= 1
         # span is dropped, counts + cleaned text re-emitted

@@ -293,3 +293,31 @@ def test_apply_span_removal_overlapping_token_spans(spark):
     assert (got[1]["n_tokens_before"], got[1]["n_tokens_after"]) == (16, 0)
     assert got[2]["text_clean"] == "q1 q2"
     assert got[3]["text_clean"] == "r1 r2"
+
+
+def test_dedup_substring_incremental_equals_filtered_full(spark, sf_dir):
+    """The asymmetric delta-vs-corpus plan (corpus collapsed to a
+    distinct hash index, delta probed against it + its own local
+    count) must equal the full-corpus spans restricted to delta docs
+    — the semantic identity the docstring claims. Also: a delta-only
+    within-doc repeat is caught without any corpus hit."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        DELTA_MOD,
+        dedup_substring,
+        dedup_substring_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inc = _norm(dedup_substring_incremental(docs).toPandas())
+    full = dedup_substring(docs)
+    want = _norm(full.where(full["doc_id"] % DELTA_MOD == 0).toPandas())
+    pd.testing.assert_frame_equal(inc, want)
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    fixture = spark.createDataFrame(
+        [(0, rep + " gap1 gap2 " + rep),          # delta: self-repeat only
+         (1, "plain corpus words with no repeats at all")],
+        "doc_id long, text string")
+    got = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                 for r in dedup_substring_incremental(fixture).collect())
+    assert got == [(0, 1, 8), (0, 11, 8)]
