@@ -358,3 +358,68 @@ def bm25_more_like_this(documents: DataFrame,
                        "n_terms",
                        F.round(F.col("fp") / float(BM25_SCALE), 6)
                         .alias("bm25")))
+
+
+# Gopher-style quality gate (Rae et al. 2021 "Scaling Language Models:
+# ... Gopher" Table A1; the MassiveText filter battery). Thresholds
+# adapted to the synthetic corpus' ranges so every rule actually
+# splits (word counts run 10-99 at small SF, top-word fractions
+# 0.05-0.25, uniq ratios 0.27-1.0):
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL = 3      # mean word length bounds (chars)
+GOPHER_MAX_MWL = 10
+GOPHER_TOP_WORD_PCT = 10   # most-common word must be <= 10% of tokens
+GOPHER_MIN_STOP_TYPES = 2  # >= 2 DISTINCT stopwords present
+GOPHER_UNIQ_PCT = 30       # uniq-word ratio must be >= 30%
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Per-document Gopher/MassiveText quality-rule flags: word-count
+    bounds, mean-word-length bounds, top-word repetition cap, distinct
+    stopword floor, unique-word-ratio floor, and the conjunctive
+    `pass_all` verdict — the rule battery a pretraining pipeline runs
+    BEFORE any model-based scoring (reference scope: the filtering
+    stage ahead of ingestion; complements `quality_score`'s scalar
+    with auditable per-rule booleans).
+
+    Scale shape: two map-side-combined shuffles, both keyed by doc_id
+    (±word) so there are no hot keys — the (doc_id, word) tf relation
+    (the tfidf/bm25 discipline; dl-style constants ride the key since
+    they are functional on doc_id), then one per-doc rollup. No joins,
+    no windows, no driver state.
+
+    Determinism: every rule is an INTEGER comparison (ratios compare
+    cross-multiplied: `100*max_tf <= 10*n_words` style), so there is
+    no FP boundary anywhere and the oracle matches bit-for-bit.
+    """
+    ws = _words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    words = documents.select(
+        "doc_id", F.length("text").alias("nc"), F.explode(ws).alias("word"))
+    tf = words.groupBy("doc_id", "nc", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy("doc_id", "nc").agg(
+        F.sum("tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("tf").alias("max_tf"),
+        F.sum(F.when(F.array_contains(stop_arr, F.col("word")), 1)
+               .otherwise(0)).alias("n_stop_types"))
+    n_words = F.col("n_words")
+    sum_wlen = F.col("nc") - (n_words - 1)  # chars sans separators
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = ((sum_wlen >= GOPHER_MIN_MWL * n_words)
+              & (sum_wlen <= GOPHER_MAX_MWL * n_words))
+    ok_top = F.col("max_tf") * 100 <= n_words * GOPHER_TOP_WORD_PCT
+    ok_stop = F.col("n_stop_types") >= GOPHER_MIN_STOP_TYPES
+    ok_uniq = F.col("n_uniq") * 100 >= n_words * GOPHER_UNIQ_PCT
+    return agg.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.col("max_tf").cast("int").alias("max_tf"),
+        F.col("n_uniq").cast("int").alias("n_uniq"),
+        F.col("n_stop_types").cast("int").alias("n_stop_types"),
+        ok_words.alias("ok_words"), ok_mwl.alias("ok_mean_wlen"),
+        ok_top.alias("ok_top_word"), ok_stop.alias("ok_stopwords"),
+        ok_uniq.alias("ok_uniq_ratio"),
+        (ok_words & ok_mwl & ok_top & ok_stop & ok_uniq).alias("pass_all"))

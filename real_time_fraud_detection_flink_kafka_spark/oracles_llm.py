@@ -1684,6 +1684,51 @@ def _quality_parts() -> dict[str, str]:
             "uniq_ratio": uniq_ratio, "avg_wlen": avg_wlen, "score": score}
 
 
+def _gopher_rules_sql() -> str:
+    """Mirrors textops.gopher_rules: same tf rollup, same integer
+    cross-multiplied comparisons — no FP anywhere."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_TYPES,
+        GOPHER_MIN_WORDS,
+        GOPHER_TOP_WORD_PCT,
+        GOPHER_UNIQ_PCT,
+        STOPWORDS,
+    )
+
+    stop = _str_list(STOPWORDS)
+    return f"""
+WITH words AS (
+  SELECT doc_id, length(text) AS nc, unnest({WS}) AS word FROM documents
+),
+tf AS (SELECT doc_id, nc, word, count(*) AS tf FROM words GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, nc, sum(tf) AS n_words, count(*) AS n_uniq, max(tf) AS max_tf,
+         sum(CASE WHEN list_contains({stop}, word) THEN 1 ELSE 0 END) AS n_stop_types
+  FROM tf GROUP BY 1, 2
+),
+flags AS (
+  SELECT doc_id, n_words, max_tf, n_uniq, n_stop_types,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS ok_words,
+         ((nc - (n_words - 1)) >= {GOPHER_MIN_MWL} * n_words
+          AND (nc - (n_words - 1)) <= {GOPHER_MAX_MWL} * n_words) AS ok_mean_wlen,
+         (max_tf * 100 <= n_words * {GOPHER_TOP_WORD_PCT}) AS ok_top_word,
+         (n_stop_types >= {GOPHER_MIN_STOP_TYPES}) AS ok_stopwords,
+         (n_uniq * 100 >= n_words * {GOPHER_UNIQ_PCT}) AS ok_uniq_ratio
+  FROM agg
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(max_tf AS INTEGER) AS max_tf,
+       CAST(n_uniq AS INTEGER) AS n_uniq,
+       CAST(n_stop_types AS INTEGER) AS n_stop_types,
+       ok_words, ok_mean_wlen, ok_top_word, ok_stopwords, ok_uniq_ratio,
+       (ok_words AND ok_mean_wlen AND ok_top_word AND ok_stopwords
+        AND ok_uniq_ratio) AS pass_all
+FROM flags"""
+
+
 def _text_oracles() -> dict[str, str]:
     ws = WS
     p = _quality_parts()
@@ -1718,6 +1763,9 @@ FROM dirty d, clean c
 WHERE levenshtein(d.dirty_name, c.p_name) <= {FUZZY_TAU}"""
     return {
         "fuzzy_match_names": fuzzy_sql,
+        # mirrors textops.gopher_rules: every rule an integer
+        # comparison (cross-multiplied ratios), nc rides the tf key
+        "gopher_rules": _gopher_rules_sql(),
         "token_count": f"""
 SELECT doc_id,
        CAST({n_words} AS INTEGER) AS n_ws_tokens,

@@ -513,3 +513,48 @@ def test_curriculum_phases_partition_by_quality(spark, sf_dir):
         assert lo < hi, (p, lo, hi)
     sizes = got.groupby("phase").size()
     assert sizes.min() > 0.5 * len(got) / CURRICULUM_PHASES
+
+
+def test_gopher_rules_constructed_violations(spark):
+    """One crafted doc per rule: each violates exactly the rule it is
+    built to violate (word-count floor, mean-word-length ceiling,
+    top-word repetition cap, stopword floor, uniq-ratio floor), and
+    the good doc passes all five — pinning each flag's direction,
+    which the parity gate alone can't distinguish from an inverted
+    comparison that happens to agree on the real corpus."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        gopher_rules,
+    )
+
+    # 40 distinct 4-char-ish words incl. two stopwords -> passes all
+    good = " ".join(f"wd{i:02d}" for i in range(38)) + " the of"
+    short = "tiny doc the of"  # < 30 words
+    longw = " ".join(f"verylongword{i:04d}" for i in range(38)) + " the of"
+    # 'spam' is 36/40 tokens -> max_tf 90%, uniq 5/40 = 12.5%
+    rep = " ".join(["spam"] * 36) + " the of a to"
+    nostop = " ".join(f"wd{i:02d}" for i in range(40))
+    rows = [(0, good), (1, short), (2, longw), (3, rep), (4, nostop)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = (gopher_rules(docs).toPandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[0, "pass_all"])
+    assert not out.loc[1, "ok_words"] and out.loc[1, "ok_stopwords"]
+    assert not out.loc[2, "ok_mean_wlen"] and out.loc[2, "ok_words"]
+    assert not out.loc[3, "ok_top_word"] and not out.loc[3, "ok_uniq_ratio"]
+    assert not out.loc[4, "ok_stopwords"] and out.loc[4, "ok_uniq_ratio"]
+    assert not out.loc[1:, "pass_all"].any()
+
+
+def test_gopher_rules_splits_real_corpus(docs):
+    """On the synthetic corpus the battery must actually discriminate:
+    both verdicts present, and the integer counts consistent
+    (max_tf <= n_words, n_uniq <= n_words, stop types <= 7)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        gopher_rules,
+    )
+
+    out = gopher_rules(docs).toPandas()
+    assert out.pass_all.any() and (~out.pass_all).any()
+    assert (out.max_tf <= out.n_words).all()
+    assert (out.n_uniq <= out.n_words).all()
+    assert (out.n_stop_types <= 7).all()
