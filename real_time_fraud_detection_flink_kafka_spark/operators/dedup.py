@@ -888,3 +888,68 @@ def dedup_incremental(documents: DataFrame,
                     .otherwise(F.lit("new")).alias("status"),
                    F.coalesce("n_exact", F.lit(0).cast("bigint")).alias("n_exact"),
                    F.coalesce("n_near", F.lit(0).cast("bigint")).alias("n_near")))
+
+
+PARA_W = 16          # words per paragraph-block
+PARA_ENC = 1 << 20   # (doc_id, bidx) -> one orderable bigint key
+
+
+def dedup_paragraph(documents: DataFrame) -> DataFrame:
+    """Paragraph-granularity exact dedup — the MassiveText/CCNet move
+    (Rae et al. 2021 §A1.2 "remove duplicate paragraphs/lines";
+    reference scope: corpus hygiene ahead of ingestion) adapted to a
+    newline-free corpus: paragraphs are the non-overlapping PARA_W-word
+    blocks of each document. Every block is hashed corpus-wide; the
+    FIRST occurrence (lowest (doc_id, block_idx), encoded as one
+    orderable bigint) is the keeper and every other copy is cut; each
+    document re-emits its surviving blocks in order.
+
+    Sits between `dedup_exact` (whole-doc) and `dedup_substring`
+    (arbitrary-offset spans): block-aligned, so one corpus hash pass
+    instead of per-position shingles — the cheap first knife a 100 TB
+    pipeline runs before span-level recovery.
+
+    Scale shape: blocks are built ROW-LOCALLY (transform over a
+    0..n_blocks-1 sequence + posexplode — the array is sliced in one
+    projection, never duplicated per block row); the keeper election
+    is a combinable groupBy(h).agg(min(key)) + co-keyed join back
+    (the dedup_substring skew discipline — never a window over a
+    possibly-hot hash); the per-doc rollup is one more map-side
+    combined groupBy. Cleaned text leaves as clean_md5, not the
+    string — the checked relation stays narrow.
+
+    Determinism: keeper election is an integer min; clean_md5 re-joins
+    kept blocks in block order, so a dup-free document's clean_md5
+    equals md5(text) exactly (pinned by pytest)."""
+    w = PARA_W
+    docs = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws"))
+    n_blocks = F.floor((F.size("ws") + w - 1) / w).cast("int")  # ceil(n/w)
+    blocks_arr = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice("ws", i * w + 1, w)).alias("block"),
+            F.size(F.slice("ws", i * w + 1, w)).alias("n_tok")))
+    b = (docs.select("doc_id", F.posexplode(blocks_arr).alias("bidx", "bs"))
+             .select("doc_id", "bidx",
+                     F.col("bs.block").alias("block"),
+                     F.col("bs.n_tok").alias("n_tok"),
+                     F.md5("bs.block").alias("h")))
+    keep = b.groupBy("h").agg(
+        F.min(F.col("doc_id") * PARA_ENC + F.col("bidx")).alias("keep_key"))
+    j = (b.join(keep, "h")
+          .withColumn("is_dup",
+                      F.col("doc_id") * PARA_ENC + F.col("bidx")
+                      != F.col("keep_key")))
+    kept_sorted = F.array_sort(F.collect_list(
+        F.when(~F.col("is_dup"), F.struct("bidx", "block"))))
+    return (j.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_blocks"),
+                  F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                   .cast("int").alias("n_dup_blocks"),
+                  F.sum("n_tok").cast("int").alias("n_tokens_before"),
+                  F.sum(F.when(~F.col("is_dup"), F.col("n_tok"))
+                         .otherwise(0)).cast("int").alias("n_tokens_after"),
+                  F.md5(F.concat_ws(" ", F.transform(
+                      kept_sorted, lambda s: s["block"])))
+                   .alias("clean_md5")))

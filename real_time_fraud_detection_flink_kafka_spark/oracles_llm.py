@@ -14,6 +14,8 @@ from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     DELTA_MOD,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
+    PARA_ENC,
+    PARA_W,
     SHINGLE_N,
     SIMHASH_BANDS,
     SIMHASH_BITS,
@@ -157,6 +159,31 @@ def llm_oracles() -> dict[str, str]:
 SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
        md5(text) AS text_md5
 FROM documents GROUP BY md5(text)""",
+        # mirrors dedup.dedup_paragraph: same block slicing, integer
+        # keeper election, block-ordered clean-text re-join
+        "dedup_paragraph": f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+),
+blocks AS (
+  SELECT doc_id, i AS bidx,
+         array_to_string(list_slice(ws, i*{PARA_W}+1, i*{PARA_W}+{PARA_W}), ' ') AS block,
+         len(list_slice(ws, i*{PARA_W}+1, i*{PARA_W}+{PARA_W})) AS n_tok
+  FROM docs, unnest(range((len(ws)+{PARA_W}-1)//{PARA_W})) AS t(i)
+),
+hb AS (SELECT *, md5(block) AS h FROM blocks),
+keep AS (SELECT h, min(doc_id*{PARA_ENC}+bidx) AS keep_key FROM hb GROUP BY h),
+j AS (
+  SELECT hb.*, (doc_id*{PARA_ENC}+bidx <> keep_key) AS is_dup
+  FROM hb JOIN keep USING (h)
+)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_blocks,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_blocks,
+       CAST(sum(n_tok) AS INTEGER) AS n_tokens_before,
+       CAST(sum(CASE WHEN is_dup THEN 0 ELSE n_tok END) AS INTEGER) AS n_tokens_after,
+       md5(coalesce(string_agg(block, ' ' ORDER BY bidx)
+                    FILTER (WHERE NOT is_dup), '')) AS clean_md5
+FROM j GROUP BY doc_id""",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         # verified-LSH output == exact output at this data's dup
         # profile (r=2/b=8 band curve; see operators/dedup.py docs)

@@ -321,3 +321,54 @@ def test_dedup_substring_incremental_equals_filtered_full(spark, sf_dir):
     got = sorted((r["doc_id"], r["span_start"], r["span_len"])
                  for r in dedup_substring_incremental(fixture).collect())
     assert got == [(0, 1, 8), (0, 11, 8)]
+
+
+def test_dedup_paragraph_reconstruction_identity(spark, sf_dir):
+    """A document with zero duplicate blocks must reconstruct EXACTLY:
+    clean_md5 == md5(text) and token counts unchanged — the blocks
+    partition the word sequence, so the ' '-join of kept blocks is the
+    original text. Dup-bearing docs must strictly shrink."""
+    import pyspark.sql.functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_paragraph,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_paragraph(docs)
+    joined = out.join(
+        docs.select("doc_id", F.md5(F.trim("text")).alias("orig_md5")),
+        "doc_id").toPandas()
+    clean = joined[joined.n_dup_blocks == 0]
+    dirty = joined[joined.n_dup_blocks > 0]
+    assert len(clean) > 0 and len(dirty) > 0  # corpus exercises both
+    assert (clean.clean_md5 == clean.orig_md5).all()
+    assert (clean.n_tokens_after == clean.n_tokens_before).all()
+    assert (dirty.n_tokens_after < dirty.n_tokens_before).all()
+
+
+def test_dedup_paragraph_keeper_is_first_occurrence(spark):
+    """Cross-doc and within-doc duplicate blocks: the lowest
+    (doc_id, block_idx) copy survives, every other copy is cut."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        PARA_W,
+        dedup_paragraph,
+    )
+
+    blk_a = " ".join(f"a{i}" for i in range(PARA_W))
+    blk_b = " ".join(f"b{i}" for i in range(PARA_W))
+    blk_c = " ".join(f"c{i}" for i in range(PARA_W))
+    blk_d = " ".join(f"d{i}" for i in range(PARA_W))
+    rows = [
+        (0, f"{blk_a} {blk_b}"),          # first occurrences: keeps both
+        (1, f"{blk_c} {blk_a}"),          # blk_a dup (cross-doc)
+        (2, f"{blk_d} {blk_d}"),          # within-doc: 2nd copy cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraph(docs).collect()}
+    assert out[0]["n_dup_blocks"] == 0
+    assert out[1]["n_dup_blocks"] == 1
+    assert out[1]["n_tokens_after"] == PARA_W  # blk_c only
+    assert out[2]["n_dup_blocks"] == 1
+    assert out[2]["n_tokens_after"] == PARA_W
