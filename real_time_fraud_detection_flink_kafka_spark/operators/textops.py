@@ -300,6 +300,49 @@ BM25_TOPN = 20
 BM25_SCALE = 1_000_000  # fixed-point scale for the order-free term sum
 
 
+def bm25_scored(documents: DataFrame) -> DataFrame:
+    """The (doc_id, n_terms, fp) BM25 relation behind
+    `bm25_more_like_this`, exposed so `retrieval.hybrid_rrf` can fuse
+    the SAME ranking without re-deriving it — fp is the order-free
+    fixed-point score sum (see bm25_more_like_this for the plan and
+    determinism contract)."""
+    tf, dfq, stats, _qid = _bm25_parts(documents)
+    term_fp = _bm25_term_fp()
+    return (tf.join(F.broadcast(dfq), "word")
+              .join(F.broadcast(stats))
+              .where(F.col("doc_id") != F.col("_qid"))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
+                   F.sum(term_fp).alias("fp")))
+
+
+def _bm25_parts(documents: DataFrame):
+    words = documents.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("dl"),
+        F.explode(_words(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "dl", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qid = documents.agg(F.min("doc_id").alias("_qid"))
+    qterms = (words.join(F.broadcast(qid),
+                         F.col("doc_id") == F.col("_qid"))
+                   .select("word", "_qid").distinct())
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum(F.size(_words(F.col("text")))) /
+         F.count(F.lit(1))).alias("_avgdl"))
+    dfq = dfr.join(F.broadcast(qterms), "word")
+    return tf, dfq, stats, qid
+
+
+def _bm25_term_fp():
+    idf = F.log(1 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    den = (F.col("tf") + BM25_K1 *
+           (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")))
+    return F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / den
+                   * BM25_SCALE).cast("bigint")
+
+
 def bm25_more_like_this(documents: DataFrame,
                         topn: int = BM25_TOPN) -> DataFrame:
     """BM25 related-document retrieval — the IR ranker next to
@@ -325,32 +368,7 @@ def bm25_more_like_this(documents: DataFrame,
     trade, stated there)."""
     from pyspark.sql import Window
 
-    words = documents.select(
-        "doc_id", F.size(_words(F.col("text"))).alias("dl"),
-        F.explode(_words(F.col("text"))).alias("word"))
-    tf = words.groupBy("doc_id", "dl", "word").agg(
-        F.count(F.lit(1)).alias("tf"))
-    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    qid = documents.agg(F.min("doc_id").alias("_qid"))
-    qterms = (words.join(F.broadcast(qid),
-                         F.col("doc_id") == F.col("_qid"))
-                   .select("word", "_qid").distinct())
-    stats = documents.agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        (F.sum(F.size(_words(F.col("text")))) /
-         F.count(F.lit(1))).alias("_avgdl"))
-    dfq = dfr.join(F.broadcast(qterms), "word")
-    idf = F.log(1 + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    den = (F.col("tf") + BM25_K1 *
-           (1 - BM25_B + BM25_B * F.col("dl") / F.col("_avgdl")))
-    term_fp = F.round(idf * (F.col("tf") * (BM25_K1 + 1)) / den
-                      * BM25_SCALE).cast("bigint")
-    scored = (tf.join(F.broadcast(dfq), "word")
-                .join(F.broadcast(stats))
-                .where(F.col("doc_id") != F.col("_qid"))
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("int").alias("n_terms"),
-                     F.sum(term_fp).alias("fp")))
+    scored = bm25_scored(documents)
     top = scored.orderBy(F.desc("fp"), F.asc("doc_id")).limit(topn)
     w = Window.orderBy(F.desc("fp"), F.asc("doc_id"))
     return (top.withColumn("rnk", F.row_number().over(w))

@@ -303,6 +303,7 @@ sizes AS (SELECT canonical, count(*) AS cluster_size FROM labels GROUP BY 1)
 SELECT l.id AS doc_id, l.canonical AS canonical_id, s.cluster_size
 FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_similarity_oracles(),
+        **_retrieval_oracles(),
         **_pq_oracles(),
         **_sq_oracles(),
         **_jl_oracles(),
@@ -1470,6 +1471,80 @@ LEFT JOIN rr_top rr2 USING (query_id, neighbor_id)
 GROUP BY 1""")
     return {"jl_project": project_sql, "ann_jl": jl_sql,
             "ann_jl_rerank": rerank_sql, "ann_jl_recall": recall_sql}
+
+
+def _retrieval_oracles() -> dict[str, str]:
+    """Mirrors operators/retrieval.hybrid_rrf: bm25's scored CTE +
+    ann_topk's cosine, each rank-truncated to RRF_POOL, fused with
+    EXACT bigint floor divisions RRF_SCALE // (RRF_K + rank)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        RRF_K,
+        RRF_POOL,
+        RRF_SCALE,
+        RRF_TOPN,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_SCALE,
+    )
+
+    ws = WS
+    return {
+        "hybrid_rrf": f"""
+WITH words AS (
+  SELECT doc_id, len({ws}) AS dl, unnest({ws}) AS word FROM documents
+),
+tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM words GROUP BY 1, 2, 3),
+dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+qid AS (SELECT min(doc_id) AS _qid FROM documents),
+qterms AS (SELECT DISTINCT word, _qid FROM words, qid WHERE doc_id = _qid),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS _n,
+                 (sum(len({ws})) / count(*)) AS _avgdl
+          FROM documents),
+dfq AS (SELECT word, df, _qid FROM dfr JOIN qterms USING (word)),
+scored AS (
+  SELECT doc_id,
+         sum(CAST(round(ln(1 + (_n - df + 0.5) / (df + 0.5))
+             * (tf * ({BM25_K1} + 1))
+             / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / _avgdl))
+             * {BM25_SCALE}) AS BIGINT)) AS fp
+  FROM tf JOIN dfq USING (word) CROSS JOIN stats
+  WHERE doc_id <> _qid GROUP BY 1
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY fp DESC, doc_id) AS rank_lex
+    FROM scored) WHERE rank_lex <= {RRF_POOL}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv, vec_id AS _q FROM e, qid WHERE vec_id = _qid),
+semj AS (
+  SELECT e.vec_id AS doc_id, {_cos_sql('qv', 'v')} AS cos_raw
+  FROM e, q WHERE e.vec_id <> _q
+),
+sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS rank_sem
+    FROM semj) WHERE rank_sem <= {RRF_POOL}
+),
+fused AS (
+  SELECT doc_id, coalesce(rank_lex, 0) AS rank_lex,
+         coalesce(rank_sem, 0) AS rank_sem,
+         (CASE WHEN coalesce(rank_lex, 0) > 0
+               THEN {RRF_SCALE} // ({RRF_K} + rank_lex) ELSE 0 END
+          + CASE WHEN coalesce(rank_sem, 0) > 0
+                 THEN {RRF_SCALE} // ({RRF_K} + rank_sem) ELSE 0 END) AS rrf_fp
+  FROM lex FULL JOIN sem USING (doc_id)
+)
+SELECT doc_id, CAST(rnk AS INTEGER) AS rnk,
+       CAST(rank_lex AS INTEGER) AS rank_lex,
+       CAST(rank_sem AS INTEGER) AS rank_sem,
+       round(rrf_fp / {float(RRF_SCALE)!r}, 6) AS rrf
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS rnk
+      FROM fused) t
+WHERE rnk <= {RRF_TOPN}""",
+    }
 
 
 def _similarity_oracles() -> dict[str, str]:

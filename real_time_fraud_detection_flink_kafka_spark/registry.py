@@ -183,6 +183,7 @@ for _name, _fn in _ANALYTICS_BUILDERS.items():
 from real_time_fraud_detection_flink_kafka_spark.operators import (
     dedup,
     multimodal,
+    retrieval,
     similarity,
     textops,
 )
@@ -272,6 +273,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_slope": lambda s, d: pipeline_ops.zipf_slope(load_table(s, d, "documents")),
     "source_overlap": lambda s, d: pipeline_ops.source_overlap(load_table(s, d, "documents")),
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
+    "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),
     "label_outliers": lambda s, d: similarity.label_outliers(load_table(s, d, "embeddings")),
 }

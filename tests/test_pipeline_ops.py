@@ -558,3 +558,33 @@ def test_gopher_rules_splits_real_corpus(docs):
     assert (out.max_tf <= out.n_words).all()
     assert (out.n_uniq <= out.n_words).all()
     assert (out.n_stop_types <= 7).all()
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """RRF fusion contract: dense ranks, every fused row backed by at
+    least one source list, the champion's score at least the floor a
+    rank-1 single-list doc guarantees (floor(SCALE/(K+1))/SCALE), and
+    the plan uses TakeOrderedAndProject heaps with no CartesianProduct
+    (broadcast NLJ for the 1-row query joins is the intended shape)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        RRF_K,
+        RRF_POOL,
+        RRF_SCALE,
+        RRF_TOPN,
+        hybrid_rrf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = hybrid_rrf(docs, emb)
+    plan = _plan(df, spark)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    out = df.toPandas()
+    assert sorted(out.rnk) == list(range(1, RRF_TOPN + 1))
+    assert ((out.rank_lex > 0) | (out.rank_sem > 0)).all()
+    assert (out.rank_lex <= RRF_POOL).all() and (out.rank_sem <= RRF_POOL).all()
+    floor_top = (RRF_SCALE // (RRF_K + 1)) / RRF_SCALE
+    assert out.loc[out.rnk == 1, "rrf"].iloc[0] >= round(floor_top, 6)
+    # fused scores non-increasing in rank
+    assert (out.sort_values("rnk").rrf.diff().dropna() <= 0).all()
