@@ -735,6 +735,71 @@ def ann_ivf_learned(embeddings: DataFrame, k: int = TOP_K,
                    nprobe=nprobe, centroids=kmeans_cells(embeddings, k=n_cells))
 
 
+def _ivf_assigned(embeddings: DataFrame,
+                  n_cells: int | None = None) -> DataFrame:
+    """(vec_id, v, v_norm, cell): every vector with its seeded-IVF
+    cell — broadcast(centroids) × one corpus scan, map-side `max_by`
+    argmax, one shuffled row per vector (shared by
+    `dedup_embedding_blocked` and `knn_graph`; assignment ordering is
+    identical to `ann_ivf`'s arn=1)."""
+    e = _vecs(embeddings)
+    if n_cells is None:
+        seed = (e.crossJoin(F.broadcast(ivf_cell_params(embeddings)))
+                 .where(F.col("vec_id") < F.col("_cells")))
+    else:
+        seed = e.where(F.col("vec_id") < n_cells)
+    cents = seed.select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"))
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+    return (e.join(F.broadcast(cents))
+             .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
+             .groupBy("vec_id")
+             .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
+                  F.first("v").alias("v"),
+                  F.first("v_norm").alias("v_norm")))
+
+
+KNN_K = 5
+
+
+def knn_graph(embeddings: DataFrame, k: int = KNN_K,
+              n_cells: int | None = None) -> DataFrame:
+    """k-NN graph over the embedding corpus, cell-blocked: each
+    vector's top-`k` cosine neighbors WITHIN its IVF cell — the
+    construction step for graph-based curation (SemDeDup cluster
+    audits, diversity sampling, label-propagation seeds) at the same
+    sub-quadratic candidate bound as `dedup_embedding_blocked`
+    (Σ|cell|²/corpus, never n²). Cross-cell edges are traded away by
+    construction; `ann_recall_compare` measures that trade honestly.
+
+    Scale shape: shared `_ivf_assigned` (broadcast centroids, one
+    shuffled row per vector), self-join keyed ON the cell, per-vector
+    row_number window (partitioned by vec_id — no global sort, no hot
+    key beyond cell size, which the scale-aware cell count keeps
+    ~constant).
+
+    Degree ≤ k (singleton-cell vectors emit no rows); rank breaks
+    cosine ties on nbr_id — same raw-double ordering trade as
+    `ann_topk`, stated there."""
+    from pyspark.sql import Window
+
+    assigned = _ivf_assigned(embeddings, n_cells)
+    a = assigned.select("cell", "vec_id",
+                        F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = assigned.select("cell", F.col("vec_id").alias("nbr_id"),
+                        F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    pairs = a.join(b, "cell").where(F.col("vec_id") != F.col("nbr_id"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (pairs.select("vec_id", "nbr_id", "cell", cos.alias("cos_raw"))
+                 .withColumn("rnk", F.row_number().over(w))
+                 .where(F.col("rnk") <= k)
+                 .select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"),
+                         F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                         F.col("cell").cast("long").alias("cell")))
+
+
 def dedup_embedding_blocked(embeddings: DataFrame,
                             threshold: float = COS_THRESHOLD,
                             n_cells: int | None = None) -> DataFrame:
@@ -759,22 +824,7 @@ def dedup_embedding_blocked(embeddings: DataFrame,
     via `ivf_cells_for` — one cell per IVF_DIV vectors, a 1-row count
     broadcast replayed integer-exactly by the oracle — so within-cell
     candidate pairs per row stay ~constant as the corpus grows."""
-    e = _vecs(embeddings)
-    if n_cells is None:
-        seed = (e.crossJoin(F.broadcast(ivf_cell_params(embeddings)))
-                 .where(F.col("vec_id") < F.col("_cells")))
-    else:
-        seed = e.where(F.col("vec_id") < n_cells)
-    cents = seed.select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
-        F.col("v_norm").alias("c_norm"))
-    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
-    assigned = (e.join(F.broadcast(cents))
-                 .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
-                 .groupBy("vec_id")
-                 .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
-                      F.first("v").alias("v"),
-                      F.first("v_norm").alias("v_norm")))
+    assigned = _ivf_assigned(embeddings, n_cells)
     a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
                         F.col("v").alias("va"), F.col("v_norm").alias("na"))
     b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),

@@ -1693,6 +1693,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # similarity.dedup_embedding_blocked (assignment ordering
         # identical to _ivf_tail's arn=1; full table, no slice)
         "dedup_embedding_blocked": _blocked_pairs_sql(),
+        "knn_graph": _knn_graph_sql(),
         # blocked pairs → recursive-CTE closure → quality-argmax
         # canonical per cluster — mirrors similarity.semantic_canonicalize
         "semantic_canonicalize": _semantic_canonicalize_sql(),
@@ -1723,6 +1724,42 @@ JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE a.vec_id < b.vec_id
   AND {_cos_sql('ea.v', 'eb.v')} >= {COS_THRESHOLD!r}""")
+
+
+def _knn_graph_sql() -> str:
+    """Mirrors similarity.knn_graph: same scale-aware cell count and
+    arn=1 assignment as _blocked_pairs_sql, per-vector top-k window."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import KNN_K
+
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+"""
+            + (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
+               " AS cells FROM e),\n")
+            + "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
+              " WHERE vec_id < cells),\n"
+            + f"""ac AS (
+  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+),
+assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+j AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, a.cell,
+         {_cos_sql('ea.v', 'eb.v')} AS cos_raw
+  FROM assigned a JOIN assigned b USING (cell)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_raw DESC, nbr_id) AS rnk
+  FROM j
+)
+SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
+       round(cos_raw, 6) AS cos_sim, CAST(cell AS BIGINT) AS cell
+FROM r WHERE rnk <= {KNN_K}""")
 
 
 def _semantic_canonicalize_sql() -> str:

@@ -318,3 +318,30 @@ def test_label_outliers_are_farthest_per_label(spark, sf_dir):
     for lbl, grp in out.groupby("label"):
         d = grp.sort_values("rnk")["dist2"].to_numpy()
         assert (d[:-1] >= d[1:]).all(), lbl
+
+
+def test_knn_graph_degree_and_rank_contiguity(spark, sf_dir):
+    """Graph contract: per-vector ranks are contiguous 1..deg with
+    deg <= KNN_K, every edge stays inside one cell (nbr's cell equals
+    the vector's), and rank order is non-increasing in cosine."""
+    import pandas as pd
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+        knn_graph,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    out = knn_graph(load_table(spark, sf_dir, "embeddings")).toPandas()
+    assert len(out) > 0
+    for _vid, g in out.groupby("vec_id"):
+        assert sorted(g.rnk) == list(range(1, len(g) + 1))
+        assert len(g) <= KNN_K
+        by_rnk = g.sort_values("rnk")
+        assert (by_rnk.cos_sim.diff().dropna() <= 1e-12).all()
+    cell_of = out.drop_duplicates("vec_id").set_index("vec_id")["cell"]
+    nbr_cells = out.nbr_id.map(cell_of)
+    # nbr may have no out-edges (singleton after k-cut is impossible,
+    # but keep the check on rows where the nbr appears as a source)
+    mask = nbr_cells.notna()
+    assert (out.cell[mask] == nbr_cells[mask]).all()
