@@ -1121,3 +1121,57 @@ def curriculum_phases(documents: DataFrame,
         F.col("ts"), lambda t: F.col("quality") > t))).cast("bigint")
     return (qd.crossJoin(F.broadcast(ts))
             .select("doc_id", "quality", phase.alias("phase")))
+
+
+TEMP_ALPHA = 0.3        # mT5/XLM-R temperature exponent
+TEMP_WEIGHT_SCALE = 10 ** 9  # fixed-point p^alpha weights
+
+
+def temperature_mix(documents: DataFrame,
+                    alpha: float = TEMP_ALPHA) -> DataFrame:
+    """Temperature-scaled source sampling (mT5 / XLM-R, Conneau et
+    al. 2020): blend shares q_s ∝ p_s^α flatten the source
+    distribution (α<1 upsamples small sources, α=1 is proportional =
+    keep everything), realized as per-source keep rates with the max
+    feasible blend N* = min_s(tokens_s / q_s) — the POLICY cousin of
+    `mix_rebalance` (there the blend is user-given; here it is
+    derived from the corpus itself).
+
+    Scale shape: identical to mix_rebalance — one groupBy(source)
+    with map-side partials, |sources|-row arithmetic, broadcast rates
+    joined back onto the scan (the corpus never shuffles); the keep
+    decision is the shared deterministic md5 gate.
+
+    Determinism: the only cross-row reductions are an INTEGER sum of
+    fixed-point weights (round(p^α·1e9) bigint — order-free) and a
+    min over per-row doubles; every double op is per-row with a fixed
+    operation order, so the oracle replays it bit-for-bit. pow()'s
+    last ulp can flip the weight round only exactly at a 5e-10
+    boundary (the tfidf ln() trade, stated there)."""
+    per_src = tracked_persist(
+        documents
+        .select("source", F.size(_words(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("tokens_s")))
+    tot = per_src.agg(F.sum("tokens_s").alias("_tot"))
+    wts = (per_src.crossJoin(F.broadcast(tot))
+           .withColumn("pa_fp",
+                       F.round(F.pow(F.col("tokens_s") / F.col("_tot"),
+                                     F.lit(alpha)) * TEMP_WEIGHT_SCALE)
+                        .cast("bigint")))
+    z = wts.agg(F.sum("pa_fp").alias("_z"))
+    wq = (wts.crossJoin(F.broadcast(z))
+             .withColumn("q", F.col("pa_fp") / F.col("_z")))
+    ns = wq.agg(F.min(F.col("tokens_s") / F.col("q")).alias("_nstar"))
+    rates = (wq.crossJoin(F.broadcast(ns))
+               .select("source",
+                       F.least(F.lit(1.0),
+                               F.col("q") * F.col("_nstar") / F.col("tokens_s"))
+                        .alias("rate")))
+    bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")),
+                    F.lit(SAMPLE_MOD))
+    return (documents.join(F.broadcast(rates), "source")
+            .where(bucket < F.floor(F.col("rate") * SAMPLE_MOD))
+            .select("doc_id", "source",
+                    F.floor(F.col("rate") * SAMPLE_MOD)
+                     .cast("int").alias("rate_bp")))

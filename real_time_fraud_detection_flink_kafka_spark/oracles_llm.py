@@ -598,6 +598,8 @@ def _pipeline_oracles() -> dict[str, str]:
         DUP_BIGRAM_MAX,
         EVAL_MOD,
         MIX_TARGET_PPM,
+        TEMP_ALPHA,
+        TEMP_WEIGHT_SCALE,
         PACK_BUDGET,
         QUALITY_GATE_Q,
         PACK_SHARDS,
@@ -739,6 +741,29 @@ WITH per AS (
 ), ns AS (SELECT min(tokens_s / w) AS nstar FROM wts),
 rates AS (
   SELECT source, least(1.0, w * nstar / tokens_s) AS rate FROM wts, ns
+)
+SELECT doc_id, source,
+       CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
+FROM documents JOIN rates USING (source)
+WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
+        # mirrors pipeline.temperature_mix: fixed-point p^alpha
+        # weights (integer sum, order-free), per-row double rate
+        # arithmetic in the identical op order, shared md5 gate
+        "temperature_mix": f"""
+WITH per AS (
+  SELECT source, sum(len(string_split(trim(text), ' '))) AS tokens_s
+  FROM documents GROUP BY 1
+), tot AS (SELECT sum(tokens_s) AS _tot FROM per),
+wts AS (
+  SELECT source, tokens_s,
+         CAST(round(pow(tokens_s / _tot, {TEMP_ALPHA!r})
+                    * {TEMP_WEIGHT_SCALE}) AS BIGINT) AS pa_fp
+  FROM per, tot
+), z AS (SELECT sum(pa_fp) AS _z FROM wts),
+wq AS (SELECT source, tokens_s, pa_fp / _z AS q FROM wts, z),
+ns AS (SELECT min(tokens_s / q) AS _nstar FROM wq),
+rates AS (
+  SELECT source, least(1.0, q * _nstar / tokens_s) AS rate FROM wq, ns
 )
 SELECT doc_id, source,
        CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp

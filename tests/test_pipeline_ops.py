@@ -588,3 +588,36 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
     assert out.loc[out.rnk == 1, "rrf"].iloc[0] >= round(floor_top, 6)
     # fused scores non-increasing in rank
     assert (out.sort_values("rnk").rrf.diff().dropna() <= 0).all()
+
+
+def test_temperature_mix_flattens_and_degenerates(spark, sf_dir):
+    """The two defining temperature-sampling properties: (1) at
+    alpha<1 keep rates are anti-monotone in source size — the binding
+    (most-upsampled) source keeps everything while the largest source
+    is cut hardest; (2) at alpha=1 the policy degenerates to
+    proportional sampling, i.e. EVERY source keeps rate 1."""
+    import pyspark.sql.functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        SAMPLE_MOD,
+        temperature_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(docs).toPandas()
+    rates = out.drop_duplicates("source").set_index("source")["rate_bp"]
+    sizes = (docs.select("source", F.size(F.split(F.trim("text"), " "))
+                         .alias("nt"))
+                 .groupBy("source").agg(F.sum("nt").alias("tokens_s"))
+                 .toPandas().set_index("source")["tokens_s"])
+    assert rates.max() == SAMPLE_MOD           # binding source kept whole
+    assert rates.min() < SAMPLE_MOD            # someone is downsampled
+    joined = rates.to_frame().join(sizes.to_frame())
+    # anti-monotone: ordering by size must reverse ordering by rate
+    srt = joined.sort_values("tokens_s")
+    assert (srt.rate_bp.diff().dropna() <= 0).all()
+    # alpha=1 -> q_s = p_s -> proportional: every rate is 1 up to the
+    # 1e-9 fixed-point weight rounding (>= 9999 bp), nobody upsampled
+    flat = temperature_mix(docs, alpha=1.0).toPandas()
+    assert (flat.rate_bp >= SAMPLE_MOD - 1).all()
+    assert len(flat) >= 0.999 * docs.count()
