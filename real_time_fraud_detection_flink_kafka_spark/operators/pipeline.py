@@ -1148,6 +1148,14 @@ def temperature_mix(documents: DataFrame,
     operation order, so the oracle replays it bit-for-bit. pow()'s
     last ulp can flip the weight round only exactly at a 5e-10
     boundary (the tfidf ln() trade, stated there)."""
+    return apply_mix_gate(documents, temperature_rates(documents, alpha))
+
+
+def temperature_rates(documents: DataFrame,
+                      alpha: float = TEMP_ALPHA) -> DataFrame:
+    """The trained side of `temperature_mix`: the |sources|-row
+    (source, rate) relation — reusable as a broadcast model by the
+    streaming twin (`streaming.corpus.run_temperature_mix_stream`)."""
     per_src = tracked_persist(
         documents
         .select("source", F.size(_words(F.col("text"))).alias("nt"))
@@ -1163,11 +1171,17 @@ def temperature_mix(documents: DataFrame,
     wq = (wts.crossJoin(F.broadcast(z))
              .withColumn("q", F.col("pa_fp") / F.col("_z")))
     ns = wq.agg(F.min(F.col("tokens_s") / F.col("q")).alias("_nstar"))
-    rates = (wq.crossJoin(F.broadcast(ns))
-               .select("source",
-                       F.least(F.lit(1.0),
-                               F.col("q") * F.col("_nstar") / F.col("tokens_s"))
-                        .alias("rate")))
+    return (wq.crossJoin(F.broadcast(ns))
+              .select("source",
+                      F.least(F.lit(1.0),
+                              F.col("q") * F.col("_nstar") / F.col("tokens_s"))
+                       .alias("rate")))
+
+
+def apply_mix_gate(documents: DataFrame, rates: DataFrame) -> DataFrame:
+    """Row-local md5 keep gate against a broadcast (source, rate)
+    relation — shared by `temperature_mix` and its streaming twin
+    (zero state: the gate is a filter, not an aggregation)."""
     bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")),
                     F.lit(SAMPLE_MOD))
     return (documents.join(F.broadcast(rates), "source")

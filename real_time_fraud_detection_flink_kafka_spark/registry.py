@@ -510,6 +510,22 @@ def _stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("stream_dsir_weights", _stream_dsir, _LLM_ORACLES["dsir_weights"])
 
 
+def _stream_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_temperature_mix_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_temperature_mix_stream(
+        spark, sf_dir, query_name=f"temp_mix_stream_{_STREAM_COUNTER['n']}")
+
+
+# batch-trained per-source keep rates gating a document stream
+# row-locally: zero state, append mode, equals batch temperature_mix
+register("stream_temperature_mix", _stream_temp_mix,
+         _LLM_ORACLES["temperature_mix"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

@@ -448,3 +448,28 @@ def run_dsir_weights_stream(spark, sf_dir: str,
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_temperature_mix_stream(spark, sf_dir: str,
+                               query_name: str = "temp_mix_stream") -> DataFrame:
+    """Temperature sampling AT INTAKE: the per-source keep rates are
+    trained on the BATCH corpus (`temperature_rates` — a |sources|-row
+    broadcast model) and applied to documents arriving as a file
+    stream through the shared row-local md5 gate (`apply_mix_gate`) —
+    the offline-trained / online-gated shape of `run_dsir_weights_stream`
+    with ZERO stateful aggregations (the gate is a filter), so append
+    mode streams kept rows straight through and the drained result
+    equals batch `temperature_mix` exactly (shared oracle)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        apply_mix_gate,
+        temperature_rates,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    rates = temperature_rates(load_table(spark, sf_dir, "documents"))
+    out = apply_mix_gate(_documents_stream(spark, sf_dir), rates)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
