@@ -441,3 +441,41 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         ok_top.alias("ok_top_word"), ok_stop.alias("ok_stopwords"),
         ok_uniq.alias("ok_uniq_ratio"),
         (ok_words & ok_mwl & ok_top & ok_stop & ok_uniq).alias("pass_all"))
+
+
+ENTROPY_SCALE = 1_000_000  # fixed-point tf·ln(tf) terms
+
+
+def word_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution —
+    H = ln(n) − (1/n)·Σ_w tf_w·ln(tf_w) — plus the ln(n)-normalized
+    variant in [0,1]: the information-density quality signal between
+    `quality_score`'s ratio heuristics and `repetition_stats`' n-gram
+    counts (low entropy ⇔ template/boilerplate text, the classic
+    pre-filter cut).
+
+    Scale shape: the gopher_rules discipline — two map-side-combined
+    shuffles keyed by doc_id(±word), no joins, no windows.
+
+    Determinism: each tf·ln(tf) term is FIXED-POINT (round(·1e6)
+    bigint) so the per-doc sum is order-free; ln() runs on
+    identical integer-valued doubles in both engines (the tfidf
+    trade); the final H is per-row double arithmetic in one fixed
+    op order."""
+    words = documents.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    term_fp = F.round(F.col("tf") * F.log(F.col("tf"))
+                      * ENTROPY_SCALE).cast("bigint")
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.sum(term_fp).alias("s_fp"))
+    n = F.col("n_words")
+    h = F.log(n) - (F.col("s_fp") / ENTROPY_SCALE) / n
+    norm = F.when(n > 1, h / F.log(n)).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id", n.cast("int").alias("n_words"),
+        F.col("n_uniq").cast("int").alias("n_uniq"),
+        F.round(h, 6).alias("entropy"),
+        F.round(norm, 6).alias("norm_entropy"))

@@ -44,6 +44,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
     BPE_PATTERN,
+    ENTROPY_SCALE,
     LANG_MARKERS,
     STOPWORDS,
 )
@@ -1930,6 +1931,24 @@ WHERE levenshtein(d.dirty_name, c.p_name) <= {FUZZY_TAU}"""
         # mirrors textops.gopher_rules: every rule an integer
         # comparison (cross-multiplied ratios), nc rides the tf key
         "gopher_rules": _gopher_rules_sql(),
+        # mirrors textops.word_entropy: fixed-point tf·ln(tf) terms
+        # (order-free bigint sum), per-row double H in one op order
+        "word_entropy": f"""
+WITH words AS (SELECT doc_id, unnest({ws}) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(tf) AS n_words, count(*) AS n_uniq,
+         sum(CAST(round(tf * ln(tf) * {ENTROPY_SCALE}) AS BIGINT)) AS s_fp
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_uniq AS INTEGER) AS n_uniq,
+       round(ln(n_words) - (s_fp / {ENTROPY_SCALE}) / n_words, 6) AS entropy,
+       round(CASE WHEN n_words > 1
+                  THEN (ln(n_words) - (s_fp / {ENTROPY_SCALE}) / n_words)
+                       / ln(n_words)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM agg""",
         "token_count": f"""
 SELECT doc_id,
        CAST({n_words} AS INTEGER) AS n_ws_tokens,

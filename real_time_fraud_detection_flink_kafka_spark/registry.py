@@ -232,6 +232,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": lambda s, d: textops.tfidf_topk(load_table(s, d, "documents")),
     "bm25_more_like_this": lambda s, d: textops.bm25_more_like_this(load_table(s, d, "documents")),
     "gopher_rules": lambda s, d: textops.gopher_rules(load_table(s, d, "documents")),
+    "word_entropy": lambda s, d: textops.word_entropy(load_table(s, d, "documents")),
     "multimodal_meta": lambda s, d: multimodal.multimodal_meta(load_table(s, d, "documents")),
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),

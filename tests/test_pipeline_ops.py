@@ -621,3 +621,28 @@ def test_temperature_mix_flattens_and_degenerates(spark, sf_dir):
     flat = temperature_mix(docs, alpha=1.0).toPandas()
     assert (flat.rate_bp >= SAMPLE_MOD - 1).all()
     assert len(flat) >= 0.999 * docs.count()
+
+
+def test_word_entropy_bounds_and_extremes(spark):
+    """Entropy contract on constructed docs: an all-same-word doc
+    scores exactly 0 (and norm 0), an all-distinct doc scores exactly
+    ln(n) (norm 1), and every real doc lands strictly between;
+    norm_entropy is always in [0, 1]."""
+    import math
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        word_entropy,
+    )
+
+    rows = [
+        (0, " ".join(["same"] * 50)),
+        (1, " ".join(f"w{i}" for i in range(50))),
+        (2, " ".join(["a"] * 25 + ["b"] * 25)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["norm_entropy"] == 0.0
+    assert abs(out[1]["entropy"] - round(math.log(50), 6)) < 1e-6
+    assert out[1]["norm_entropy"] == 1.0
+    assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-5
+    assert 0.0 < out[2]["norm_entropy"] < 1.0
