@@ -953,3 +953,72 @@ def dedup_paragraph(documents: DataFrame) -> DataFrame:
                   F.md5(F.concat_ws(" ", F.transform(
                       kept_sorted, lambda s: s["block"])))
                    .alias("clean_md5")))
+
+
+# prefix-filtering constants: threshold 0.8 as the exact rational 4/5
+PP_NUM, PP_DEN = 4, 5
+
+
+def dedup_ppjoin(documents: DataFrame,
+                 threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (PPJoin-style, Xiao
+    et al. WWW'08) — the EXACT-COMPLETE scale path for the n-gram
+    Jaccard contract, next to the probabilistic `dedup_minhash_lsh`:
+    any pair with Jaccard ≥ τ must share at least one token in each
+    set's PREFIX (its p = s − ⌈τ·s⌉ + 1 rarest tokens under one
+    global total order), so candidates come from a self-join keyed
+    only on RARE tokens — the common tokens that make the naive
+    shingle self-join quadratic never enter the join. Identical
+    output to `dedup_ngram_jaccard` by the prefix-filtering
+    completeness theorem (equivalence pytest-pinned; shares its
+    oracle).
+
+    Scale shape: token df is one vocab-bounded combinable groupBy;
+    the global token order is (df, sh_h) — NO global rank/sort, each
+    doc ranks only its own tokens (per-doc window, keyed by doc_id);
+    the candidate join is keyed by prefix token, whose fan-out is
+    bounded by that token's df (rare by construction); verification
+    re-joins the two bounded candidate columns against per-doc hash
+    SETS and intersects row-locally. Size filter 5·min ≥ 4·max
+    (τ = 4/5 cross-multiplied, integer-exact) prunes before the
+    verify join.
+
+    Determinism: candidates are exact set logic; the final jaccard is
+    the same n_common/(n_a+n_b−n_common) rounded to 6 dp and
+    thresholded AFTER rounding, exactly as `dedup_ngram_jaccard`."""
+    from pyspark.sql import Window
+
+    sh = tracked_persist(
+        shingles(spread(documents))
+        .select("doc_id", H.md5_int60(F.col("shingle")).alias("sh_h")))
+    dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shd = sh.join(dfr, "sh_h").join(sizes, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    prefix_len = F.expr(
+        f"n_sh - (({PP_NUM} * n_sh + {PP_NUM}) div {PP_DEN}) + 1")
+    prefix = (shd.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") <= prefix_len)
+                 .select("doc_id", "sh_h", "n_sh"))
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh_h",
+                      F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "sh_h",
+                      F.col("n_sh").alias("n_b"))
+    cand = (a.join(b, "sh_h")
+             .where((F.col("doc_a") < F.col("doc_b"))
+                    & (PP_DEN * F.least("n_a", "n_b")
+                       >= PP_NUM * F.greatest("n_a", "n_b")))
+             .select("doc_a", "doc_b", "n_a", "n_b").distinct())
+    hsets = shingle_sets(documents).select(
+        "doc_id",
+        F.transform("sh_set", lambda s: H.md5_int60(s)).alias("hset"))
+    sa = hsets.select(F.col("doc_id").alias("doc_a"),
+                      F.col("hset").alias("set_a"))
+    sb = hsets.select(F.col("doc_id").alias("doc_b"),
+                      F.col("hset").alias("set_b"))
+    v = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("n_common",
+                         F.size(F.array_intersect("set_a", "set_b"))))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (v.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+             .where(F.col("jaccard") >= threshold))

@@ -265,6 +265,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters_twostar": lambda s, d: dedup.dedup_clusters_twostar(load_table(s, d, "documents")),
     "dedup_substring": lambda s, d: dedup.dedup_substring(load_table(s, d, "documents")),
     "dedup_paragraph": lambda s, d: dedup.dedup_paragraph(load_table(s, d, "documents")),
+    "dedup_ppjoin": lambda s, d: dedup.dedup_ppjoin(load_table(s, d, "documents")),
     "apply_span_removal": lambda s, d: dedup.apply_span_removal(load_table(s, d, "documents")),
     "dedup_substring_incremental": lambda s, d: dedup.dedup_substring_incremental(load_table(s, d, "documents")),
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),
@@ -285,6 +286,10 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (same md5-derived integer hashes / same IEEE fold order), so the
 # same oracles apply
 _LLM_ORACLES["dedup_minhash_lsh_fast"] = _LLM_ORACLES["dedup_minhash_lsh"]
+# prefix-filtering is COMPLETE for the threshold (every j>=tau pair
+# shares a prefix token), so PPJoin's exact-verified output equals
+# the quadratic baseline's — same oracle
+_LLM_ORACLES["dedup_ppjoin"] = _LLM_ORACLES["dedup_ngram_jaccard"]
 _LLM_ORACLES["ann_lsh_fast"] = _LLM_ORACLES["ann_lsh"]
 # dim-sequential Arrow kernel (r7): same float64 op sequence as the
 # expression fold, so the exact path's oracle applies bit-for-bit

@@ -372,3 +372,46 @@ def test_dedup_paragraph_keeper_is_first_occurrence(spark):
     assert out[1]["n_tokens_after"] == PARA_W  # blk_c only
     assert out[2]["n_dup_blocks"] == 1
     assert out[2]["n_tokens_after"] == PARA_W
+
+
+def test_dedup_ppjoin_equals_quadratic_baseline(spark, sf_dir):
+    """Prefix-filtering completeness: PPJoin's exact-verified output
+    must equal dedup_ngram_jaccard row-for-row on the real corpus —
+    the same engine-equivalence bar the LSH and Arrow paths meet."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(map(tuple, dedup_ngram_jaccard(docs).collect()))
+    got = sorted(map(tuple, dedup_ppjoin(docs).collect()))
+    assert len(want) > 0
+    assert got == want
+
+
+def test_dedup_ppjoin_survives_universal_boilerplate_token(spark):
+    """The case prefix filtering exists for: a shingle shared by EVERY
+    doc (df = n) must not enter any prefix (it sorts last in the
+    (df, hash) order when rarer tokens exist), yet true near-dup
+    pairs are still found through their rare shingles."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+    )
+
+    boiler = "click here now"
+    rows = []
+    for i in range(30):
+        # each doc: universal boilerplate + its own distinct tail
+        rows.append((i, f"{boiler} item{i} alpha{i} beta{i} gamma{i} delta{i}"))
+    # one true near-dup pair: doc 100/101 share almost everything
+    base = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 x17 x18 x19 x20"
+    rows.append((100, f"{boiler} {base}"))
+    rows.append((101, f"{boiler} {base}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(map(tuple, dedup_ppjoin(docs).collect()))
+    want = sorted(map(tuple, dedup_ngram_jaccard(docs).collect()))
+    assert got == want
+    assert (100, 101, 1.0) in [(a, b, j) for a, b, j in got]
