@@ -1189,3 +1189,52 @@ def apply_mix_gate(documents: DataFrame, rates: DataFrame) -> DataFrame:
             .select("doc_id", "source",
                     F.floor(F.col("rate") * SAMPLE_MOD)
                      .cast("int").alias("rate_bp")))
+
+
+SPAN_RATE_PCT = 15   # tokens masked, as % of doc length (T5's 15%)
+SPAN_LEN = 3         # fixed span length (T5's mean noise span)
+
+
+def span_corruption(documents: DataFrame) -> DataFrame:
+    """T5-style span-corruption mask generation (Raffel et al. 2020
+    §3.1.4): pick ~SPAN_RATE_PCT% of each document's tokens in
+    SPAN_LEN-token spans and emit one row per masked span —
+    (sentinel_id, span_start, span_len, span_text) — the
+    objective-construction pass a pretraining pipeline runs over
+    every document.
+
+    Deterministic placement instead of T5's RNG: the document is cut
+    into n_spans equal segments (n_spans = ⌊n·0.15⌋/SPAN_LEN, so
+    segments are ≥ 20 tokens and spans can never collide or overrun)
+    and each segment hosts one span at offset
+    md5(doc_id ':' k) % (seg_len − SPAN_LEN + 1) — reproducible
+    across engines, retries and partitionings, same statistical
+    shape.
+
+    Scale shape: ENTIRELY row-local (transform over a sentinel
+    sequence + posexplode) — zero shuffles, pure map; the mask
+    relation streams straight to the trainer's collator.
+
+    Determinism: integer floor divisions and the md5 gate only — no
+    FP anywhere."""
+    w = SPAN_LEN
+    ws = _words(F.col("text"))
+    docs = documents.select("doc_id", ws.alias("ws"),
+                            F.size(ws).alias("n"))
+    n_spans = F.expr(f"(n * {SPAN_RATE_PCT}) div 100 div {w}")
+    seg_len = F.expr(f"n div ((n * {SPAN_RATE_PCT}) div 100 div {w})")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans.cast("int") - 1),
+        lambda k: (k * seg_len
+                   + F.pmod(md5_int60(F.concat(F.col("doc_id").cast("string"),
+                                               F.lit(":"), k.cast("string"))),
+                            F.greatest(seg_len - w + 1, F.lit(1)))))
+    b = (docs.where(n_spans >= 1)
+             .select("doc_id", "ws",
+                     F.posexplode(spans_arr).alias("sentinel_id", "span_start")))
+    return b.select(
+        "doc_id", F.col("sentinel_id").cast("int").alias("sentinel_id"),
+        F.col("span_start").cast("int").alias("span_start"),
+        F.lit(w).cast("int").alias("span_len"),
+        F.concat_ws(" ", F.slice("ws", F.col("span_start").cast("int") + 1, w))
+         .alias("span_text"))

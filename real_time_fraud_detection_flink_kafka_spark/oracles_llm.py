@@ -599,6 +599,8 @@ def _pipeline_oracles() -> dict[str, str]:
         DUP_BIGRAM_MAX,
         EVAL_MOD,
         MIX_TARGET_PPM,
+        SPAN_LEN,
+        SPAN_RATE_PCT,
         TEMP_ALPHA,
         TEMP_WEIGHT_SCALE,
         PACK_BUDGET,
@@ -747,6 +749,34 @@ SELECT doc_id, source,
        CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
 FROM documents JOIN rates USING (source)
 WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
+        # mirrors pipeline.span_corruption: integer segment layout +
+        # md5 offset gate, row-local slicing — no FP anywhere
+        "span_corruption": f"""
+WITH docs AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws, n,
+         (n * {SPAN_RATE_PCT}) // 100 // {SPAN_LEN} AS n_spans,
+         n // greatest((n * {SPAN_RATE_PCT}) // 100 // {SPAN_LEN}, 1) AS seg_len
+  FROM docs
+  WHERE (n * {SPAN_RATE_PCT}) // 100 // {SPAN_LEN} >= 1
+),
+sp AS (
+  SELECT doc_id, ws, k AS sentinel_id,
+         k * seg_len
+         + ({md5_int60_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+            % greatest(seg_len - {SPAN_LEN} + 1, 1)) AS span_start
+  FROM base, unnest(generate_series(0, n_spans - 1)) AS t(k)
+)
+SELECT doc_id, CAST(sentinel_id AS INTEGER) AS sentinel_id,
+       CAST(span_start AS INTEGER) AS span_start,
+       CAST({SPAN_LEN} AS INTEGER) AS span_len,
+       array_to_string(list_slice(ws, span_start + 1,
+                                  span_start + {SPAN_LEN}), ' ') AS span_text
+FROM sp""",
         # mirrors pipeline.temperature_mix: fixed-point p^alpha
         # weights (integer sum, order-free), per-row double rate
         # arithmetic in the identical op order, shared md5 gate

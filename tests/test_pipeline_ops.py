@@ -646,3 +646,42 @@ def test_word_entropy_bounds_and_extremes(spark):
     assert out[1]["norm_entropy"] == 1.0
     assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-5
     assert 0.0 < out[2]["norm_entropy"] < 1.0
+
+
+def test_span_corruption_layout_invariants(docs):
+    """Mask-layout contract: spans never overlap, never overrun the
+    document, land one per segment (sentinel ids contiguous from 0),
+    mask ~15%/3-token spans (count == floor(n*0.15)/3 per doc), and
+    the emitted span_text is exactly the doc's tokens at that offset.
+    Short docs (< 20 words) emit nothing."""
+    import pyspark.sql.functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        SPAN_LEN,
+        SPAN_RATE_PCT,
+        span_corruption,
+    )
+
+    out = span_corruption(docs).toPandas()
+    nw = docs.select("doc_id",
+                     F.size(F.split(F.trim("text"), " ")).alias("n"),
+                     F.split(F.trim("text"), " ").alias("ws")).toPandas()
+    nmap = nw.set_index("doc_id")
+    assert len(out) > 0
+    for doc_id, g in out.groupby("doc_id"):
+        n = int(nmap.loc[doc_id, "n"])
+        expected = (n * SPAN_RATE_PCT) // 100 // SPAN_LEN
+        assert sorted(g.sentinel_id) == list(range(expected))
+        srt = g.sort_values("span_start")
+        assert (srt.span_start >= 0).all()
+        assert (srt.span_start + SPAN_LEN <= n).all()
+        # non-overlap: consecutive starts at least SPAN_LEN apart
+        assert (srt.span_start.diff().dropna() >= SPAN_LEN).all()
+        ws = list(nmap.loc[doc_id, "ws"])
+        for _, r in srt.iterrows():
+            assert r.span_text == " ".join(
+                ws[r.span_start:r.span_start + SPAN_LEN])
+    # docs too short for one span (floor(n*0.15) < SPAN_LEN) emit nothing
+    short_ids = set(
+        nmap[(nmap.n * SPAN_RATE_PCT) // 100 < SPAN_LEN].index)
+    assert short_ids.isdisjoint(set(out.doc_id))
