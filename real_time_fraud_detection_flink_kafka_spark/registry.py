@@ -533,6 +533,22 @@ register("stream_temperature_mix", _stream_temp_mix,
          _LLM_ORACLES["temperature_mix"])
 
 
+def _stream_span_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_span_corruption_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_span_corruption_stream(
+        spark, sf_dir, query_name=f"span_corr_stream_{_STREAM_COUNTER['n']}")
+
+
+# row-local deterministic mask generation on the ingest path: zero
+# state, no trained relation, equals batch span_corruption
+register("stream_span_corruption", _stream_span_corr,
+         _LLM_ORACLES["span_corruption"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

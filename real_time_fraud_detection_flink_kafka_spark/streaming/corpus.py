@@ -473,3 +473,24 @@ def run_temperature_mix_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_span_corruption_stream(spark, sf_dir: str,
+                               query_name: str = "span_corr_stream") -> DataFrame:
+    """Span-corruption mask generation AT INTAKE: `span_corruption`
+    is entirely row-local (deterministic md5 offsets — no model, no
+    corpus statistics), so the stream twin needs ZERO state and no
+    batch-trained relation at all: append mode streams mask rows
+    straight through and the drained result equals the batch pass
+    exactly (shared oracle) — the objective-construction stage moved
+    onto the ingest path."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        span_corruption,
+    )
+
+    ensure_session_confs(spark)
+    out = span_corruption(_documents_stream(spark, sf_dir))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
