@@ -1238,3 +1238,47 @@ def span_corruption(documents: DataFrame) -> DataFrame:
         F.lit(w).cast("int").alias("span_len"),
         F.concat_ws(" ", F.slice("ws", F.col("span_start").cast("int") + 1, w))
          .alias("span_text"))
+
+
+CONTRAST_SPAN = 16     # words per crop
+CONTRAST_BUCKETS = 64  # negative-pairing hash buckets
+
+
+def contrastive_pairs(documents: DataFrame) -> DataFrame:
+    """Contrastive-pair mining for retriever pretraining (Contriever,
+    Izacard et al. 2022 — independent cropping): anchor and positive
+    are two disjoint CONTRAST_SPAN-word crops of the SAME document
+    (front / immediately following), the negative is another
+    document's anchor crop, paired deterministically: docs hash into
+    CONTRAST_BUCKETS md5 buckets and each doc takes the lowest-doc_id
+    member of the NEXT bucket as its negative — reproducible across
+    engines and partitionings, no RNG.
+
+    Scale shape: crops are row-local slices; the negative map is one
+    |buckets|-row aggregation broadcast back onto the scan (its texts
+    ride along, ≤ B·SPAN words) — the corpus itself NEVER shuffles.
+    Docs shorter than 2·CONTRAST_SPAN words are skipped (no partial
+    crops), as are docs whose next bucket is empty or resolves to
+    themselves.
+
+    Determinism: md5 bucket arithmetic and integer mins only."""
+    w = CONTRAST_SPAN
+    ws = _words(F.col("text"))
+    base = (documents
+            .select("doc_id", ws.alias("ws"))
+            .where(F.size("ws") >= 2 * w)
+            .select("doc_id",
+                    F.concat_ws(" ", F.slice("ws", 1, w)).alias("anchor_text"),
+                    F.concat_ws(" ", F.slice("ws", w + 1, w)).alias("positive_text"),
+                    F.pmod(md5_int60(F.col("doc_id").cast("string")),
+                           F.lit(CONTRAST_BUCKETS)).alias("bucket")))
+    neg_map = (base.groupBy("bucket")
+                   .agg(F.min(F.struct("doc_id", "anchor_text")).alias("m"))
+                   .select(F.pmod(F.col("bucket") - 1, F.lit(CONTRAST_BUCKETS))
+                            .alias("bucket"),
+                           F.col("m.doc_id").alias("neg_doc_id"),
+                           F.col("m.anchor_text").alias("negative_text")))
+    return (base.join(F.broadcast(neg_map), "bucket")
+                .where(F.col("neg_doc_id") != F.col("doc_id"))
+                .select("doc_id", "anchor_text", "positive_text",
+                        "neg_doc_id", "negative_text"))

@@ -599,6 +599,8 @@ def _pipeline_oracles() -> dict[str, str]:
         DUP_BIGRAM_MAX,
         EVAL_MOD,
         MIX_TARGET_PPM,
+        CONTRAST_BUCKETS,
+        CONTRAST_SPAN,
         SPAN_LEN,
         SPAN_RATE_PCT,
         TEMP_ALPHA,
@@ -749,6 +751,29 @@ SELECT doc_id, source,
        CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
 FROM documents JOIN rates USING (source)
 WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
+        # mirrors pipeline.contrastive_pairs: row-local crops, md5
+        # bucket pairing, |buckets|-row arg-min negative map
+        "contrastive_pairs": f"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, 1, {CONTRAST_SPAN}), ' ') AS anchor_text,
+         array_to_string(list_slice(ws, {CONTRAST_SPAN} + 1,
+                                    2 * {CONTRAST_SPAN}), ' ') AS positive_text,
+         {md5_int60_sql('CAST(doc_id AS VARCHAR)')} % {CONTRAST_BUCKETS} AS bucket
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+  WHERE len(ws) >= 2 * {CONTRAST_SPAN}
+),
+neg AS (
+  SELECT ((bucket - 1 + {CONTRAST_BUCKETS}) % {CONTRAST_BUCKETS}) AS bucket,
+         neg_doc_id, negative_text
+  FROM (SELECT bucket, min(doc_id) AS neg_doc_id,
+               arg_min(anchor_text, doc_id) AS negative_text
+        FROM base GROUP BY bucket)
+)
+SELECT b.doc_id, b.anchor_text, b.positive_text,
+       n.neg_doc_id, n.negative_text
+FROM base b JOIN neg n USING (bucket)
+WHERE n.neg_doc_id <> b.doc_id""",
         # mirrors pipeline.span_corruption: integer segment layout +
         # md5 offset gate, row-local slicing — no FP anywhere
         "span_corruption": f"""

@@ -685,3 +685,38 @@ def test_span_corruption_layout_invariants(docs):
     short_ids = set(
         nmap[(nmap.n * SPAN_RATE_PCT) // 100 < SPAN_LEN].index)
     assert short_ids.isdisjoint(set(out.doc_id))
+
+
+def test_contrastive_pairs_crop_and_negative_contract(docs):
+    """Pair contract: anchor and positive are the doc's own first and
+    second CONTRAST_SPAN-word crops (disjoint by construction), the
+    negative is a DIFFERENT document's anchor crop, negatives are
+    drawn from the next md5 bucket (deterministic — identical across
+    two runs), and short docs emit nothing."""
+    import pyspark.sql.functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        CONTRAST_SPAN,
+        contrastive_pairs,
+    )
+
+    out = contrastive_pairs(docs).toPandas()
+    assert len(out) > 0
+    assert (out.neg_doc_id != out.doc_id).all()
+    words = docs.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("ws")).toPandas()
+    wmap = words.set_index("doc_id")["ws"]
+    anchors = {}
+    for _, r in out.iterrows():
+        ws = list(wmap.loc[r.doc_id])
+        assert len(ws) >= 2 * CONTRAST_SPAN
+        assert r.anchor_text == " ".join(ws[:CONTRAST_SPAN])
+        assert r.positive_text == " ".join(ws[CONTRAST_SPAN:2 * CONTRAST_SPAN])
+        anchors[r.doc_id] = r.anchor_text
+    # every negative is some eligible doc's true anchor crop
+    for _, r in out.iterrows():
+        neg_ws = list(wmap.loc[r.neg_doc_id])
+        assert r.negative_text == " ".join(neg_ws[:CONTRAST_SPAN])
+    again = contrastive_pairs(docs).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == \
+        sorted(map(tuple, again.values.tolist()))
