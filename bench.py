@@ -87,6 +87,10 @@ HEADLINE = [
     "dedup_substring",        # Lee et al. span recovery, skew-hardened count (r8)
     "apply_span_removal",     # the span CUT over the substring cut list (r8)
     "dsir_weights",           # hashed-bigram importance model, all-int ratios (r8)
+    "dedup_ppjoin",           # prefix-filtering exact set-similarity join (r8)
+    "dedup_paragraph",        # block-granularity MassiveText dedup (r8)
+    "hybrid_rrf",             # BM25 + cosine reciprocal-rank fusion (r8)
+    "knn_graph",              # cell-blocked k-NN graph construction (r8)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -107,6 +111,7 @@ SCALE_SUBSET = [
     "ann_sq8",        # r8: a quantizer on the curve — "Lloyd/train
                       # overhead amortizes" is measured, not argued
     "dedup_substring",  # r8: the skew-hardened occurrence count, measured
+    "dedup_ppjoin",     # r8: prefix filtering — the rare-token join, measured
     "vocab_topk",
     "decontaminate",
 ]
