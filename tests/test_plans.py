@@ -492,3 +492,38 @@ def test_zipf_rank_window_on_topk_survivors_only(spark, sf_dir):
     sort exchange."""
     plan = _plan(spark, sf_dir, "zipf_slope")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_corruption_is_pure_map(spark, sf_dir):
+    """The mask generator is row-local by design: the executed plan
+    must contain NO shuffle exchange at all — at 100 TB this stage
+    streams through the scan."""
+    plan = _plan(spark, sf_dir, "span_corruption")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """Only the |sources|-row stats relation may shuffle (its
+    groupBy); the corpus-side join must be a broadcast, so exactly
+    the rate model moves — never the documents."""
+    plan = _plan(spark, sf_dir, "temperature_mix")
+    assert "CartesianProduct" not in plan
+    # the only join touching the corpus scan is broadcast
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_contrastive_pairs_negative_map_broadcast(spark, sf_dir):
+    """The negative map is a bounded |buckets|-row relation: its join
+    back onto the scan must broadcast; no sort-merge, no cartesian."""
+    plan = _plan(spark, sf_dir, "contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dedup_ppjoin_no_cartesian(spark, sf_dir):
+    """Candidates come from the prefix-token equi-join and set
+    verification from doc_id equi-joins — a cartesian anywhere means
+    the prefix filter fell out of the plan."""
+    plan = _plan(spark, sf_dir, "dedup_ppjoin")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
