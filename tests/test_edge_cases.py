@@ -322,3 +322,39 @@ def test_pq_tiny_corpus_fewer_seeds_than_codes(spark):
                for r in _pq_assign(_subvectors(emb), cb).collect()}
     stateless = {(r.vec_id, r.sub): r.code for r in pq_encode(emb, cb=cb).collect()}
     assert stateless == grouped and len(stateless) == 3 * PQ_M
+
+
+def test_new_text_ops_tolerate_degenerate_docs(spark):
+    """Single-word, whitespace-padded and tiny docs through the r8
+    text ops: none may throw, and each op's documented exclusion rule
+    must hold (short docs emit no spans / no pairs / no blocks cut;
+    entropy of a 1-word doc is 0 with norm 0; gopher flags still
+    produced for every doc)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_paragraph,
+        dedup_ppjoin,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        contrastive_pairs,
+        span_corruption,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        gopher_rules,
+        word_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "  padded  "), (3, "a b"),
+         (4, "one two three four five")],
+        "doc_id bigint, text string")
+    g = gopher_rules(docs).toPandas()
+    assert len(g) == 4 and not g.pass_all.any()
+    e = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert e[1]["entropy"] == 0.0 and e[1]["norm_entropy"] == 0.0
+    assert e[2]["n_words"] == 1  # trim handles the padding
+    assert span_corruption(docs).count() == 0        # all < 20 words
+    assert contrastive_pairs(docs).count() == 0      # all < 32 words
+    p = dedup_paragraph(docs).toPandas()
+    assert len(p) == 4 and (p.n_dup_blocks == 0).all()
+    assert (p.n_blocks == 1).all()                   # every doc: one short block
+    assert dedup_ppjoin(docs).count() == 0           # no shingled dups
