@@ -669,6 +669,13 @@ register("zorder_layout",
 register("zorder_prune_compare",
          lambda s, d: layout_ops.zorder_prune_compare(load_table(s, d, "events")),
          _LAYOUT_ORACLES["zorder_prune_compare"])
+_HILBERT_ORACLES = layout_ops.hilbert_oracles()
+register("hilbert_layout",
+         lambda s, d: layout_ops.hilbert_layout(load_table(s, d, "events")),
+         _HILBERT_ORACLES["hilbert_layout"])
+register("hilbert_prune_compare",
+         lambda s, d: layout_ops.hilbert_prune_compare(load_table(s, d, "events")),
+         _HILBERT_ORACLES["hilbert_prune_compare"])
 
 from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_event_order
 

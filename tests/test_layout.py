@@ -54,3 +54,43 @@ def test_zorder_prune_dominates_linear_layouts(spark, sf_dir):
     assert rows["zorder"]["n_cells"] <= 64
     assert rows["user_linear"]["n_cells"] <= 64
     assert rows["ts_linear"]["n_cells"] <= 64
+
+
+def test_hilbert_index_is_a_continuous_bijection(spark):
+    """The two properties that make Hilbert a layout curve at all,
+    checked exhaustively on the 16x16 grid (bits=4): (1) bijection —
+    the 256 (x, y) points map to exactly the d values 0..255; (2)
+    CONTINUITY — consecutive d are manhattan-adjacent cells (|dx| +
+    |dy| == 1), the property Morton lacks (its jumps are why equal-
+    granularity Hilbert cells prune at least as well)."""
+    import pyspark.sql.functions as F
+
+    bits = 4
+    pts = spark.range(256).select(
+        (F.col("id") % 16).cast("bigint").alias("x"),
+        (F.col("id") / 16).cast("bigint").alias("y"))
+    out = pts.select("x", "y",
+                     layout._hval(F.col("x"), F.col("y"), bits=bits)
+                     .alias("d")).toPandas()
+    assert sorted(out.d) == list(range(256))
+    srt = out.sort_values("d").reset_index(drop=True)
+    steps = (srt.x.diff().abs() + srt.y.diff().abs()).dropna()
+    assert (steps == 1).all()
+
+
+def test_hilbert_prunes_at_least_as_well_as_zorder(spark, sf_dir):
+    """Equal 64-cell granularity, same box predicate: the Hilbert
+    layout's rows_scanned must not exceed z-order's (connected cells
+    have no Morton jumps), and both beat the 1-D layouts (the z-order
+    dominance test's bar)."""
+    events = load_table(spark, sf_dir, "events")
+    hp = {r["layout"]: r for r in
+          layout.hilbert_prune_compare(events).collect()}
+    zp = {r["layout"]: r for r in
+          layout.zorder_prune_compare(events).collect()}
+    assert hp["hilbert"]["n_cells"] == hp["zorder"]["n_cells"] == 64
+    assert hp["zorder"]["rows_scanned"] == zp["zorder"]["rows_scanned"]
+    assert (hp["hilbert"]["rows_scanned"]
+            <= hp["zorder"]["rows_scanned"])
+    for lin in ("user_linear", "ts_linear"):
+        assert hp["hilbert"]["rows_scanned"] < zp[lin]["rows_scanned"]
