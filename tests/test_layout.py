@@ -76,6 +76,15 @@ def test_hilbert_index_is_a_continuous_bijection(spark):
     srt = out.sort_values("d").reset_index(drop=True)
     steps = (srt.x.diff().abs() + srt.y.diff().abs()).dropna()
     assert (steps == 1).all()
+    # production width (bits=8): bijection over the full 65536-point
+    # grid, verified distributed (no collect)
+    pts8 = spark.range(65536).select(
+        (F.col("id") % 256).cast("bigint").alias("x"),
+        (F.col("id") / 256).cast("bigint").alias("y"))
+    d8 = pts8.select(layout._hval(F.col("x"), F.col("y")).alias("d"))
+    stats = d8.agg(F.countDistinct("d").alias("nd"),
+                   F.min("d").alias("lo"), F.max("d").alias("hi")).first()
+    assert (stats["nd"], stats["lo"], stats["hi"]) == (65536, 0, 65535)
 
 
 def test_hilbert_prunes_at_least_as_well_as_zorder(spark, sf_dir):
