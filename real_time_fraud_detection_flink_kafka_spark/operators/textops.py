@@ -479,3 +479,65 @@ def word_entropy(documents: DataFrame) -> DataFrame:
         F.col("n_uniq").cast("int").alias("n_uniq"),
         F.round(h, 6).alias("entropy"),
         F.round(norm, 6).alias("norm_entropy"))
+
+
+def gopher_rules_rowlocal(documents: DataFrame) -> DataFrame:
+    """`gopher_rules` computed WITHOUT any shuffle: the same contract
+    (identical columns/values — it shares the oracle and an
+    equivalence pytest) from pure row-local array expressions, so the
+    rule battery can run on the ingest path (see
+    `streaming.corpus.run_gopher_rules_stream`) or fuse into a scan
+    with zero exchanges.
+
+    max_tf comes from a sorted-array run-length fold (O(n log n)
+    row-local vs the tf path's two shuffles); distinct-stopword and
+    uniq counts from array_distinct/array_intersect. The tf-relation
+    variant stays the default for ad-hoc analytics (its tf relation
+    feeds other queries); THIS shape is what a 100 TB filter stage
+    wants — the corpus never leaves the scan."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.expr import let
+
+    ws = _words(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+
+    def stats_of(wsv):
+        acc0 = F.struct(F.lit("").alias("prev"),
+                        F.lit(0).cast("bigint").alias("run"),
+                        F.lit(0).cast("bigint").alias("best"))
+        run_fold = F.aggregate(
+            F.array_sort(wsv), acc0,
+            lambda a, w: F.struct(
+                w.alias("prev"),
+                F.when(w == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.greatest(a["best"],
+                           F.when(w == a["prev"], a["run"] + 1)
+                            .otherwise(F.lit(1).cast("bigint"))).alias("best")),
+            lambda a: a["best"])
+        return F.struct(
+            F.size(wsv).cast("bigint").alias("n_words"),
+            F.size(F.array_distinct(wsv)).cast("bigint").alias("n_uniq"),
+            run_fold.alias("max_tf"),
+            F.size(F.array_intersect(F.array_distinct(wsv), stop_arr))
+             .cast("bigint").alias("n_stop_types"))
+
+    st = let(ws, stats_of)
+    base = documents.select(
+        "doc_id", F.length("text").alias("nc"), st.alias("s"))
+    n_words = F.col("s.n_words")
+    sum_wlen = F.col("nc") - (n_words - 1)
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = ((sum_wlen >= GOPHER_MIN_MWL * n_words)
+              & (sum_wlen <= GOPHER_MAX_MWL * n_words))
+    ok_top = F.col("s.max_tf") * 100 <= n_words * GOPHER_TOP_WORD_PCT
+    ok_stop = F.col("s.n_stop_types") >= GOPHER_MIN_STOP_TYPES
+    ok_uniq = F.col("s.n_uniq") * 100 >= n_words * GOPHER_UNIQ_PCT
+    return base.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.col("s.max_tf").cast("int").alias("max_tf"),
+        F.col("s.n_uniq").cast("int").alias("n_uniq"),
+        F.col("s.n_stop_types").cast("int").alias("n_stop_types"),
+        ok_words.alias("ok_words"), ok_mwl.alias("ok_mean_wlen"),
+        ok_top.alias("ok_top_word"), ok_stop.alias("ok_stopwords"),
+        ok_uniq.alias("ok_uniq_ratio"),
+        (ok_words & ok_mwl & ok_top & ok_stop & ok_uniq).alias("pass_all"))

@@ -550,6 +550,22 @@ register("stream_span_corruption", _stream_span_corr,
          _LLM_ORACLES["span_corruption"])
 
 
+def _stream_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_gopher_rules_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_gopher_rules_stream(
+        spark, sf_dir, query_name=f"gopher_stream_{_STREAM_COUNTER['n']}")
+
+
+# the rule battery's shuffle-free row-local reformulation on the
+# ingest path: zero state, equals the batch tf-path battery exactly
+register("stream_gopher_rules", _stream_gopher,
+         _LLM_ORACLES["gopher_rules"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

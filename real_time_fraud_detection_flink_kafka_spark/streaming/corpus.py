@@ -494,3 +494,23 @@ def run_span_corruption_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_gopher_rules_stream(spark, sf_dir: str,
+                            query_name: str = "gopher_stream") -> DataFrame:
+    """The Gopher rule battery ON the ingest path: the row-local
+    reformulation (`gopher_rules_rowlocal` — sorted-run max_tf fold,
+    array_distinct/intersect counts, zero shuffles) needs ZERO state
+    and no trained relation, so append mode streams per-doc rule rows
+    straight through; the drained result equals the batch tf-path
+    battery exactly (equivalence-pinned; shared oracle)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        gopher_rules_rowlocal,
+    )
+
+    ensure_session_confs(spark)
+    out = gopher_rules_rowlocal(_documents_stream(spark, sf_dir))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -720,3 +720,20 @@ def test_contrastive_pairs_crop_and_negative_contract(docs):
     again = contrastive_pairs(docs).toPandas()
     assert sorted(map(tuple, out.values.tolist())) == \
         sorted(map(tuple, again.values.tolist()))
+
+
+def test_gopher_rowlocal_equals_tf_path(docs):
+    """The shuffle-free reformulation must reproduce the tf-path
+    battery row-for-row (same contract, same oracle), and its plan
+    must contain NO exchange — that is its entire reason to exist."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        gopher_rules,
+        gopher_rules_rowlocal,
+    )
+
+    a = sorted(map(tuple, gopher_rules(docs).collect()))
+    b_df = gopher_rules_rowlocal(docs)
+    b = sorted(map(tuple, b_df.collect()))
+    assert a == b
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
