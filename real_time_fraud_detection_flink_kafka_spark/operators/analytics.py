@@ -1535,3 +1535,43 @@ def cohort_retention(orders: DataFrame) -> DataFrame:
                        F.col("cohort_size").cast("int").alias("cohort_size"),
                        F.round(F.col("n_active") / F.col("cohort_size"), 6)
                         .alias("retention_rate")))
+
+
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9, rounded
+# to 6 dp as shared literals — both engines consume these constants,
+# so no log10() runs anywhere at query time
+BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1 + 1 / d), 6) for d in range(1, 10)
+}
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit over transaction values — the
+    classic fraud-forensics screen (fabricated amounts flatten the
+    digit histogram; reference scope: the rule battery's statistical
+    cousin). Emits per-digit observed counts/shares against the
+    log10(1+1/d) expectation and the absolute deviation.
+
+    Determinism: the first significant digit comes from the DECIMAL
+    STRING of integer cents (CAST(round(value·100) AS BIGINT) — the
+    fsum fixed-point move), so no log10/floor-of-log floats anywhere;
+    expectations are shared 6-dp literals; shares/deviations are
+    per-row double ops in one fixed order.
+
+    Scale shape: one map-side-combined groupBy over 9 digit keys, the
+    1-row total broadcast back — nothing else moves."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (events.where(F.col("value") > 0)
+                 .select(digit.alias("digit"))
+                 .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = per.agg(F.sum("n").cast("double").alias("_tot"))
+    expected = F.lit(None).cast("double")
+    for d, p in BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    share = F.col("n") / F.col("_tot")
+    return (per.crossJoin(F.broadcast(tot))
+               .select("digit", "n",
+                       F.round(share, 6).alias("share"),
+                       expected.alias("benford"),
+                       F.round(F.abs(share - expected), 6).alias("abs_dev")))

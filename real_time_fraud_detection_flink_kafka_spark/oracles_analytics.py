@@ -115,6 +115,26 @@ def _favg(expr: str) -> str:
     return f"({_fsum(expr)} / count(*))"
 
 
+def _benford_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        BENFORD_EXPECTED,
+    )
+
+    case = " ".join(f"WHEN digit = {d} THEN {p!r}"
+                    for d, p in BENFORD_EXPECTED.items())
+    return f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         count(*) AS n
+  FROM events WHERE value > 0 GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot FROM per)
+SELECT digit, n, round(n / _tot, 6) AS share,
+       (CASE {case} END) AS benford,
+       round(abs(n / _tot - (CASE {case} END)), 6) AS abs_dev
+FROM per, tot"""
+
+
 def analytics_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": f"""
@@ -304,6 +324,9 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        # mirrors analytics.benford_audit: first digit from the
+        # decimal string of integer cents, shared 6-dp expectations
+        "benford_audit": _benford_sql(),
         "activity_gini": """
 WITH per_user AS (
   SELECT user_id, count(*) AS c FROM events GROUP BY 1

