@@ -1575,3 +1575,43 @@ def benford_audit(events: DataFrame) -> DataFrame:
                        F.round(share, 6).alias("share"),
                        expected.alias("benford"),
                        F.round(F.abs(share - expected), 6).alias("abs_dev")))
+
+
+CUSUM_SCALE = 1_000_000
+CUSUM_H_FP = 400_000_000  # alarm at 400 value-units of accumulated drift
+
+
+def cusum_value_drift(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM drift detector over transaction values (Page
+    1954 — the sequential changepoint test behind spend-pattern
+    monitoring): the classic recursion S_i = max(0, S_{i-1} + x_i − μ)
+    rewritten as the WINDOW identity max_j(C_j − min_{i≤j} C_i) over
+    the running sum C of (x − μ), so the sequential fold becomes two
+    ordered window passes — no applyInPandas, no per-key Python.
+
+    Determinism: values and the global mean are fixed-point bigints
+    (μ = Σv div n), the event order key (ts_us, event_id) is unique,
+    so every window value is integer-exact in both engines.
+
+    Scale shape: one shuffle (partitionBy user_id, both windows share
+    it), then a map-side-combined per-user rollup."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col("value") * CUSUM_SCALE).cast("bigint")
+    e = events.select("user_id", F.unix_micros(F.col("ts")).alias("tsu"),
+                      "event_id", v.alias("v"))
+    mu = (e.agg(F.sum("v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+           .select(F.expr("_s div _n").alias("mu")))  # exact bigint floor
+    w = (Window.partitionBy("user_id").orderBy("tsu", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cs = F.sum(F.col("v") - F.col("mu")).over(w)
+    withcs = (e.crossJoin(F.broadcast(mu))
+               .withColumn("cs", cs)
+               .withColumn("up", F.col("cs") - F.min("cs").over(w)))
+    return (withcs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_events"),
+                 F.max("up").alias("max_fp"))
+            .select("user_id", "n_events",
+                    F.round(F.col("max_fp") / CUSUM_SCALE, 6)
+                     .alias("max_cusum"),
+                    (F.col("max_fp") >= CUSUM_H_FP).alias("alarm")))

@@ -115,6 +115,35 @@ def _favg(expr: str) -> str:
     return f"({_fsum(expr)} / count(*))"
 
 
+def _cusum_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        CUSUM_H_FP,
+        CUSUM_SCALE,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         CAST(round(value * {CUSUM_SCALE}) AS BIGINT) AS v
+  FROM events
+), g AS (SELECT sum(v) // count(*) AS mu FROM e),
+c AS (
+  SELECT user_id, tsu, event_id,
+         sum(v - mu) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cs
+  FROM e, g
+), m AS (
+  SELECT user_id,
+         cs - min(cs) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                            ROWS UNBOUNDED PRECEDING) AS up
+  FROM c
+)
+SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+       round(max(up) / {CUSUM_SCALE}, 6) AS max_cusum,
+       (max(up) >= {CUSUM_H_FP}) AS alarm
+FROM m GROUP BY user_id"""
+
+
 def _benford_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
         BENFORD_EXPECTED,
@@ -324,6 +353,9 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        # mirrors analytics.cusum_value_drift: fixed-point running
+        # sum / running min windows, floor-div global mean
+        "cusum_value_drift": _cusum_sql(),
         # mirrors analytics.benford_audit: first digit from the
         # decimal string of integer cents, shared 6-dp expectations
         "benford_audit": _benford_sql(),

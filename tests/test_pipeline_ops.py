@@ -760,3 +760,41 @@ def test_benford_audit_contract(spark, sf_dir):
         [(i, 500.0) for i in range(100)], "event_id bigint, value double")
     c = benford_audit(const).toPandas()
     assert len(c) == 1 and c.iloc[0].digit == 5 and c.iloc[0].share == 1.0
+
+
+def test_cusum_detects_injected_drift(spark):
+    """The CUSUM property the window identity must preserve: a user
+    whose amounts jump far above the global mean mid-stream
+    accumulates a large max CUSUM and alarms; a user hovering at the
+    mean does not. Also pins the window-identity rewrite against the
+    classic recursion S_i = max(0, S_{i-1} + x_i - mu) computed in
+    plain Python."""
+    from datetime import datetime, timedelta
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        CUSUM_SCALE,
+        cusum_value_drift,
+    )
+
+    rows = []
+    # user 1: flat at 100; user 2: flat then a 600-unit burst
+    for i in range(40):
+        rows.append((i, 1, 100.0))
+    for i in range(20):
+        rows.append((100 + i, 2, 100.0))
+    for i in range(20):
+        rows.append((200 + i, 2, 700.0))
+    df = spark.createDataFrame(
+        [(eid, datetime(2026, 1, 1) + timedelta(seconds=eid), u, v)
+         for eid, u, v in rows],
+        "event_id bigint, ts timestamp, user_id bigint, value double")
+    out = {r["user_id"]: r for r in cusum_value_drift(df).collect()}
+    assert out[2]["alarm"] and not out[1]["alarm"]
+    # replay the textbook recursion for user 2 with the same fp mean
+    vals = [100.0] * 40 + [100.0] * 20 + [700.0] * 20
+    mu = sum(int(round(v * CUSUM_SCALE)) for v in vals) // len(vals)
+    s = best = 0
+    for v in [100.0] * 20 + [700.0] * 20:
+        s = max(0, s + int(round(v * CUSUM_SCALE)) - mu)
+        best = max(best, s)
+    assert out[2]["max_cusum"] == round(best / CUSUM_SCALE, 6)
