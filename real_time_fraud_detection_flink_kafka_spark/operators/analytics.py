@@ -1615,3 +1615,59 @@ def cusum_value_drift(events: DataFrame) -> DataFrame:
                     F.round(F.col("max_fp") / CUSUM_SCALE, 6)
                      .alias("max_cusum"),
                     (F.col("max_fp") >= CUSUM_H_FP).alias("alarm")))
+
+
+DIFF_DROP_MOD = 10   # v2 drops event_id % 10 == 0 (removed rows)
+DIFF_EDIT_MOD = 7    # v2 bumps value on event_id % 7 == 0 (changed rows)
+DIFF_ADD_OFFSET = 10_000_000  # v2 appends re-keyed rows (added)
+
+
+def table_diff(events: DataFrame) -> DataFrame:
+    """Keyed table reconciliation — the data-engineering diff between
+    two snapshot versions of a fact table (CDC backfill validation,
+    replica drift audits): full-outer join on the key, row-content
+    md5 on each side, verdict ∈ {added, removed, changed} (identical
+    rows are dropped — the diff is the EXCEPTION report).
+
+    The two versions are derived deterministically from the one
+    events table so the oracle replays them: v2 drops every
+    DIFF_DROP_MOD-th row (→ removed), perturbs value on every
+    DIFF_EDIT_MOD-th row (→ changed), and appends a re-keyed copy of
+    3 rows (→ added).
+
+    Scale shape: one co-keyed full-outer shuffle join on event_id;
+    row hashes are computed in the scan projections, so only (key,
+    32-byte hash) columns move for the unchanged majority — the
+    pattern that keeps a 100 TB reconciliation network-bound on keys,
+    not payloads.
+
+    Determinism: the content hash is md5 of a fixed-order concat of
+    the fixed-point value and event_type — no doubles in the key."""
+    base = events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    v1 = base
+    edited = F.when(F.col("event_id") % DIFF_EDIT_MOD == 0,
+                    F.col("cents") + 100).otherwise(F.col("cents"))
+    v2 = (base.where(F.col("event_id") % DIFF_DROP_MOD != 0)
+              .select("event_id", "event_type", edited.alias("cents")))
+    added = (base.where(F.col("event_id") < 3)
+                 .select((F.col("event_id") + DIFF_ADD_OFFSET).alias("event_id"),
+                         "event_type", "cents"))
+    v2 = v2.unionByName(added)
+
+    def h(df):
+        return df.select(
+            "event_id",
+            F.md5(F.concat_ws("|", F.col("cents").cast("string"),
+                              F.col("event_type"))).alias("row_md5"))
+
+    a = h(v1).withColumnRenamed("row_md5", "md5_v1")
+    b = h(v2).withColumnRenamed("row_md5", "md5_v2")
+    j = a.join(b, "event_id", "full_outer")
+    status = (F.when(F.col("md5_v1").isNull(), F.lit("added"))
+               .when(F.col("md5_v2").isNull(), F.lit("removed"))
+               .when(F.col("md5_v1") != F.col("md5_v2"), F.lit("changed")))
+    return (j.withColumn("status", status)
+             .where(F.col("status").isNotNull())
+             .select("event_id", "status", "md5_v1", "md5_v2"))

@@ -115,6 +115,47 @@ def _favg(expr: str) -> str:
     return f"({_fsum(expr)} / count(*))"
 
 
+def _table_diff_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        DIFF_ADD_OFFSET,
+        DIFF_DROP_MOD,
+        DIFF_EDIT_MOD,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), v2 AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % {DIFF_EDIT_MOD} = 0 THEN cents + 100
+              ELSE cents END AS cents
+  FROM base WHERE event_id % {DIFF_DROP_MOD} <> 0
+  UNION ALL
+  SELECT event_id + {DIFF_ADD_OFFSET}, event_type, cents
+  FROM base WHERE event_id < 3
+), a AS (
+  SELECT event_id,
+         md5(CAST(cents AS VARCHAR) || '|' || event_type) AS md5_v1
+  FROM base
+), b AS (
+  SELECT event_id,
+         md5(CAST(cents AS VARCHAR) || '|' || event_type) AS md5_v2
+  FROM v2
+), j AS (
+  SELECT coalesce(a.event_id, b.event_id) AS event_id, md5_v1, md5_v2
+  FROM a FULL JOIN b ON a.event_id = b.event_id
+)
+SELECT event_id,
+       CASE WHEN md5_v1 IS NULL THEN 'added'
+            WHEN md5_v2 IS NULL THEN 'removed'
+            WHEN md5_v1 <> md5_v2 THEN 'changed' END AS status,
+       md5_v1, md5_v2
+FROM j
+WHERE (md5_v1 IS NULL OR md5_v2 IS NULL OR md5_v1 <> md5_v2)"""
+
+
 def _cusum_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
         CUSUM_H_FP,
@@ -353,6 +394,9 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        # mirrors analytics.table_diff: derived v1/v2 snapshots,
+        # full-outer keyed join, md5 row hashes, exception verdicts
+        "table_diff": _table_diff_sql(),
         # mirrors analytics.cusum_value_drift: fixed-point running
         # sum / running min windows, floor-div global mean
         "cusum_value_drift": _cusum_sql(),

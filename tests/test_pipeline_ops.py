@@ -798,3 +798,30 @@ def test_cusum_detects_injected_drift(spark):
         s = max(0, s + int(round(v * CUSUM_SCALE)) - mu)
         best = max(best, s)
     assert out[2]["max_cusum"] == round(best / CUSUM_SCALE, 6)
+
+
+def test_table_diff_verdict_partition(spark, sf_dir):
+    """The exception report must match the derivation arithmetic
+    exactly: removed == multiples of DIFF_DROP_MOD, changed ==
+    multiples of DIFF_EDIT_MOD that survive the drop, added == the 3
+    re-keyed rows, and NO identical row leaks into the report."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        DIFF_ADD_OFFSET,
+        DIFF_DROP_MOD,
+        DIFF_EDIT_MOD,
+        table_diff,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = table_diff(events).toPandas()
+    ids = events.select("event_id").toPandas().event_id
+    removed = set(out[out.status == "removed"].event_id)
+    changed = set(out[out.status == "changed"].event_id)
+    added = set(out[out.status == "added"].event_id)
+    assert removed == {i for i in ids if i % DIFF_DROP_MOD == 0}
+    assert changed == {i for i in ids
+                       if i % DIFF_EDIT_MOD == 0 and i % DIFF_DROP_MOD != 0}
+    assert added == {i + DIFF_ADD_OFFSET for i in ids if i < 3}
+    assert set(out.status) == {"added", "removed", "changed"}
+    clean = set(ids) - removed - changed
+    assert clean.isdisjoint(set(out.event_id))
