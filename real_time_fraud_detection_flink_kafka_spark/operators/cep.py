@@ -535,3 +535,36 @@ def user_activity_twins(events: DataFrame) -> DataFrame:
                  .where(F.col("rn") == 1)
                  .select(F.col("u").alias("user_id"),
                          F.col("v").alias("twin_id"), "cos"))
+
+
+def coincidence_components(events: DataFrame,
+                           delta_us: int = COINCIDENCE_US) -> DataFrame:
+    """Coordinated-activity RINGS: connected components over the
+    cross-user coincidence graph — users linked whenever they act
+    within the same delta window (`coincident_events`' binned
+    non-equi join), transitively closed into rings with sizes. The
+    fraud-ops composition: pairs flag coincidence, components name
+    the GROUP.
+
+    Engine choice: `components_twostar` (Kiveris et al. SoCC'14),
+    NOT min-label propagation — temporal chains make this graph's
+    diameter unbounded (user A ~ B at t, B ~ C at t+50s, ... builds
+    long paths), which is exactly the regime the r8 engine shoot-out
+    measured propagation OOMing in (crossover depth 16, documented
+    in both engines' docstrings). O(log n) rounds, flat plan growth.
+
+    Oracle: recursive-CTE transitive closure over the same pair SQL
+    (the dedup_clusters discipline)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        components_twostar,
+    )
+
+    pairs = (coincident_events(events, delta_us)
+             .select("user_a", "user_b").distinct())
+    labels = components_twostar(pairs, "user_a", "user_b")
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("ring_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("id").alias("user_id"),
+                    F.col("label").alias("ring_id"),
+                    "ring_size"))

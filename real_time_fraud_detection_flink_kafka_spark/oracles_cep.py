@@ -195,6 +195,26 @@ from real_time_fraud_detection_flink_kafka_spark.oracles import TX_CTE
 
 def cep_oracles() -> dict[str, str]:
     return {
+        # mirrors cep.coincidence_components: recursive-CTE closure
+        # over the same coincidence pair SQL (dedup_clusters shape)
+        "coincidence_components": f"""
+WITH RECURSIVE cpairs AS (
+  SELECT DISTINCT user_a, user_b FROM ({_COINCIDENT_SQL}) q
+),
+cedges AS (
+  SELECT user_a AS src, user_b AS dst FROM cpairs
+  UNION ALL
+  SELECT user_b, user_a FROM cpairs
+),
+creach(id, r) AS (
+  SELECT DISTINCT src, src FROM cedges
+  UNION
+  SELECT e.dst, creach.r FROM creach JOIN cedges e ON e.src = creach.id
+),
+clabels AS (SELECT id, min(r) AS ring_id FROM creach GROUP BY 1),
+csizes AS (SELECT ring_id, count(*) AS ring_size FROM clabels GROUP BY 1)
+SELECT l.id AS user_id, l.ring_id, s.ring_size
+FROM clabels l JOIN csizes s ON s.ring_id = l.ring_id""",
         "distinct_users_kmv": f"""
 WITH d AS (
   SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,

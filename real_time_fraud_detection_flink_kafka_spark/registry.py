@@ -569,6 +569,22 @@ register("stream_gopher_rules", _stream_gopher,
          _LLM_ORACLES["gopher_rules"])
 
 
+def _stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_benford_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_benford_stream(
+        spark, sf_dir, query_name=f"benford_stream_{_STREAM_COUNTER['n']}")
+
+
+# one integer-count stateful agg drained complete-mode, shares/
+# deviations derived post-drain: equals batch benford_audit exactly
+register("stream_benford_audit", _stream_benford,
+         _ANALYTICS_ORACLES["benford_audit"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,
@@ -657,6 +673,9 @@ register("coincident_events",
 register("coincidence_pagerank",
          lambda s, d: cep.coincidence_pagerank(load_table(s, d, "events")),
          _CEP_ORACLES["coincidence_pagerank"])
+register("coincidence_components",
+         lambda s, d: cep.coincidence_components(load_table(s, d, "events")),
+         _CEP_ORACLES["coincidence_components"])
 register("coincidence_triangles",
          lambda s, d: cep.coincidence_triangles(load_table(s, d, "events")),
          _CEP_ORACLES["coincidence_triangles"])

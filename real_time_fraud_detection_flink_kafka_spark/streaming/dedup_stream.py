@@ -182,3 +182,41 @@ def run_coincident_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_benford_stream(spark, sf_dir: str,
+                       query_name: str = "benford_stream") -> DataFrame:
+    """Benford digit accounting ON the event stream: per-digit counts
+    are the query's ONE stateful aggregation (integer counts —
+    arrival-order free in complete mode); shares/expectations/
+    deviations are derived from the DRAINED 9-row table batch-side
+    (the post-drain projection a dashboard runs), so the result
+    equals batch `benford_audit` exactly and shares its oracle."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        BENFORD_EXPECTED,
+    )
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (stream.where(F.col("value") > 0)
+                 .select(digit.alias("digit"))
+                 .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    q = (per.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    drained = spark.table(query_name)
+    tot = drained.agg(F.sum("n").cast("double").alias("_tot"))
+    expected = F.lit(None).cast("double")
+    for d, p in BENFORD_EXPECTED.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    share = F.col("n") / F.col("_tot")
+    return (drained.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(share, 6).alias("share"),
+                    expected.alias("benford"),
+                    F.round(F.abs(share - expected), 6).alias("abs_dev")))

@@ -255,3 +255,30 @@ def test_coincident_stream_multi_microbatch_exact(spark, tmp_path):
     assert len(want) == 6
     assert (want[["event_a", "event_b"]].to_numpy() == 4).any(axis=1).sum() == 4
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_coincidence_components_transitive_chain(spark):
+    """A temporal chain A~B (t, t+30s), B~C (t+30s, t+55s) with C
+    outside A's window must still land all three users in ONE ring —
+    transitivity is the whole point of the components layer over the
+    pair relation — while an isolated user far away forms no ring."""
+    from datetime import datetime, timedelta
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.cep import (
+        coincidence_components,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "a", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=30), 20, "a", 1.0, "{}"),
+        (3, t0 + timedelta(seconds=55), 30, "a", 1.0, "{}"),
+        (4, t0 + timedelta(hours=5), 40, "a", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    out = {r["user_id"]: r for r in coincidence_components(events).collect()}
+    assert set(out) == {10, 20, 30}          # user 40 isolated
+    assert len({r["ring_id"] for r in out.values()}) == 1
+    assert all(r["ring_size"] == 3 for r in out.values())
