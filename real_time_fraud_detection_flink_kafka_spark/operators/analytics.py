@@ -1671,3 +1671,108 @@ def table_diff(events: DataFrame) -> DataFrame:
     return (j.withColumn("status", status)
              .where(F.col("status").isNotNull())
              .select("event_id", "status", "md5_v1", "md5_v2"))
+
+
+MERGE_CHECK_MOD = 1_000_003  # fold row hashes before the checksum sum
+
+
+def merge_upsert(events: DataFrame) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg lakehouse write path):
+    apply a keyed change-set to a base snapshot — matched+newer →
+    UPDATE, unmatched → INSERT, tombstone → DELETE — and emit the
+    audit row a writer logs: per-action counts plus an ORDER-FREE
+    integer checksum of the merged table (sum of per-row md5-int60s —
+    commutative, so partitioning can't change it).
+
+    Base/changes derive deterministically from events (the table_diff
+    discipline): changes = every DIFF_EDIT_MOD-th row re-valued
+    (updates) + 3 re-keyed rows (inserts) + every DIFF_DROP_MOD-th
+    key as a tombstone (deletes).
+
+    Scale shape: ONE co-keyed full-outer shuffle join; counts and the
+    checksum are map-side-combined integer aggregates — the merged
+    table itself never leaves the executors."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+        md5_int60,
+    )
+
+    base = events.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    upd = (base.where(F.col("event_id") % DIFF_EDIT_MOD == 0)
+               .select("event_id", "event_type",
+                       (F.col("cents") + 100).alias("cents"),
+                       F.lit(False).alias("tombstone")))
+    ins = (base.where(F.col("event_id") < 3)
+               .select((F.col("event_id") + DIFF_ADD_OFFSET).alias("event_id"),
+                       "event_type", "cents", F.lit(False).alias("tombstone")))
+    dele = (base.where((F.col("event_id") % DIFF_DROP_MOD == 0)
+                       & (F.col("event_id") % DIFF_EDIT_MOD != 0))
+                .select("event_id", "event_type", "cents",
+                        F.lit(True).alias("tombstone")))
+    changes = upd.unionByName(ins).unionByName(dele)
+    j = (base.select("event_id", F.col("event_type").alias("bt"),
+                     F.col("cents").alias("bc"))
+             .join(changes.select("event_id",
+                                  F.col("event_type").alias("ct"),
+                                  F.col("cents").alias("cc"), "tombstone"),
+                   "event_id", "full_outer"))
+    action = (F.when(F.col("bc").isNull(), F.lit("insert"))
+               .when(F.col("cc").isNull(), F.lit("keep"))
+               .when(F.col("tombstone"), F.lit("delete"))
+               .otherwise(F.lit("update")))
+    merged_cents = F.when(F.col("cc").isNotNull() & ~F.coalesce("tombstone", F.lit(False)),
+                          F.col("cc")).otherwise(F.col("bc"))
+    merged_type = F.coalesce("ct", "bt")
+    # per-row hash folded mod CHECK_MOD so the commutative sum stays
+    # far from bigint overflow even at 10^12 rows (raw 60-bit values
+    # would overflow — and DuckDB's sum(BIGINT) widens to HUGEINT
+    # while Spark's wraps, so the engines would even disagree)
+    rh = md5_int60(F.concat_ws("|", F.col("event_id").cast("string"),
+                               merged_type, merged_cents.cast("string"))) \
+        % MERGE_CHECK_MOD
+    live = action != "delete"
+    return (j.select(action.alias("action"), live.alias("live"),
+                     F.when(live, rh).otherwise(F.lit(0)).alias("rh"))
+             .groupBy()
+             .agg(F.sum(F.when(F.col("action") == "insert", 1).otherwise(0)).alias("n_inserted"),
+                  F.sum(F.when(F.col("action") == "update", 1).otherwise(0)).alias("n_updated"),
+                  F.sum(F.when(F.col("action") == "delete", 1).otherwise(0)).alias("n_deleted"),
+                  F.sum(F.when(F.col("action") == "keep", 1).otherwise(0)).alias("n_unchanged"),
+                  F.sum("rh").alias("table_checksum")))
+
+
+MV_DELTA_MOD = 10  # event_id % 10 == 0 → the arriving delta batch
+
+
+def mv_maintain(events: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance (self-maintainable
+    aggregate views, Gupta & Mumick): the per-type revenue view is
+    NOT recomputed from scratch — yesterday's partial aggregates
+    (base slice) merge with the arriving delta's partial aggregates
+    through one |types|-sized outer join of aggregate rows. The
+    ORACLE is the full recompute over the union, so the parity gate
+    itself proves incremental ≡ full — the associativity contract
+    every streaming/lakehouse MV engine rests on.
+
+    Determinism: counts and fixed-point sums are integers; the merge
+    is coalesce+add; the final division is the shared fsum form.
+
+    Scale shape: two map-side-combined groupBys over DISJOINT slices
+    (together one pass of the fact table) and a tiny aggregate-row
+    join — at 10^12 rows the delta side touches only the delta."""
+    fp = F.round(F.col("value") * SCALE).cast("bigint")
+    base = events.select("event_type", "event_id", fp.alias("vfp"))
+    v1 = (base.where(F.col("event_id") % MV_DELTA_MOD != 0)
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n1"), F.sum("vfp").alias("s1")))
+    delta = (base.where(F.col("event_id") % MV_DELTA_MOD == 0)
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("nd"), F.sum("vfp").alias("sd")))
+    z = F.lit(0).cast("bigint")
+    merged = v1.join(delta, "event_type", "full_outer")
+    return merged.select(
+        "event_type",
+        (F.coalesce("n1", z) + F.coalesce("nd", z)).alias("n_events"),
+        ((F.coalesce("s1", z) + F.coalesce("sd", z)) / F.lit(float(SCALE)))
+        .alias("total_value"))

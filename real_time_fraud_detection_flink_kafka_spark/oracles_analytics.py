@@ -115,6 +115,59 @@ def _favg(expr: str) -> str:
     return f"({_fsum(expr)} / count(*))"
 
 
+def _merge_upsert_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
+        md5_int60_sql,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        DIFF_ADD_OFFSET,
+        DIFF_DROP_MOD,
+        DIFF_EDIT_MOD,
+        MERGE_CHECK_MOD,
+    )
+
+    rh = md5_int60_sql(
+        "CAST(event_id AS VARCHAR) || '|' || mt || '|' || CAST(mc AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), changes AS (
+  SELECT event_id, event_type, cents + 100 AS cents, FALSE AS tombstone
+  FROM base WHERE event_id % {DIFF_EDIT_MOD} = 0
+  UNION ALL
+  SELECT event_id + {DIFF_ADD_OFFSET}, event_type, cents, FALSE
+  FROM base WHERE event_id < 3
+  UNION ALL
+  SELECT event_id, event_type, cents, TRUE
+  FROM base WHERE event_id % {DIFF_DROP_MOD} = 0
+    AND event_id % {DIFF_EDIT_MOD} <> 0
+), j AS (
+  SELECT coalesce(b.event_id, c.event_id) AS event_id,
+         b.event_type AS bt, b.cents AS bc,
+         c.event_type AS ct, c.cents AS cc, c.tombstone
+  FROM base b FULL JOIN changes c ON b.event_id = c.event_id
+), r AS (
+  SELECT event_id,
+         CASE WHEN bc IS NULL THEN 'insert'
+              WHEN cc IS NULL THEN 'keep'
+              WHEN tombstone THEN 'delete'
+              ELSE 'update' END AS action,
+         CASE WHEN cc IS NOT NULL AND NOT coalesce(tombstone, FALSE)
+              THEN cc ELSE bc END AS mc,
+         coalesce(ct, bt) AS mt
+  FROM j
+)
+SELECT CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN action <> 'delete'
+                THEN ({rh}) % {MERGE_CHECK_MOD} ELSE 0 END) AS BIGINT) AS table_checksum
+FROM r"""
+
+
 def _table_diff_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
         DIFF_ADD_OFFSET,
@@ -394,6 +447,15 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        # the mv_maintain oracle IS the full recompute: parity proves
+        # the incremental merge path equals recomputation
+        "mv_maintain": f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {_fsum('value')} AS total_value
+FROM events GROUP BY event_type""",
+        # mirrors analytics.merge_upsert: derived change-set, one
+        # full-outer join, mod-folded commutative checksum
+        "merge_upsert": _merge_upsert_sql(),
         # mirrors analytics.table_diff: derived v1/v2 snapshots,
         # full-outer keyed join, md5 row hashes, exception verdicts
         "table_diff": _table_diff_sql(),

@@ -825,3 +825,42 @@ def test_table_diff_verdict_partition(spark, sf_dir):
     assert set(out.status) == {"added", "removed", "changed"}
     clean = set(ids) - removed - changed
     assert clean.isdisjoint(set(out.event_id))
+
+
+def test_merge_upsert_counts_and_checksum_replay(spark, sf_dir):
+    """The audit row must match an independent pandas replay of the
+    merge: action counts partition base∪changes, and the mod-folded
+    commutative checksum equals the replayed merged table's — the
+    writer-log contract a lakehouse MERGE emits."""
+    import hashlib
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        DIFF_ADD_OFFSET,
+        DIFF_DROP_MOD,
+        DIFF_EDIT_MOD,
+        MERGE_CHECK_MOD,
+        merge_upsert,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    out = merge_upsert(events).collect()[0]
+    rows = events.select("event_id", "event_type", "value").toPandas()
+    base = {int(r.event_id): (r.event_type, int(round(r.value * 100)))
+            for r in rows.itertuples()}
+    merged = dict(base)
+    n_upd = n_del = 0
+    for k, (t, c) in base.items():
+        if k % DIFF_EDIT_MOD == 0:
+            merged[k] = (t, c + 100); n_upd += 1
+        elif k % DIFF_DROP_MOD == 0:
+            del merged[k]; n_del += 1
+    ins = {k + DIFF_ADD_OFFSET: base[k] for k in base if k < 3}
+    merged.update(ins)
+    assert out.n_inserted == len(ins)
+    assert out.n_updated == n_upd and out.n_deleted == n_del
+    assert out.n_unchanged == len(base) - n_upd - n_del
+    chk = sum(
+        int(hashlib.md5(f"{k}|{t}|{c}".encode()).hexdigest()[:15], 16)
+        % MERGE_CHECK_MOD
+        for k, (t, c) in merged.items())
+    assert out.table_checksum == chk
