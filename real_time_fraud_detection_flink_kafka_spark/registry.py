@@ -587,6 +587,22 @@ register("stream_benford_audit", _stream_benford,
          _ANALYTICS_ORACLES["benford_audit"])
 
 
+def _stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_mv_maintain_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_mv_maintain_stream(
+        spark, sf_dir, query_name=f"mv_stream_{_STREAM_COUNTER['n']}")
+
+
+# batch base partials + streamed delta partials merged post-drain:
+# equals the full recompute (shared mv_maintain oracle)
+register("stream_mv_maintain", _stream_mv,
+         _ANALYTICS_ORACLES["mv_maintain"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

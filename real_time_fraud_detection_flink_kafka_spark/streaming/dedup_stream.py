@@ -220,3 +220,48 @@ def run_benford_stream(spark, sf_dir: str,
                     F.round(share, 6).alias("share"),
                     expected.alias("benford"),
                     F.round(F.abs(share - expected), 6).alias("abs_dev")))
+
+
+def run_mv_maintain_stream(spark, sf_dir: str,
+                           query_name: str = "mv_stream") -> DataFrame:
+    """Materialized-view maintenance with the DELTA ON THE STREAM:
+    yesterday's per-type partial aggregates come from the batch base
+    slice, the arriving delta (event_id % MV_DELTA_MOD == 0) streams
+    through ONE stateful integer aggregation (complete mode —
+    arrival-order free), and the view merges post-drain through the
+    same coalesce+add join as batch `mv_maintain` — the incremental
+    shape a streaming MV engine runs continuously. Equals the full
+    recompute exactly (shared oracle: the parity gate proves
+    incremental-with-streamed-delta ≡ recompute)."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        MV_DELTA_MOD,
+        SCALE,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    fp = F.round(F.col("value") * SCALE).cast("bigint")
+    batch = load_table(spark, sf_dir, "events")
+    v1 = (batch.where(F.col("event_id") % MV_DELTA_MOD != 0)
+               .select("event_type", fp.alias("vfp"))
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n1"), F.sum("vfp").alias("s1")))
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    delta = (stream.where(F.col("event_id") % MV_DELTA_MOD == 0)
+                   .select("event_type", fp.alias("vfp"))
+                   .groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("nd"), F.sum("vfp").alias("sd")))
+    q = (delta.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    drained = spark.table(query_name)
+    z = F.lit(0).cast("bigint")
+    return (v1.join(drained, "event_type", "full_outer")
+              .select("event_type",
+                      (F.coalesce("n1", z) + F.coalesce("nd", z)).alias("n_events"),
+                      ((F.coalesce("s1", z) + F.coalesce("sd", z))
+                       / F.lit(float(SCALE))).alias("total_value")))
