@@ -1282,3 +1282,30 @@ def contrastive_pairs(documents: DataFrame) -> DataFrame:
                 .where(F.col("neg_doc_id") != F.col("doc_id"))
                 .select("doc_id", "anchor_text", "positive_text",
                         "neg_doc_id", "negative_text"))
+
+
+SPLIT_TRAIN_PCT = 90   # md5 bucket < 90 → train
+SPLIT_VAL_PCT = 95     # 90-94 → val, 95-99 → test
+
+
+def dataset_split(documents: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be REPRODUCIBLE and LEAK-FREE across
+    reruns, retries and repartitions: the md5 bucket of doc_id alone
+    decides (never position or randomness), so a document keeps its
+    split for life even as the corpus around it grows — the property
+    that prevents silent eval-set contamination between dataset
+    versions. Row-local, zero shuffles.
+
+    Stratification note: hash buckets are uniform per source, so
+    per-source split rates converge to 90/5/5 without a per-source
+    pass (asserted at test time); an exact-quota stratified variant
+    would need the curriculum_phases histogram machinery."""
+    bucket = F.pmod(md5_int60(F.col("doc_id").cast("string")),
+                    F.lit(100))
+    split = (F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+              .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+              .otherwise(F.lit("test")))
+    return documents.select("doc_id", "source",
+                            bucket.cast("int").alias("bucket"),
+                            split.alias("split"))

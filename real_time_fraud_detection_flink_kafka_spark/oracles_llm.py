@@ -603,6 +603,8 @@ def _pipeline_oracles() -> dict[str, str]:
         CONTRAST_SPAN,
         SPAN_LEN,
         SPAN_RATE_PCT,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
         TEMP_ALPHA,
         TEMP_WEIGHT_SCALE,
         PACK_BUDGET,
@@ -751,6 +753,15 @@ SELECT doc_id, source,
        CAST(floor(rate * {SAMPLE_MOD}) AS INTEGER) AS rate_bp
 FROM documents JOIN rates USING (source)
 WHERE {bucket} < floor(rate * {SAMPLE_MOD})""",
+        # mirrors pipeline.dataset_split: md5 bucket decides alone
+        "dataset_split": f"""
+SELECT doc_id, source,
+       CAST({md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100 AS INTEGER) AS bucket,
+       CASE WHEN {md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train'
+            WHEN {md5_int60_sql('CAST(doc_id AS VARCHAR)')} % 100 < {SPLIT_VAL_PCT}
+            THEN 'val' ELSE 'test' END AS split
+FROM documents""",
         # mirrors pipeline.contrastive_pairs: row-local crops, md5
         # bucket pairing, |buckets|-row arg-min negative map
         "contrastive_pairs": f"""

@@ -264,6 +264,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": lambda s, d: pipeline_ops.temperature_mix(load_table(s, d, "documents")),
     "span_corruption": lambda s, d: pipeline_ops.span_corruption(load_table(s, d, "documents")),
     "contrastive_pairs": lambda s, d: pipeline_ops.contrastive_pairs(load_table(s, d, "documents")),
+    "dataset_split": lambda s, d: pipeline_ops.dataset_split(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
     "boilerplate_ngrams": lambda s, d: pipeline_ops.boilerplate_ngrams(load_table(s, d, "documents")),

@@ -864,3 +864,25 @@ def test_merge_upsert_counts_and_checksum_replay(spark, sf_dir):
         % MERGE_CHECK_MOD
         for k, (t, c) in merged.items())
     assert out.table_checksum == chk
+
+
+def test_dataset_split_stability_and_stratification(docs):
+    """Split contract: every doc assigned exactly once, assignment is
+    a pure function of doc_id (stable across runs AND across corpus
+    subsets — the leak-free property), and per-source train rates
+    land near 90% (hash uniformity gives stratification for free)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        dataset_split,
+    )
+
+    out = dataset_split(docs).toPandas()
+    assert len(out) == docs.count()
+    assert set(out.split) == {"train", "val", "test"}
+    again = dataset_split(docs.limit(100)).toPandas()
+    merged = again.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged.split_sub == merged.split_full).all()  # subset-stable
+    # ~25 docs/source at this SF: binomial noise is wide, bound loosely
+    rates = out.groupby("source").split.apply(
+        lambda s: (s == "train").mean())
+    assert ((rates >= 0.6) & (rates <= 1.0)).all()
+    assert abs((out.split == "train").mean() - 0.9) < 0.05
