@@ -1776,3 +1776,42 @@ def mv_maintain(events: DataFrame) -> DataFrame:
         (F.coalesce("n1", z) + F.coalesce("nd", z)).alias("n_events"),
         ((F.coalesce("s1", z) + F.coalesce("sd", z)) / F.lit(float(SCALE)))
         .alias("total_value"))
+
+
+ATTR_WINDOW_US = 3_600 * 1_000_000  # 1 h lookback
+
+
+def attribution_credit(events: DataFrame) -> DataFrame:
+    """First/last-touch attribution: for every `purchase`, the
+    earliest and latest non-purchase touch by the same user in the
+    preceding hour — the marketing-analytics join every event
+    platform ships. One RANGE-frame window pass instead of a
+    self-join: touches ride the same per-user ordering as the
+    conversions they credit.
+
+    Determinism: a RANGE frame has no intra-frame order, so
+    first/last come from min/max over (ts_us, event_id, type)
+    STRUCTS — total integer order, not frame position. Purchases
+    inside the window are excluded from touches via null-struct
+    arithmetic (min/max ignore nulls in both engines).
+
+    Scale shape: one shuffle (partitionBy user_id shared by all
+    three window aggregates), then a row filter — no joins."""
+    from pyspark.sql import Window
+
+    e = events.select("event_id", "user_id", "event_type",
+                      F.unix_micros(F.col("ts")).alias("tsu"))
+    touch = F.when(F.col("event_type") != "purchase",
+                   F.struct("tsu", "event_id", "event_type"))
+    w = (Window.partitionBy("user_id").orderBy("tsu")
+         .rangeBetween(-ATTR_WINDOW_US, -1))
+    out = (e.withColumn("ft", F.min(touch).over(w))
+            .withColumn("lt", F.max(touch).over(w))
+            .withColumn("n_touches",
+                        F.count(touch["event_id"]).over(w))
+            .where(F.col("event_type") == "purchase"))
+    return out.select(
+        F.col("event_id").alias("conv_event_id"), "user_id",
+        F.col("ft.event_type").alias("first_touch"),
+        F.col("lt.event_type").alias("last_touch"),
+        F.col("n_touches").cast("int").alias("n_touches"))

@@ -115,6 +115,32 @@ def _favg(expr: str) -> str:
     return f"({_fsum(expr)} / count(*))"
 
 
+def _attribution_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        ATTR_WINDOW_US,
+    )
+
+    touch = ("CASE WHEN event_type <> 'purchase' THEN "
+             "{'tsu': tsu, 'event_id': event_id, 'event_type': event_type} END")
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+), t AS (
+  SELECT *,
+         min({touch}) OVER w AS ft,
+         max({touch}) OVER w AS lt,
+         count(CASE WHEN event_type <> 'purchase' THEN event_id END)
+           OVER w AS n_touches
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+               RANGE BETWEEN {ATTR_WINDOW_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS conv_event_id, user_id,
+       ft.event_type AS first_touch, lt.event_type AS last_touch,
+       CAST(n_touches AS INTEGER) AS n_touches
+FROM t WHERE event_type = 'purchase'"""
+
+
 def _merge_upsert_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
         md5_int60_sql,
@@ -447,6 +473,9 @@ FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              o_orderstatus, o_totalprice
       FROM orders)
 GROUP BY GROUPING SETS ((o_year), (o_orderstatus), ())""",
+        # mirrors analytics.attribution_credit: struct-ordered min/max
+        # over the same RANGE frame — no intra-frame position anywhere
+        "attribution_credit": _attribution_sql(),
         # the mv_maintain oracle IS the full recompute: parity proves
         # the incremental merge path equals recomputation
         "mv_maintain": f"""

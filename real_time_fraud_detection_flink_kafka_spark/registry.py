@@ -108,6 +108,7 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": lambda s, d: analytics.table_diff(load_table(s, d, "events")),
     "merge_upsert": lambda s, d: analytics.merge_upsert(load_table(s, d, "events")),
     "mv_maintain": lambda s, d: analytics.mv_maintain(load_table(s, d, "events")),
+    "attribution_credit": lambda s, d: analytics.attribution_credit(load_table(s, d, "events")),
     "pivot_events": lambda s, d: analytics.pivot_events(load_table(s, d, "events")),
     "cube_orders": lambda s, d: analytics.cube_orders(load_table(s, d, "orders")),
     "rollup_orders": lambda s, d: analytics.rollup_orders(load_table(s, d, "orders")),

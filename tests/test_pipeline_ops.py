@@ -886,3 +886,36 @@ def test_dataset_split_stability_and_stratification(docs):
         lambda s: (s == "train").mean())
     assert ((rates >= 0.6) & (rates <= 1.0)).all()
     assert abs((out.split == "train").mean() - 0.9) < 0.05
+
+
+def test_attribution_credit_fixture(spark):
+    """Hand-built journey: click → view → purchase inside the hour
+    credits first=click, last=view; a purchase inside the lookback is
+    NOT a touch; a conversion with no prior activity gets nulls and
+    zero touches; activity older than the window is ignored."""
+    from datetime import datetime, timedelta
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        attribution_credit,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click"),
+        (2, t0 + timedelta(minutes=10), 7, "view"),
+        (3, t0 + timedelta(minutes=20), 7, "purchase"),
+        (4, t0 + timedelta(minutes=30), 7, "purchase"),  # prior purchase ≠ touch
+        (5, t0 - timedelta(hours=3), 9, "click"),        # stale for user 9
+        (6, t0, 9, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        [(eid, ts, u, ty, 1.0, "{}") for eid, ts, u, ty in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+    out = {r["conv_event_id"]: r for r in attribution_credit(events).collect()}
+    assert out[3]["first_touch"] == "click" and out[3]["last_touch"] == "view"
+    assert out[3]["n_touches"] == 2
+    assert out[4]["first_touch"] == "click" and out[4]["last_touch"] == "view"
+    assert out[4]["n_touches"] == 2          # purchase at t+20 not counted
+    assert out[6]["n_touches"] == 0
+    assert out[6]["first_touch"] is None and out[6]["last_touch"] is None
