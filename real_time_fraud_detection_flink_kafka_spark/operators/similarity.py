@@ -1637,3 +1637,37 @@ def label_outliers(embeddings: DataFrame, top: int = OUTLIER_TOP) -> DataFrame:
              .where(F.col("rnk") <= top)
              .select("label", "vec_id", F.round(F.col("d2"), 6).alias("dist2"),
                      "rnk"))
+
+
+def knn_graph_recall(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Measured edge recall of the cell-blocked k-NN graph vs the
+    exact k-NN graph on the bounded baseline slice (vec_id <
+    BRUTE_MAX_ID) — the same measured-recall discipline every ANN
+    rung carries (`ann_lsh_recall`, `ann_pq_recall`, ...): the
+    blocking trades cross-cell edges away; this row prices that
+    trade. One summary row: vectors, true edges, found edges,
+    recall. Counts are integers, recall one rounded division."""
+    from pyspark.sql import Window
+
+    sl = embeddings.where(F.col("vec_id") < BRUTE_MAX_ID)
+    e = _vecs(sl)
+    a = e.select("vec_id", F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("nbr_id"),
+                 F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    exact = (a.join(b, F.col("vec_id") != F.col("nbr_id"))
+              .select("vec_id", "nbr_id", cos.alias("cos_raw"))
+              .withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") <= k)
+              .select("vec_id", "nbr_id"))
+    found = knn_graph(sl, k=k).select(
+        "vec_id", "nbr_id", F.lit(1).alias("hit"))
+    j = exact.join(found, ["vec_id", "nbr_id"], "left")
+    return (j.agg(F.countDistinct("vec_id").cast("int").alias("n_vectors"),
+                  F.count(F.lit(1)).cast("int").alias("n_true_edges"),
+                  F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                   .cast("int").alias("n_found"))
+             .select("n_vectors", "n_true_edges", "n_found",
+                     F.round(F.col("n_found") / F.col("n_true_edges"), 6)
+                      .alias("recall")))

@@ -1786,6 +1786,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # identical to _ivf_tail's arn=1; full table, no slice)
         "dedup_embedding_blocked": _blocked_pairs_sql(),
         "knn_graph": _knn_graph_sql(),
+        "knn_graph_recall": _knn_graph_recall_sql(),
         # blocked pairs → recursive-CTE closure → quality-argmax
         # canonical per cluster — mirrors similarity.semantic_canonicalize
         "semantic_canonicalize": _semantic_canonicalize_sql(),
@@ -1852,6 +1853,62 @@ r AS (
 SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
        round(cos_raw, 6) AS cos_sim, CAST(cell AS BIGINT) AS cell
 FROM r WHERE rnk <= {KNN_K}""")
+
+
+def _knn_graph_recall_sql() -> str:
+    """Mirrors similarity.knn_graph_recall: exact kNN on the slice vs
+    the cell-blocked graph on the same slice (cells sized from the
+    SLICE count, matching knn_graph(sl))."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import KNN_K
+
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < """ + str(BRUTE_MAX_ID) + """),
+"""
+            + (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
+               " AS cells FROM e),\n")
+            + "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
+              " WHERE vec_id < cells),\n"
+            + f"""ac AS (
+  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+),
+assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+gj AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         {_cos_sql('ea.v', 'eb.v')} AS cos_raw
+  FROM assigned a JOIN assigned b USING (cell)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+graph AS (
+  SELECT vec_id, nbr_id, 1 AS hit FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos_raw DESC, nbr_id) AS rnk FROM gj)
+  WHERE rnk <= {KNN_K}
+),
+xj AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         {_cos_sql('a.v', 'b.v')} AS cos_raw
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+exact AS (
+  SELECT vec_id, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos_raw DESC, nbr_id) AS rnk FROM xj)
+  WHERE rnk <= {KNN_K}
+),
+j AS (
+  SELECT exact.vec_id, coalesce(hit, 0) AS hit
+  FROM exact LEFT JOIN graph USING (vec_id, nbr_id)
+)
+SELECT CAST(count(DISTINCT vec_id) AS INTEGER) AS n_vectors,
+       CAST(count(*) AS INTEGER) AS n_true_edges,
+       CAST(sum(hit) AS INTEGER) AS n_found,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+FROM j""")
 
 
 def _semantic_canonicalize_sql() -> str:

@@ -286,6 +286,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": lambda s, d: pipeline_ops.source_overlap(load_table(s, d, "documents")),
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
     "knn_graph": lambda s, d: similarity.knn_graph(load_table(s, d, "embeddings")),
+    "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),

