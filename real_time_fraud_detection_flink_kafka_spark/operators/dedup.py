@@ -986,6 +986,14 @@ def dedup_ppjoin(documents: DataFrame,
     Determinism: candidates are exact set logic; the final jaccard is
     the same n_common/(n_a+n_b−n_common) rounded to 6 dp and
     thresholded AFTER rounding, exactly as `dedup_ngram_jaccard`."""
+    _sh, _prefix, _cand, verified = _ppjoin_parts(documents, threshold)
+    return verified
+
+
+def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
+    """(sh, prefix, cand, verified) — the PPJoin pipeline's stages,
+    shared by `dedup_ppjoin` (returns verified) and `ppjoin_stats`
+    (counts every stage)."""
     from pyspark.sql import Window
 
     sh = tracked_persist(
@@ -1020,5 +1028,34 @@ def dedup_ppjoin(documents: DataFrame,
              .withColumn("n_common",
                          F.size(F.array_intersect("set_a", "set_b"))))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (v.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-             .where(F.col("jaccard") >= threshold))
+    verified = (v.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+    return sh, prefix, cand, verified
+
+
+def ppjoin_stats(documents: DataFrame,
+                 threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Pruning-evidence audit for the prefix filter — the numbers
+    that justify PPJoin at scale, measured not argued: token rows vs
+    prefix rows (the join only ever keys on the prefix fraction,
+    prefix_ppm), candidates surviving the size filter, and verified
+    pairs. One summary row; every count an integer, the fraction an
+    exact ppm floor division. No quadratic stage anywhere — the
+    audit itself follows the same plan as the join."""
+    sh, prefix, cand, verified = _ppjoin_parts(documents, threshold)
+    c_tok = sh.agg(F.count(F.lit(1)).alias("n_token_rows"),
+                   F.countDistinct("doc_id").alias("n_sets"))
+    c_pre = prefix.agg(F.count(F.lit(1)).alias("n_prefix_rows"))
+    c_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    c_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    out = (c_tok.crossJoin(F.broadcast(c_pre))
+                .crossJoin(F.broadcast(c_cand))
+                .crossJoin(F.broadcast(c_ver)))
+    return out.select(
+        F.col("n_sets").cast("int").alias("n_sets"),
+        F.col("n_token_rows").cast("int").alias("n_token_rows"),
+        F.col("n_prefix_rows").cast("int").alias("n_prefix_rows"),
+        F.expr("n_prefix_rows * 1000000 div n_token_rows")
+         .cast("bigint").alias("prefix_ppm"),
+        F.col("n_candidates").cast("int").alias("n_candidates"),
+        F.col("n_verified").cast("int").alias("n_verified"))

@@ -186,6 +186,40 @@ SELECT doc_id, CAST(count(*) AS INTEGER) AS n_blocks,
                     FILTER (WHERE NOT is_dup), '')) AS clean_md5
 FROM j GROUP BY doc_id""",
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        # mirrors dedup.ppjoin_stats: same prefix construction
+        # ((df, hash) order, integer prefix length), stage counts
+        "ppjoin_stats": f"""
+WITH {_SHINGLE_CTE},
+shh AS (
+  SELECT doc_id, {md5_int60_sql('shingle')} AS sh_h FROM sh
+),
+dfr AS (SELECT sh_h, count(*) AS df FROM shh GROUP BY 1),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
+shd AS (
+  SELECT s.doc_id, s.sh_h, d.df, z.n_sh
+  FROM shh s JOIN dfr d USING (sh_h) JOIN sizes z USING (doc_id)
+),
+pre AS (
+  SELECT doc_id, sh_h, n_sh FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY df, sh_h) AS rn
+    FROM shd)
+  WHERE rn <= n_sh - ((4 * n_sh + 4) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_sh AS n_a, b.n_sh AS n_b
+  FROM pre a JOIN pre b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+  WHERE 5 * least(a.n_sh, b.n_sh) >= 4 * greatest(a.n_sh, b.n_sh)
+),
+ver AS (SELECT count(*) AS n_verified FROM ({_JACCARD_SQL}) q)
+SELECT CAST((SELECT count(*) FROM sizes) AS INTEGER) AS n_sets,
+       CAST((SELECT count(*) FROM shh) AS INTEGER) AS n_token_rows,
+       CAST((SELECT count(*) FROM pre) AS INTEGER) AS n_prefix_rows,
+       CAST((SELECT count(*) FROM pre) * 1000000
+            // (SELECT count(*) FROM shh) AS BIGINT) AS prefix_ppm,
+       CAST((SELECT count(*) FROM cand) AS INTEGER) AS n_candidates,
+       CAST((SELECT n_verified FROM ver) AS INTEGER) AS n_verified""",
         # verified-LSH output == exact output at this data's dup
         # profile (r=2/b=8 band curve; see operators/dedup.py docs)
         "dedup_minhash_lsh": _JACCARD_SQL,

@@ -415,3 +415,22 @@ def test_dedup_ppjoin_survives_universal_boilerplate_token(spark):
     want = sorted(map(tuple, dedup_ngram_jaccard(docs).collect()))
     assert got == want
     assert (100, 101, 1.0) in [(a, b, j) for a, b, j in got]
+
+
+def test_ppjoin_stats_pruning_evidence(spark, sf_dir):
+    """The stats row must show the filter actually filtering:
+    prefix rows a strict subset of token rows (prefix_ppm < 1e6),
+    verified <= candidates, and n_verified equal to the join's own
+    output count (the stats and the join can't disagree)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_ppjoin,
+        ppjoin_stats,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    row = ppjoin_stats(docs).collect()[0]
+    assert 0 < row["n_prefix_rows"] < row["n_token_rows"]
+    assert row["prefix_ppm"] < 1_000_000
+    assert row["n_verified"] <= row["n_candidates"]
+    assert row["n_verified"] == dedup_ppjoin(docs).count()
