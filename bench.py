@@ -112,6 +112,8 @@ SCALE_SUBSET = [
                       # overhead amortizes" is measured, not argued
     "dedup_substring",  # r8: the skew-hardened occurrence count, measured
     "dedup_ppjoin",     # r8: prefix filtering — the rare-token join, measured
+    "knn_graph",        # r8: cell count scales with corpus — constant
+                        # per-cell work is the claim, measured here
     "vocab_topk",
     "decontaminate",
 ]
