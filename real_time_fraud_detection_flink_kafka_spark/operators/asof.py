@@ -52,3 +52,48 @@ def asof_event_order(events: DataFrame, orders: DataFrame) -> DataFrame:
                    .select(F.col("event_id"), F.col("k").alias("user_id"),
                            F.col("t").alias("ts_us"),
                            "last_orderkey", "last_order_ts_us", "last_totalprice"))
+
+
+def asof_event_order_lookup(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """`asof_event_order` in its SERVING shape: the slowly-changing
+    order history is compacted into ONE time-sorted struct array per
+    customer (the point-in-time index a production pipeline persists
+    between increments), and each event resolves its as-of match
+    ROW-LOCALLY — filter the history to entries at-or-before the
+    event, take `array_max`. Struct ordering is (t, o_orderkey, …),
+    so the max is the latest order with concurrent orders tie-broken
+    on the highest orderkey — the exact contract of the window
+    formulation above; both share one oracle.
+
+    Why it exists alongside the union+window form: everything after
+    the index build is STATELESS (a join plus a projection), so the
+    identical code runs on a STREAM of events in append mode
+    (stream-static join; see `streaming.dedup_stream.run_asof_stream`)
+    — the union+window form cannot stream (running windows over an
+    unbounded key history are not expressible in Structured
+    Streaming). At 100 TB the index side is orders-per-customer
+    bounded (a slowly-changing dim, ~10 rows/key here): broadcast it
+    when it fits executor memory, else drop the hint and the same
+    plan degrades gracefully to a shuffle join on the key — still
+    one shuffle, still stateless."""
+    idx = (orders.groupBy(F.col("o_custkey").alias("k"))
+                 .agg(F.sort_array(F.collect_list(F.struct(
+                     F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                      .alias("t"),
+                     F.col("o_orderkey").alias("okey"),
+                     F.col("o_totalprice").alias("price")))).alias("hist")))
+    e = events.select("event_id", F.col("user_id"),
+                      F.unix_micros(F.col("ts")).alias("ts_us"))
+    j = e.join(F.broadcast(idx), e["user_id"] == idx["k"], "left")
+    # three projected fields each inline their own copy of the
+    # filter+array_max (projection collapse; a let-binding can't
+    # cross projections) — deliberate: the history array is
+    # orders-per-customer bounded (~10), so 3 bounded scans per row
+    # beat any materialization barrier
+    best = F.array_max(
+        F.filter(F.col("hist"), lambda o: o["t"] <= F.col("ts_us")))
+    return j.select(
+        "event_id", "user_id", "ts_us",
+        best["okey"].alias("last_orderkey"),
+        best["t"].alias("last_order_ts_us"),
+        best["price"].alias("last_totalprice"))

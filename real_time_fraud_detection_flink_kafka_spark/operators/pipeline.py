@@ -100,6 +100,66 @@ def decontaminate(documents: DataFrame, eval_mod: int = EVAL_MOD,
              .orderBy("train_doc_id"))
 
 
+def decontaminate_fuzzy(documents: DataFrame, eval_mod: int = EVAL_MOD,
+                        threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Fuzzy (whole-document) benchmark decontamination: flag every
+    training document whose shingle Jaccard with ANY held-out eval
+    document reaches `threshold` — the MinHash-LSH complement to
+    `decontaminate`'s exact 8-gram passage overlap. Exact n-gram
+    catches verbatim contamination; this catches lightly-edited
+    copies of eval items (reworded benchmark questions survive the
+    8-gram filter but not a 0.8-Jaccard one).
+
+    Scale shape — the asymmetry IS the plan: the eval side is the
+    benchmark suite (thousands of docs against a 100 TB corpus), so
+    its band rows AND its shingle-hash sets are BROADCAST; the
+    training corpus streams through broadcast joins only (band match →
+    exact set verification; zero SortMergeJoins, plan-gated) and the
+    only corpus-scale shuffle is the final per-train-doc aggregation
+    (the candidate `distinct` shuffles candidate-sized rows only).
+    MinHash signatures are computed once
+    over the full corpus and persisted (four consumers: both bands,
+    both verify sides), exactly as `_minhash_lsh_pipeline` does.
+
+    Correctness contract: candidates are LSH (r=2, b=8 bands) but
+    every emitted row is verified with EXACT Jaccard on the 60-bit
+    shingle-hash sets, so output ⊆ exact; completeness at
+    threshold=0.8 rides the same band-curve argument as
+    `dedup_minhash_lsh` (its oracle is likewise the exact join).
+    Docs shorter than the shingle width have empty sets — their
+    Jaccard is NULL and they are (correctly) never flagged."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        _band_rows,
+        minhash_signatures,
+    )
+
+    sig = tracked_persist(minhash_signatures(spread(documents)))
+    ev_sig = sig.where(F.col("doc_id") % eval_mod == 0)
+    tr_sig = sig.where(F.col("doc_id") % eval_mod != 0)
+
+    eb = _band_rows(ev_sig).select(
+        F.col("doc_id").alias("eval_doc_id"), "band_idx", "band_key")
+    cand = (_band_rows(tr_sig)
+            .join(F.broadcast(eb), ["band_idx", "band_key"])
+            .select(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+            .distinct())
+
+    tr_sets = tr_sig.select(F.col("doc_id").alias("train_doc_id"),
+                            F.col("sh_set").alias("set_t"))
+    ev_sets = ev_sig.select(F.col("doc_id").alias("eval_doc_id"),
+                            F.col("sh_set").alias("set_e"))
+    j = (cand.join(tr_sets, "train_doc_id")
+             .join(F.broadcast(ev_sets), "eval_doc_id"))
+    inter = F.size(F.array_intersect("set_t", "set_e"))
+    jac = F.round(
+        inter / (F.size("set_t") + F.size("set_e") - inter), 6)
+    return (j.where(jac >= threshold)
+             .groupBy("train_doc_id")
+             .agg(F.count(F.lit(1)).alias("n_eval_docs"),
+                  F.max(jac).alias("max_jaccard"))
+             .orderBy("train_doc_id"))
+
+
 # --- vocabulary mining ------------------------------------------------------
 
 VOCAB_K = 100

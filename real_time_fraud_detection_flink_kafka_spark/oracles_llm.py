@@ -680,6 +680,30 @@ SELECT tr.doc_id AS train_doc_id,
        count(DISTINCT eval_doc_id) AS n_eval_docs
 FROM tr JOIN ev ON tr.shingle = ev.shingle
 GROUP BY 1 ORDER BY 1""",
+        # exact train×eval whole-doc Jaccard — the LSH path's verified
+        # output equals it under the same band-curve-completeness
+        # argument as dedup_minhash_lsh (whose oracle is also exact)
+        "decontaminate_fuzzy": f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id,
+         count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % {EVAL_MOD} <> 0 AND b.doc_id % {EVAL_MOD} = 0
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT train_doc_id,
+         round(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6)
+           AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = train_doc_id
+  JOIN sizes nb ON nb.doc_id = eval_doc_id
+)
+SELECT train_doc_id, count(*) AS n_eval_docs, max(jaccard) AS max_jaccard
+FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+GROUP BY 1 ORDER BY 1""",
         "vocab_topk": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents

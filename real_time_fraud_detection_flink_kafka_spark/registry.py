@@ -245,6 +245,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
     "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
     "decontaminate": lambda s, d: pipeline_ops.decontaminate(load_table(s, d, "documents")),
+    "decontaminate_fuzzy": lambda s, d: pipeline_ops.decontaminate_fuzzy(load_table(s, d, "documents")),
     "vocab_topk": lambda s, d: pipeline_ops.vocab_topk(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
@@ -742,6 +743,33 @@ from real_time_fraud_detection_flink_kafka_spark.operators.asof import asof_even
 register("asof_event_order",
          lambda s, d: asof_event_order(load_table(s, d, "events"),
                                        load_table(s, d, "orders")),
+         _CEP_ORACLES["asof_event_order"])
+
+from real_time_fraud_detection_flink_kafka_spark.operators.asof import (
+    asof_event_order_lookup,
+)
+
+# the SERVING shape of the same join (per-customer history index +
+# row-local at-or-before resolution) — identical contract, one oracle
+register("asof_event_order_lookup",
+         lambda s, d: asof_event_order_lookup(load_table(s, d, "events"),
+                                              load_table(s, d, "orders")),
+         _CEP_ORACLES["asof_event_order"])
+
+
+def _stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_asof_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_asof_stream(spark, sf_dir,
+                           query_name=f"asof_stream_{_STREAM_COUNTER['n']}")
+
+
+# stateless stream-static point-in-time lookup drains to the batch
+# as-of result — same oracle (the asof family's streaming twin)
+register("stream_asof_order", _stream_asof,
          _CEP_ORACLES["asof_event_order"])
 
 

@@ -265,3 +265,35 @@ def run_mv_maintain_stream(spark, sf_dir: str,
                       (F.coalesce("n1", z) + F.coalesce("nd", z)).alias("n_events"),
                       ((F.coalesce("s1", z) + F.coalesce("sd", z))
                        / F.lit(float(SCALE))).alias("total_value")))
+
+
+def run_asof_stream(spark, sf_dir: str,
+                    query_name: str = "asof_stream",
+                    progress_out: list | None = None) -> DataFrame:
+    """STREAMING twin of the as-of join — events arrive as a file
+    stream and each resolves its point-in-time order match against
+    the STATIC per-customer history index (batch-built once, exactly
+    what a serving pipeline persists). Everything on the stream side
+    is a stateless projection after a stream-static broadcast join,
+    so the drain runs in append mode with ZERO state rows and equals
+    the batch `asof_event_order` exactly — shared oracle."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.asof import (
+        asof_event_order_lookup,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import (
+        _normalize_ns,
+        load_table,
+    )
+
+    raw_schema = raw_events_schema(spark, sf_dir)
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    stream = _normalize_ns(stream, ["ts"])
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_event_order_lookup(stream, orders)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    if progress_out is not None:
+        progress_out.append(q.lastProgress)
+    return spark.table(query_name)

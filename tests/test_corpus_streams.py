@@ -39,3 +39,27 @@ def test_update_mode_dedup_equals_batch_and_bounds_state(spark, sf_dir):
     assert state_rows == n_distinct, (
         f"state holds {state_rows} rows, expected one per distinct "
         f"text hash ({n_distinct})")
+
+
+def test_asof_stream_is_stateless_and_equals_batch(spark, sf_dir):
+    """The as-of streaming twin must carry ZERO state rows — the
+    point-in-time index is on the static side and every stream-side
+    op is a projection, so the drain's progress reports no stateful
+    operators; the drained rows equal the batch window formulation."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.asof import (
+        asof_event_order,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
+        run_asof_stream,
+    )
+
+    progress: list = []
+    out = run_asof_stream(spark, sf_dir, query_name="asof_stream_test",
+                          progress_out=progress)
+    batch = asof_event_order(load_table(spark, sf_dir, "events"),
+                             load_table(spark, sf_dir, "orders"))
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[0])
+    want = sorted(map(tuple, batch.collect()), key=lambda t: t[0])
+    assert got == want
+    assert progress and not progress[-1]["stateOperators"], (
+        progress[-1].get("stateOperators"))

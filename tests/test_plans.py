@@ -527,3 +527,14 @@ def test_dedup_ppjoin_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_ppjoin")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_decontaminate_fuzzy_broadcast_only_joins(spark, sf_dir):
+    """The eval side (benchmark suite) is bounded, so BOTH its band
+    rows and its shingle-hash sets must broadcast, and the corpus
+    must never sort-merge: a SortMergeJoin here means the training
+    corpus got shuffled for a benchmark-sized lookup."""
+    plan = _plan(spark, sf_dir, "decontaminate_fuzzy")
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
