@@ -1815,3 +1815,65 @@ def attribution_credit(events: DataFrame) -> DataFrame:
         F.col("ft.event_type").alias("first_touch"),
         F.col("lt.event_type").alias("last_touch"),
         F.col("n_touches").cast("int").alias("n_touches"))
+
+
+COMPACT_TARGET_BYTES = 2_000   # target compacted-file size (scaled to
+                               # the synthetic manifest's ~70-700 B
+                               # hourly files; production: 128-1024 MB)
+COMPACT_FILE_US = 3_600_000_000  # one manifest "file" per hour of data
+
+
+def compact_small_files(events: DataFrame) -> DataFrame:
+    """Small-file compaction planning — the lakehouse OPTIMIZE
+    maintenance pass that complements `merge_upsert` (write path),
+    `mv_maintain` (view maintenance) and `table_diff`
+    (reconciliation). A streaming ingest leaves one small file per
+    trigger per partition; the compactor packs them into
+    target-sized output files. The manifest derives deterministically
+    from events (one "file" per event_type × hour, an integer size
+    proxy), and the plan is the greedy SEQUENTIAL bin-pack every
+    production compactor (Delta OPTIMIZE, Iceberg rewrite_data_files)
+    uses: files in insertion order, a new output bin whenever the
+    running total crosses the target — expressed as
+    `bin = (cumsum_before) // TARGET`, one window over the manifest.
+    Greedy property (pytest-pinned): a bin never splits a file, and
+    for every bin except each partition's last the cumulative byte
+    count at its closing file crosses the bin's boundary — no output
+    file stops short of the target while input files remain. (A
+    single input file larger than TARGET occupies its own bin and
+    skips bin ids, exactly like production compactors passing
+    already-large files through untouched.)
+
+    Scale shape: the only row-scale work is the manifest aggregation
+    (map-side-combined groupBy). Planning then runs on the MANIFEST —
+    files, not rows, exactly like production compactors that read
+    table metadata only — so the per-partition-key window sorts
+    thousands of manifest rows, never the table. Output: one audit
+    row per planned output file with its fill level, the relation a
+    maintenance job logs and a scheduler thresholds on."""
+    # exact bigint floor division: subtract the remainder first so the
+    # double division is of an exact multiple (quotients stay far
+    # below 2^53 at any plausible manifest size)
+    def idiv(num, den: int):
+        return ((num - num % den) / den).cast("bigint")
+
+    manifest = (events.groupBy(
+        "event_type",
+        idiv(F.unix_micros(F.col("ts")), COMPACT_FILE_US).alias("file_id"))
+        .agg((F.count(F.lit(1)) * 64
+              + F.sum(F.length("event_type"))).alias("size_bytes")))
+    w = (Window.partitionBy("event_type").orderBy("file_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+
+    prior = F.sum("size_bytes").over(w) - F.col("size_bytes")
+    planned = manifest.withColumn(
+        "bin_id", idiv(prior, COMPACT_TARGET_BYTES))
+    return (planned.groupBy("event_type", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(F.when(F.col("size_bytes")
+                              < COMPACT_TARGET_BYTES // 2, 1)
+                        .otherwise(0)).alias("n_small_files"),
+                 F.sum("size_bytes").alias("bytes_total"),
+                 idiv(F.sum("size_bytes") * 1_000_000,
+                      COMPACT_TARGET_BYTES).alias("fill_ppm"))
+            .orderBy("event_type", "bin_id"))

@@ -141,6 +141,34 @@ SELECT event_id AS conv_event_id, user_id,
 FROM t WHERE event_type = 'purchase'"""
 
 
+def _compact_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        COMPACT_FILE_US,
+        COMPACT_TARGET_BYTES,
+    )
+
+    return f"""
+WITH manifest AS (
+  SELECT event_type,
+         epoch_us(ts) // {COMPACT_FILE_US} AS file_id,
+         count(*) * 64 + sum(length(event_type)) AS size_bytes
+  FROM events GROUP BY 1, 2
+),
+planned AS (
+  SELECT event_type, size_bytes,
+         (sum(size_bytes) OVER (PARTITION BY event_type ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - size_bytes) // {COMPACT_TARGET_BYTES} AS bin_id
+  FROM manifest
+)
+SELECT event_type, bin_id, count(*) AS n_files,
+       sum(CASE WHEN size_bytes < {COMPACT_TARGET_BYTES // 2}
+                THEN 1 ELSE 0 END) AS n_small_files,
+       sum(size_bytes) AS bytes_total,
+       sum(size_bytes) * 1000000 // {COMPACT_TARGET_BYTES} AS fill_ppm
+FROM planned GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _merge_upsert_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
         md5_int60_sql,
@@ -485,6 +513,9 @@ FROM events GROUP BY event_type""",
         # mirrors analytics.merge_upsert: derived change-set, one
         # full-outer join, mod-folded commutative checksum
         "merge_upsert": _merge_upsert_sql(),
+        # mirrors analytics.compact_small_files: hourly manifest,
+        # greedy sequential bin-pack via cumsum-before floor-div
+        "compact_small_files": _compact_sql(),
         # mirrors analytics.table_diff: derived v1/v2 snapshots,
         # full-outer keyed join, md5 row hashes, exception verdicts
         "table_diff": _table_diff_sql(),
