@@ -1,6 +1,6 @@
-"""Streaming deduplication + stream-stream interval join — the two
-remaining Structured-Streaming state primitives a stream processor
-needs beyond keyed process functions and windowed aggs.
+"""Streaming joins & dedup over the events stream — the remaining
+Structured-Streaming primitives a stream processor needs beyond
+keyed process functions and windowed aggs.
 
 - `dedup_events_stream`: exactly-once event delivery per event_id
   using dropDuplicatesWithinWatermark — state bounded by the
@@ -9,6 +9,10 @@ needs beyond keyed process functions and windowed aggs.
 - `purchase_error_join_stream`: stream-stream interval join (each
   purchase joined to errors by the same user within the preceding
   10 min) with watermarks bounding both join buffers.
+- `coincident_events_stream`: the non-equi time-proximity self-join
+  as a binned stream-stream equi-join (shared batch algorithm).
+- `run_asof_stream`: the as-of join's stream-static serving shape —
+  stateless point-in-time lookups against a batch-built index.
 """
 
 from __future__ import annotations
