@@ -1560,9 +1560,14 @@ def benford_audit(events: DataFrame) -> DataFrame:
 
     Scale shape: one map-side-combined groupBy over 9 digit keys, the
     1-row total broadcast back — nothing else moves."""
+    # gate on the INTEGER cents (>= 1), not value > 0: a value in
+    # (0, 0.005) rounds to 0 cents and would emit a malformed digit-0
+    # row with NULL benford/abs_dev that also inflates the share
+    # denominator
     cents = F.round(F.col("value") * 100).cast("bigint")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    per = (events.where(F.col("value") > 0)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    per = (events.select(cents.alias("cents"))
+                 .where(F.col("cents") >= 1)
                  .select(digit.alias("digit"))
                  .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
     tot = per.agg(F.sum("n").cast("double").alias("_tot"))
@@ -1605,9 +1610,16 @@ def cusum_value_drift(events: DataFrame) -> DataFrame:
     w = (Window.partitionBy("user_id").orderBy("tsu", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cs = F.sum(F.col("v") - F.col("mu")).over(w)
+    # Page's recursion anchors at S_0 = 0, so the window identity is
+    # S_j = C_j - min(0, min_{i<=j} C_i): the virtual C_0 = 0 must
+    # participate in the running min, else a user whose running sum
+    # never dips below its FIRST value (all values above the mean)
+    # gets max_cusum underreported by that positive prefix — exactly
+    # the strongest drifters.
     withcs = (e.crossJoin(F.broadcast(mu))
                .withColumn("cs", cs)
-               .withColumn("up", F.col("cs") - F.min("cs").over(w)))
+               .withColumn("up", F.col("cs")
+                           - F.least(F.min("cs").over(w), F.lit(0))))
     return (withcs.groupBy("user_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_events"),
                  F.max("up").alias("max_fp"))
@@ -1619,7 +1631,12 @@ def cusum_value_drift(events: DataFrame) -> DataFrame:
 
 DIFF_DROP_MOD = 10   # v2 drops event_id % 10 == 0 (removed rows)
 DIFF_EDIT_MOD = 7    # v2 bumps value on event_id % 7 == 0 (changed rows)
-DIFF_ADD_OFFSET = 10_000_000  # v2 appends re-keyed rows (added)
+# v2 appends re-keyed rows (added). A HIGH BIT, not max-sf + slack:
+# scale runs replicate event_ids past the old 10M offset, so synthetic
+# keys collided with real rows (duplicate keys in v2/changes →
+# full-outer fan-out, identically in both engines — parity-invisible).
+# No benchmark scale factor reaches 2^40 distinct event_ids.
+DIFF_ADD_OFFSET = 1 << 40
 
 
 def table_diff(events: DataFrame) -> DataFrame:

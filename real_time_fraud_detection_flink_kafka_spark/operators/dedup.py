@@ -955,8 +955,25 @@ def dedup_paragraph(documents: DataFrame) -> DataFrame:
                    .alias("clean_md5")))
 
 
-# prefix-filtering constants: threshold 0.8 as the exact rational 4/5
+# prefix-filtering constants: the default threshold 0.8 as the exact
+# rational 4/5 (documentation value; the actual rational is derived
+# from the call's `threshold` so every threshold keeps the
+# completeness theorem — see _pp_rational)
 PP_NUM, PP_DEN = 4, 5
+
+
+def _pp_rational(threshold: float) -> tuple[int, int]:
+    """τ as an exact rational (num, den) — the prefix length
+    p = s − ⌈τ·s⌉ + 1 and the size filter den·min ≥ num·max must be
+    derived from the SAME τ the verify step uses, else a caller
+    passing τ < the hard-coded rational silently loses qualifying
+    pairs at candidate generation (completeness violation)."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    if not 0 < fr <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return fr.numerator, fr.denominator
 
 
 def dedup_ppjoin(documents: DataFrame,
@@ -996,6 +1013,7 @@ def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
     (counts every stage)."""
     from pyspark.sql import Window
 
+    num, den = _pp_rational(threshold)
     sh = tracked_persist(
         shingles(spread(documents))
         .select("doc_id", H.md5_int60(F.col("shingle")).alias("sh_h")))
@@ -1003,8 +1021,9 @@ def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     shd = sh.join(dfr, "sh_h").join(sizes, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    # p = s − ⌈τ·s⌉ + 1 with ⌈num·s/den⌉ = (num·s + den − 1) div den
     prefix_len = F.expr(
-        f"n_sh - (({PP_NUM} * n_sh + {PP_NUM}) div {PP_DEN}) + 1")
+        f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
     prefix = (shd.withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") <= prefix_len)
                  .select("doc_id", "sh_h", "n_sh"))
@@ -1014,8 +1033,8 @@ def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
                       F.col("n_sh").alias("n_b"))
     cand = (a.join(b, "sh_h")
              .where((F.col("doc_a") < F.col("doc_b"))
-                    & (PP_DEN * F.least("n_a", "n_b")
-                       >= PP_NUM * F.greatest("n_a", "n_b")))
+                    & (den * F.least("n_a", "n_b")
+                       >= num * F.greatest("n_a", "n_b")))
              .select("doc_a", "doc_b", "n_a", "n_b").distinct())
     hsets = shingle_sets(documents).select(
         "doc_id",

@@ -282,8 +282,8 @@ c AS (
   FROM e, g
 ), m AS (
   SELECT user_id,
-         cs - min(cs) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                            ROWS UNBOUNDED PRECEDING) AS up
+         cs - least(min(cs) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                  ROWS UNBOUNDED PRECEDING), 0) AS up
   FROM c
 )
 SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
@@ -300,11 +300,12 @@ def _benford_sql() -> str:
     case = " ".join(f"WHEN digit = {d} THEN {p!r}"
                     for d, p in BENFORD_EXPECTED.items())
     return f"""
-WITH per AS (
-  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
-              AS INTEGER) AS digit,
+WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), per AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
          count(*) AS n
-  FROM events WHERE value > 0 GROUP BY 1
+  FROM cents WHERE cents >= 1 GROUP BY 1
 ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS _tot FROM per)
 SELECT digit, n, round(n / _tot, 6) AS share,
        (CASE {case} END) AS benford,

@@ -417,6 +417,32 @@ def test_dedup_ppjoin_survives_universal_boilerplate_token(spark):
     assert (100, 101, 1.0) in [(a, b, j) for a, b, j in got]
 
 
+def test_dedup_ppjoin_complete_below_default_threshold(spark):
+    """The prefix rational must DERIVE from the τ argument: with the
+    old hard-coded 4/5 prefix, τ = 0.5 silently pruned qualifying
+    pairs at candidate generation. Pairs at jaccard ≈ 0.6 must
+    survive a τ = 0.5 call, matching the quadratic baseline."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+    )
+
+    rows = []
+    for i in range(8):
+        # pairs (2i, 2i+1): share a core, diverge on tails → mid jaccard
+        core = " ".join(f"c{i}w{k}" for k in range(12))
+        rows.append((2 * i, f"{core} a{i}1 a{i}2 a{i}3"))
+        rows.append((2 * i + 1, f"{core} b{i}1 b{i}2 b{i}3"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = sorted(map(tuple, dedup_ngram_jaccard(docs, 0.5).collect()))
+    got = sorted(map(tuple, dedup_ppjoin(docs, 0.5).collect()))
+    assert len(want) >= 8          # the mid-similarity pairs qualify
+    assert got == want             # completeness at the LOWER τ
+    # and the default-τ path is unchanged
+    assert (sorted(map(tuple, dedup_ppjoin(docs).collect()))
+            == sorted(map(tuple, dedup_ngram_jaccard(docs).collect())))
+
+
 def test_ppjoin_stats_pruning_evidence(spark, sf_dir):
     """The stats row must show the filter actually filtering:
     prefix rows a strict subset of token rows (prefix_ppm < 1e6),

@@ -760,6 +760,14 @@ def test_benford_audit_contract(spark, sf_dir):
         [(i, 500.0) for i in range(100)], "event_id bigint, value double")
     c = benford_audit(const).toPandas()
     assert len(c) == 1 and c.iloc[0].digit == 5 and c.iloc[0].share == 1.0
+    # sub-cent positives (0 < value < 0.005) round to 0 cents: they
+    # must be excluded entirely, not emit a digit-0 row with NULL
+    # benford/abs_dev that inflates the share denominator
+    tiny = spark.createDataFrame(
+        [(0, 0.004), (1, 0.001), (2, 500.0)],
+        "event_id bigint, value double")
+    t = benford_audit(tiny).toPandas()
+    assert len(t) == 1 and t.iloc[0].digit == 5 and t.iloc[0].share == 1.0
 
 
 def test_cusum_detects_injected_drift(spark):
@@ -798,6 +806,40 @@ def test_cusum_detects_injected_drift(spark):
         s = max(0, s + int(round(v * CUSUM_SCALE)) - mu)
         best = max(best, s)
     assert out[2]["max_cusum"] == round(best / CUSUM_SCALE, 6)
+
+
+def test_cusum_all_above_mean_user_keeps_s0_anchor(spark):
+    """Page's recursion anchors at S_0 = 0, so for a user whose every
+    value exceeds the global mean the running sum C never dips below
+    0 and max CUSUM must be C_n — NOT C_n − C_1, which is what a
+    window min that excludes the virtual C_0 = 0 produces. This is
+    exactly the strongest-drifter case the detector exists for."""
+    from datetime import datetime, timedelta
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        CUSUM_SCALE,
+        cusum_value_drift,
+    )
+
+    # user 1: many low values pull the global mean to ~100;
+    # user 2: EVERY value far above the mean (the monotone drifter)
+    rows = [(i, 1, 100.0) for i in range(60)]
+    rows += [(1000 + i, 2, 900.0) for i in range(10)]
+    df = spark.createDataFrame(
+        [(eid, datetime(2026, 1, 1) + timedelta(seconds=eid), u, v)
+         for eid, u, v in rows],
+        "event_id bigint, ts timestamp, user_id bigint, value double")
+    out = {r["user_id"]: r for r in cusum_value_drift(df).collect()}
+    vals = [100.0] * 60 + [900.0] * 10
+    mu = sum(int(round(v * CUSUM_SCALE)) for v in vals) // len(vals)
+    s = best = 0
+    for v in [900.0] * 10:
+        s = max(0, s + int(round(v * CUSUM_SCALE)) - mu)
+        best = max(best, s)
+    # the textbook recursion gives 10 full increments; the anchorless
+    # window identity would give only 9 (C_10 − C_1)
+    assert out[2]["max_cusum"] == round(best / CUSUM_SCALE, 6)
+    assert out[2]["alarm"]
 
 
 def test_table_diff_verdict_partition(spark, sf_dir):

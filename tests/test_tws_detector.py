@@ -1,6 +1,14 @@
 """transformWithStateInPandas detector — skipped where protobuf is
 absent (this container); the module is the drop-in upgrade path for
-environments that have it."""
+environments that have it.
+
+Install attempted and exhausted (r9): `pip download protobuf` fails
+with "no matching distribution" — the sandbox has no package index
+access, and no protobuf wheel/sdist is staged anywhere on disk, so
+a vendored install is impossible here. The gate is environmental and
+PERMANENT for this container; no further unblock work is planned.
+The applyInPandasWithState detector (fraud_stream.py) is the
+production path and is fully oracle-checked."""
 
 from __future__ import annotations
 
@@ -12,7 +20,10 @@ from real_time_fraud_detection_flink_kafka_spark.streaming.tws_detector import t
 
 
 @pytest.mark.skipif(not tws_available(),
-                    reason="google.protobuf not installed (TWS control channel)")
+                    reason="google.protobuf not installed (TWS control "
+                           "channel); pip install/download attempted r9 — "
+                           "no index access in the sandbox, gate is "
+                           "permanent for this container")
 def test_tws_equals_batch(spark, sf_dir):
     from real_time_fraud_detection_flink_kafka_spark.operators.fraud import fraud_scores
     from real_time_fraud_detection_flink_kafka_spark.session import ROCKSDB_PROVIDER
