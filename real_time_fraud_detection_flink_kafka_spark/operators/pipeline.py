@@ -407,6 +407,106 @@ def score_pairs_with_lm(joined: DataFrame, v_col) -> DataFrame:
          .alias("avg_bigram_p"))
 
 
+# --- corpus-trained trigram LM with stupid backoff ---------------------------
+
+# stupid-backoff weight λ = 0.4 (Brants et al., EMNLP 2007 "Large
+# Language Models in Machine Translation") as the exact rational 2/5 —
+# applied as integer multiply + floor-div on the fixed-point
+# probability so both engines compute the identical bigint
+TRI_BACKOFF_NUM, TRI_BACKOFF_DEN = 2, 5
+TRI_TRAIN_MOD = 2  # model trains on doc_id % 2 == 0; scores ALL docs
+
+
+def doc_trigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, a, b, c) — one row per adjacent token triple, built
+    row-local (three aligned slices of the let-bound token array —
+    without the let, projection collapse re-inlines the split 4×
+    per row: the dedup_winnow lesson)."""
+    from real_time_fraud_detection_flink_kafka_spark.functions.expr import let
+
+    def tri_of(ws):
+        n = F.greatest(F.size(ws) - 2, F.lit(0))
+        ab = F.zip_with(F.slice(ws, 1, n), F.slice(ws, 2, n),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        return F.zip_with(
+            ab, F.slice(ws, 3, n),
+            lambda p, c: F.struct(p["a"].alias("a"), p["b"].alias("b"),
+                                  c.alias("c")))
+
+    tri = let(_words(F.col("text")), tri_of)
+    return (documents.select("doc_id", F.explode(tri).alias("t"))
+                     .select("doc_id", F.col("t.a").alias("a"),
+                             F.col("t.b").alias("b"), F.col("t.c").alias("c")))
+
+
+def trigram_lm_score(documents: DataFrame) -> DataFrame:
+    """Trigram-LM fluency scoring with stupid backoff — the next
+    CCNet-class rung above `bigram_lm_score`: the model trains on a
+    deterministic REFERENCE HALF of the corpus (doc_id % 2 == 0, the
+    train/score split CCNet makes with Wikipedia vs the crawl) and
+    scores EVERY document, so held-out documents genuinely contain
+    unseen trigrams and the backoff path runs on real data instead of
+    being vacuous (a model trained on the full corpus has cnt ≥ 1 for
+    every scored trigram).
+
+    Per trigram: seen (a,b,c) → Laplace trigram probability
+    p = (cnt_abc + 1)/(cnt_ab + |V|); unseen → stupid backoff to the
+    bigram λ·(cnt_bc + 1)/(cnt_b + |V|) with λ = 2/5 applied as
+    bigint multiply + floor-div on the fixed-point probability
+    (integer-exact mixture — no double λ multiply whose rounding
+    could diverge across engines).
+
+    Engine-determinism: each probability is ONE IEEE division of
+    exact integer counts, scaled to a round()ed bigint (LM_FP); per-doc
+    sums are integer adds, so partial-agg order is irrelevant —
+    the `bigram_lm_score` discipline extended one order up.
+
+    Scale shape: model counts are three map-side-combined groupBys
+    over the train half (keys: trigrams / bigrams / tokens — never
+    documents); the trigram- and bigram-count joins stay shuffle
+    joins (at 100 TB the distinct-trigram relation exceeds executor
+    memory; composite keys dilute stopword skew, AQE covers residual
+    hot pairs); the unigram relation and |V| ride as broadcasts; the
+    final per-doc aggregation is ONE doc_id-keyed shuffle. Docs with
+    fewer than 3 tokens have no trigrams and are absent (oracle
+    agrees). `n_backoff` is emitted per doc — the observability
+    column that shows how far off-model a document sits."""
+    train = documents.where(F.col("doc_id") % TRI_TRAIN_MOD == 0)
+    uni, big = lm_model(train)
+    tric = doc_trigrams(train).groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("cnt_abc"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    back = big.select(F.col("a").alias("b"), F.col("b").alias("c"),
+                      F.col("cnt_ab").alias("cnt_bc"))
+    unib = uni.select(F.col("a").alias("b"), F.col("cnt_a").alias("cnt_b"))
+    j = (doc_trigrams(documents)
+         .join(tric, ["a", "b", "c"], "left")
+         .join(big, ["a", "b"], "left")
+         .join(back, ["b", "c"], "left")
+         .join(F.broadcast(unib), "b", "left")
+         .crossJoin(F.broadcast(vocab)))
+    p_tri = (F.col("cnt_abc") + 1) / (F.col("cnt_ab") + F.col("v"))
+    p_back = ((F.coalesce("cnt_bc", F.lit(0)) + 1)
+              / (F.coalesce("cnt_b", F.lit(0)) + F.col("v")))
+    pf_tri = F.round(p_tri * F.lit(LM_FP)).cast("bigint")
+    scored = j.select(
+        "doc_id", F.col("cnt_abc").isNull().alias("backoff"),
+        F.round(p_back * F.lit(LM_FP)).cast("bigint").alias("pf_back_raw"),
+        pf_tri.alias("pf_tri"))
+    pf = F.when(~F.col("backoff"), F.col("pf_tri")).otherwise(
+        F.expr(f"(pf_back_raw * {TRI_BACKOFF_NUM}) div {TRI_BACKOFF_DEN}"))
+    per = (scored.select("doc_id", "backoff", pf.alias("pf"))
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                F.sum(F.when(F.col("backoff"), 1).otherwise(0))
+                 .alias("n_backoff"),
+                F.sum("pf").alias("s")))
+    return per.select(
+        "doc_id", "n_trigrams", "n_backoff",
+        F.round(F.col("s") / F.lit(float(LM_FP)) / F.col("n_trigrams"), 6)
+         .alias("avg_trigram_p"))
+
+
 # --- intra-document repetition filter ----------------------------------------
 
 TOP_TOK_MAX = 0.2    # max share of the single most frequent token

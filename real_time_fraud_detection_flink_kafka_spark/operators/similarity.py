@@ -896,6 +896,81 @@ def semantic_canonicalize(documents: DataFrame,
                     (F.col("doc_id") == F.col("canonical_id")).alias("keep")))
 
 
+KNN_STRONG_TAU = 0.4  # an edge this similar marks a DENSE neighborhood
+
+
+def knn_diversity_sample(documents: DataFrame,
+                         embeddings: DataFrame,
+                         k: int = KNN_K,
+                         tau: float = KNN_STRONG_TAU) -> DataFrame:
+    """Graph-based diversity downsampling — the consumer that closes
+    the `knn_graph` loop (SemDeDup-over-graph): keep ONE max-quality
+    document per dense semantic neighborhood, drop the rest. Dense
+    neighborhoods are the connected components of the k-NN graph
+    restricted to its STRONG edges (cos_sim ≥ τ after the 6-dp
+    rounding, so the cut is engine-exact); within each component the
+    survivor is the quality argmax (ties to the lower doc_id). Docs
+    with no strong neighbor never enter the graph and are implicitly
+    kept — the same node-set contract as `semantic_canonicalize`.
+
+    Why consume the GRAPH rather than threshold-pairs
+    (`dedup_embedding_blocked`): k-NN edges bound per-node DEGREE at
+    k, so a pathologically dense region (10⁶ boilerplate near-copies
+    in one cell) contributes O(k·n) edges instead of O(n²) pairs —
+    the property that keeps the pair relation linear in the corpus at
+    100 TB. The trade (a dense clique is linked through neighbor
+    chains rather than all-pairs) is exactly why components run over
+    the edges.
+
+    Components use `dedup.components_twostar` (O(log n) rounds):
+    strong-edge k-NN graphs chain neighbor-of-neighbor, so component
+    diameter is NOT bounded by a near-dup argument — this is the
+    unbounded-diameter regime where label propagation measurably OOMs
+    (bench.py `_bench_components_engines`, crossover depth 16).
+
+    Output per clustered doc: cluster id (min reachable doc_id),
+    cluster size, `strong_degree` (distinct strong neighbors — the
+    density signal a curation run thresholds on), quality, and the
+    keep flag.
+
+    Scale shape: knn_graph's one cell-keyed self-join + per-vector
+    window; the strong filter prunes before anything else moves;
+    two-star rounds operate on the strong-edge relation only (tiny
+    relative to the corpus); quality join + two |components|-bounded
+    aggregates. Oracle: recursive-CTE closure over the identical
+    edge set."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        components_twostar,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    strong = knn_graph(embeddings, k).where(F.col("cos_sim") >= tau)
+    pairs = (strong.select(
+        F.least("vec_id", "nbr_id").alias("doc_a"),
+        F.greatest("vec_id", "nbr_id").alias("doc_b")).distinct())
+    deg = (pairs.select(F.col("doc_a").alias("id"))
+                .unionAll(pairs.select(F.col("doc_b").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("strong_degree")))
+    labels = components_twostar(pairs)
+    q = quality_score(documents).select("doc_id", "quality")
+    member = (labels.join(deg, "id")
+              .join(q, labels["id"] == q["doc_id"])
+              .select(F.col("id").alias("doc_id"),
+                      F.col("label").alias("cluster_id"),
+                      "strong_degree", "quality"))
+    canon = member.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(quality, -doc_id))").alias("keep_id"),
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (member.join(canon, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    F.col("strong_degree").cast("int").alias("strong_degree"),
+                    "quality",
+                    (F.col("doc_id") == F.col("keep_id")).alias("keep")))
+
+
 def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-dimension distribution statistics of the embedding column
     — the feature-store DRIFT MONITOR: mean/variance/extremes per

@@ -754,6 +754,53 @@ j AS (
 SELECT doc_id, count(*) AS n_bigrams,
        round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_bigram_p
 FROM j GROUP BY 1""",
+        # mirrors pipeline.trigram_lm_score: model trained on the
+        # even-doc_id half, Laplace trigram probability for seen
+        # trigrams, stupid backoff λ=2/5 (bigint multiply + floor
+        # div on the fixed-point bigram probability) for unseen ones
+        "trigram_lm_score": """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+tg AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM ex),
+tw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+tex AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tw),
+tric AS (
+  SELECT a, b, c, count(*) AS cnt_abc FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM tex)
+  GROUP BY 1, 2, 3
+),
+bex AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tw),
+bigc AS (
+  SELECT a, b, count(*) AS cnt_ab FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b FROM bex)
+  GROUP BY 1, 2
+),
+unic AS (
+  SELECT a, count(*) AS cnt_a
+  FROM (SELECT unnest(ws) AS a FROM tw) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM unic),
+j AS (
+  SELECT tg.doc_id, (t.cnt_abc IS NULL) AS backoff,
+         CASE WHEN t.cnt_abc IS NOT NULL
+              THEN CAST(round(CAST(t.cnt_abc + 1 AS DOUBLE)
+                        / CAST(cb.cnt_ab + v AS DOUBLE)
+                        * 1000000000) AS BIGINT)
+              ELSE (CAST(round(CAST(coalesce(bb.cnt_bc, 0) + 1 AS DOUBLE)
+                        / CAST(coalesce(u.cnt_b, 0) + v AS DOUBLE)
+                        * 1000000000) AS BIGINT) * 2) // 5
+         END AS pf
+  FROM tg
+  LEFT JOIN tric t USING (a, b, c)
+  LEFT JOIN bigc cb USING (a, b)
+  LEFT JOIN (SELECT a AS b, b AS c, cnt_ab AS cnt_bc FROM bigc) bb USING (b, c)
+  LEFT JOIN (SELECT a AS b, cnt_a AS cnt_b FROM unic) u USING (b)
+  CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
+       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_trigram_p
+FROM j GROUP BY 1""",
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
@@ -1848,6 +1895,9 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # blocked pairs → recursive-CTE closure → quality-argmax
         # canonical per cluster — mirrors similarity.semantic_canonicalize
         "semantic_canonicalize": _semantic_canonicalize_sql(),
+        # knn_graph consumer: strong-edge components → per-component
+        # quality argmax — mirrors similarity.knn_diversity_sample
+        "knn_diversity_sample": _knn_diversity_sample_sql(),
     }
 
 
@@ -2001,6 +2051,58 @@ canon AS (
 sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM member GROUP BY 1)
 SELECT m.doc_id, m.cluster_id, s.cluster_size, m.quality,
        c.canonical_id, (m.doc_id = c.canonical_id) AS keep
+FROM member m
+JOIN canon c USING (cluster_id)
+JOIN sizes s USING (cluster_id)"""
+
+
+def _knn_diversity_sample_sql() -> str:
+    """Mirrors similarity.knn_diversity_sample: the knn_graph edge
+    set thresholded on the ROUNDED cos_sim, undirected-distinct
+    pairs, recursive-CTE closure, quality argmax per component."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_STRONG_TAU,
+    )
+
+    score = _quality_parts()["score"]
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT vec_id, nbr_id FROM ({_knn_graph_sql()}) kg
+  WHERE cos_sim >= {KNN_STRONG_TAU}
+),
+pairs AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS doc_a,
+                  greatest(vec_id, nbr_id) AS doc_b
+  FROM g
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src AS id, count(*) AS strong_degree FROM edges GROUP BY 1),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+q AS (SELECT doc_id, round({score}, 6) AS quality FROM documents),
+member AS (
+  SELECT lab.id AS doc_id, cluster_id, strong_degree, quality
+  FROM lab JOIN deg USING (id) JOIN q ON q.doc_id = lab.id
+),
+canon AS (
+  SELECT cluster_id, doc_id AS keep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id) AS rn
+    FROM member) t WHERE rn = 1
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM member GROUP BY 1)
+SELECT m.doc_id, m.cluster_id, s.cluster_size,
+       CAST(m.strong_degree AS INTEGER) AS strong_degree, m.quality,
+       (m.doc_id = c.keep_id) AS keep
 FROM member m
 JOIN canon c USING (cluster_id)
 JOIN sizes s USING (cluster_id)"""

@@ -290,6 +290,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
     "knn_graph": lambda s, d: similarity.knn_graph(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
+    "knn_diversity_sample": lambda s, d: similarity.knn_diversity_sample(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")),
+    "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),
@@ -892,13 +895,15 @@ DRIVER_WINDOW: list[str] = [
     "fraud_summary", "card_risk_profile", "generated_fraud_scores",
     "cep_card_testing",
     # TPC-H-shape analytics. q7_nation_volume yielded its slot in r8
-    # to give the exact-substring dedup family (Lee et al. 2022 — the
-    # newest major LLM-dedup axis) a driver-checked representative;
-    # the TPC-H family keeps 9 window rows + 13 §2b entries and q7
-    # stays oracle-parity-gated past the window.
+    # (exact-substring dedup rotation); q8_market_share yielded its
+    # slot in r9 to give the lakehouse WRITE path (merge_upsert —
+    # MERGE INTO semantics + order-free table checksum, the operator
+    # a 100 TB deployment runs nightly) a driver-checked
+    # representative. The TPC-H family keeps 8 window rows + 14 §2b
+    # entries; q7/q8 stay oracle-parity-gated past the window.
     "q1_pricing_summary", "q2_top_supplier_per_nation",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "q8_market_share", "q10_returned_items",
+    "merge_upsert", "q10_returned_items",
     "q18_large_orders", "q19_discounted_revenue",
     # event analytics
     "session_window_counts", "cube_orders", "event_value_percentiles",

@@ -288,6 +288,44 @@ def test_bigram_lm_score_ranks_fluency(spark):
     assert got[2]["avg_bigram_p"] > got[4]["avg_bigram_p"]
 
 
+def test_trigram_lm_ranks_fluency_and_exercises_backoff(spark):
+    """The trigram scorer must (a) rank an on-model fluent held-out
+    doc above a garbled one — agreeing with the bigram scorer's
+    ordering — and (b) actually take the backoff path on the
+    held-out doc with unseen trigrams (n_backoff > 0) while staying
+    on the trigram path for a doc whose trigrams all appear in the
+    train half (n_backoff == 0)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        bigram_lm_score,
+        trigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the cat sat on the mat"),
+         (2, "the cat sat on the rug and the cat sat on the rug"),
+         (4, "the cat sat on the bed and the cat sat on the bed"),
+         # held-out (odd): doc 1 repeats a train sentence verbatim →
+         # every trigram seen → pure trigram path, high score
+         (1, "the cat sat on the mat"),
+         # held-out: fluent-but-novel tail → SOME unseen trigrams →
+         # backoff fires but bigram support keeps the score up
+         (3, "the cat sat on the sofa"),
+         # held-out: garbled — no trigram OR bigram support
+         (5, "zq xv wk jm pq rs")],
+        "doc_id long, text string")
+    tri = {r["doc_id"]: r for r in trigram_lm_score(docs).collect()}
+    big = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert tri[1]["n_backoff"] == 0          # verbatim train sentence
+    assert tri[3]["n_backoff"] > 0           # novel trigrams exist
+    assert tri[5]["n_backoff"] == tri[5]["n_trigrams"]  # fully off-model
+    # ranking: verbatim > novel-but-fluent > garbled
+    assert tri[1]["avg_trigram_p"] > tri[3]["avg_trigram_p"]
+    assert tri[3]["avg_trigram_p"] > tri[5]["avg_trigram_p"]
+    # direction agrees with the bigram scorer on fluent vs garbled
+    assert (tri[1]["avg_trigram_p"] > tri[5]["avg_trigram_p"]) == (
+        big[1]["avg_bigram_p"] > big[5]["avg_bigram_p"])
+
+
 def test_bpe_apply_encodes_with_learned_rules(spark):
     """Encoding must apply the learned rules in rank order with the
     training loop's greedy semantics: 'b b b' under rules

@@ -347,6 +347,68 @@ def test_knn_graph_degree_and_rank_contiguity(spark, sf_dir):
     assert (out.cell[mask] == nbr_cells[mask]).all()
 
 
+def test_knn_diversity_sample_constructed_graph(spark):
+    """On a constructed corpus with two known dense neighborhoods the
+    sampler must recover exactly those components, keep exactly the
+    max-quality doc per component, and report the clique degrees.
+
+    Geometry (dim 8, 21 vectors → 16 seeded cells): vecs 0-15 are the
+    cell centroids (c0 = e0, c1..c14 = ±e1..±e7, c15 = e1+e2 mix);
+    vecs 16-18 perturb e0 slightly → cell 0 with vec 0 (a 4-clique of
+    strong edges); vecs 19-20 perturb e1 → cell 1 with vec 1 (a
+    3-clique). Every other vector is alone in its cell and must be
+    absent (implicitly kept)."""
+    import math
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        knn_diversity_sample,
+    )
+
+    def unit(*comps):
+        n = math.sqrt(sum(c * c for c in comps))
+        v = [c / n for c in comps] + [0.0] * (8 - len(comps))
+        return v[:8]
+
+    def axis(i, sign=1.0):
+        v = [0.0] * 8
+        v[i] = sign
+        return v
+
+    emb = [(0, axis(0))]
+    emb += [(1 + 2 * j, axis(1 + j)) for j in range(7)]          # +e1..+e7
+    emb += [(2 + 2 * j, axis(1 + j, -1.0)) for j in range(7)]    # -e1..-e7
+    emb += [(15, unit(0.0, 1.0, 1.0))]
+    # group A: near e0, distinct tiny perturbations (no cos ties)
+    emb += [(16, unit(1.0, 0.05)),
+            (17, unit(1.0, 0.0, 0.06)),
+            (18, unit(1.0, 0.0, 0.0, 0.07))]
+    # group B: near +e1 (careful: perturb dims away from c15's e1+e2)
+    emb += [(19, unit(0.0, 1.0, 0.0, 0.05)),
+            (20, unit(0.0, 1.0, 0.0, 0.0, 0.06))]
+    edf = spark.createDataFrame(emb, "vec_id bigint, embedding array<double>")
+
+    lo = "the the the"
+    hi = {17: "seventeen magnificent wonderful extraordinary "
+              "remarkable distinctive astonishing exceptional",
+          19: "nineteen magnificent wonderful extraordinary "
+              "remarkable distinctive astonishing exceptional"}
+    docs = spark.createDataFrame(
+        [(i, hi.get(i, lo)) for i in range(21)], "doc_id bigint, text string")
+
+    out = {r["doc_id"]: r
+           for r in knn_diversity_sample(docs, edf).collect()}
+    assert set(out) == {0, 16, 17, 18, 1, 19, 20}
+    for d in (0, 16, 17, 18):
+        assert out[d]["cluster_id"] == 0
+        assert out[d]["cluster_size"] == 4
+        assert out[d]["strong_degree"] == 3       # 4-clique
+    for d in (1, 19, 20):
+        assert out[d]["cluster_id"] == 1
+        assert out[d]["cluster_size"] == 3
+        assert out[d]["strong_degree"] == 2       # 3-clique
+    assert {d for d in out if out[d]["keep"]} == {17, 19}
+
+
 def test_knn_graph_recall_accounting(spark, sf_dir):
     """Recall accounting must be exact set arithmetic: true edges =
     n_vectors x KNN_K (every slice vector has >= K candidates),
