@@ -128,6 +128,37 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
                      .select("canonical_doc_id", "n_copies", "text_md5"))
 
 
+SOFT_DEDUP_PPM = 1_000_000
+
+
+def soft_dedup_weights(documents: DataFrame) -> DataFrame:
+    """SOFT deduplication — reweight instead of remove (the
+    SoftDeDup idea: duplicated text carries signal, so down-weight it
+    rather than drop it; a training loader then samples by weight):
+    every copy of an n-times-duplicated text gets sampling weight
+    1/n, so each distinct text contributes exactly one copy of
+    probability mass however many times it was crawled.
+
+    Determinism: the weight is the exact ppm floor division
+    SOFT_DEDUP_PPM div n_copies — integers in both engines, never a
+    double reciprocal.
+
+    Scale shape: one combinable groupBy on the text md5 (map-side
+    partial counts) + ONE md5-keyed join back to the corpus — the
+    `dedup_exact` discipline, deliberately NOT a window over the
+    hash: a boilerplate text with 10⁹ copies would make that window's
+    partition a straggler, while the groupBy pre-combines per task
+    and AQE splits the skewed join."""
+    grp = (documents.select("doc_id", F.md5("text").alias("text_md5"))
+                    .groupBy("text_md5")
+                    .agg(F.count(F.lit(1)).alias("n_copies")))
+    return (documents.select("doc_id", F.md5("text").alias("text_md5"))
+            .join(grp, "text_md5")
+            .select("doc_id", "text_md5", "n_copies",
+                    F.expr(f"{SOFT_DEDUP_PPM} div n_copies")
+                     .cast("bigint").alias("weight_ppm")))
+
+
 def _pair_jaccard(sh: DataFrame) -> DataFrame:
     """Jaccard for all co-shingled pairs from a (doc_id, shingle) frame.
 

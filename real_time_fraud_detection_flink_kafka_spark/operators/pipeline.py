@@ -472,22 +472,45 @@ def trigram_lm_score(documents: DataFrame) -> DataFrame:
     agrees). `n_backoff` is emitted per doc — the observability
     column that shows how far off-model a document sits."""
     train = documents.where(F.col("doc_id") % TRI_TRAIN_MOD == 0)
+    uni, big, tric = trigram_model(train)
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    t = doc_trigrams(documents).crossJoin(F.broadcast(vocab))
+    return score_trigrams_with_lm(t, uni, big, tric, F.col("v"))
+
+
+def trigram_model(train: DataFrame):
+    """The 'trained' trigram LM: (unigram, bigram, trigram counts) —
+    the bigram/unigram relations double as the backoff model. Reused
+    by the streaming twin (model trained offline on the batch corpus,
+    applied to the stream)."""
     uni, big = lm_model(train)
     tric = doc_trigrams(train).groupBy("a", "b", "c").agg(
         F.count(F.lit(1)).alias("cnt_abc"))
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    return uni, big, tric
+
+
+def score_trigrams_with_lm(trigrams: DataFrame, uni: DataFrame,
+                           big: DataFrame, tric: DataFrame, v_col,
+                           broadcast_model: bool = False) -> DataFrame:
+    """Per-doc trigram score over a (doc_id, a, b, c) relation:
+    Laplace trigram probability for model trigrams, λ=2/5 stupid
+    backoff to the bigram otherwise — all fixed-point bigints.
+    `broadcast_model` forces every model join map-side (the streaming
+    twin's stream-static shape); batch keeps the trigram/bigram joins
+    as shuffle joins (at 100 TB those relations exceed executor
+    memory) and broadcasts only the |V|-bounded unigram side."""
+    maybe_b = F.broadcast if broadcast_model else (lambda df: df)
     back = big.select(F.col("a").alias("b"), F.col("b").alias("c"),
                       F.col("cnt_ab").alias("cnt_bc"))
     unib = uni.select(F.col("a").alias("b"), F.col("cnt_a").alias("cnt_b"))
-    j = (doc_trigrams(documents)
-         .join(tric, ["a", "b", "c"], "left")
-         .join(big, ["a", "b"], "left")
-         .join(back, ["b", "c"], "left")
-         .join(F.broadcast(unib), "b", "left")
-         .crossJoin(F.broadcast(vocab)))
-    p_tri = (F.col("cnt_abc") + 1) / (F.col("cnt_ab") + F.col("v"))
+    j = (trigrams
+         .join(maybe_b(tric), ["a", "b", "c"], "left")
+         .join(maybe_b(big), ["a", "b"], "left")
+         .join(maybe_b(back), ["b", "c"], "left")
+         .join(F.broadcast(unib), "b", "left"))
+    p_tri = (F.col("cnt_abc") + 1) / (F.col("cnt_ab") + v_col)
     p_back = ((F.coalesce("cnt_bc", F.lit(0)) + 1)
-              / (F.coalesce("cnt_b", F.lit(0)) + F.col("v")))
+              / (F.coalesce("cnt_b", F.lit(0)) + v_col))
     pf_tri = F.round(p_tri * F.lit(LM_FP)).cast("bigint")
     scored = j.select(
         "doc_id", F.col("cnt_abc").isNull().alias("backoff"),

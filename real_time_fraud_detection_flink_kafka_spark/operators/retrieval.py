@@ -85,3 +85,96 @@ def hybrid_rrf(documents: DataFrame, embeddings: DataFrame,
                        F.col("rank_sem").cast("int").alias("rank_sem"),
                        F.round(F.col("rrf_fp") / float(RRF_SCALE), 6)
                         .alias("rrf")))
+
+
+# --- maximal marginal relevance re-ranking -----------------------------------
+
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # λ = 0.7, exact rational
+MMR_POOL = 50      # relevance-ranked candidate pool fed to MMR
+MMR_K = 5          # greedy selections emitted
+MMR_FP = 10 ** 6   # fixed-point scale for cosines
+
+
+def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
+               pool_n: int = MMR_POOL) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware selection every RAG context
+    builder and few-shot-example picker runs after retrieval: greedily
+    pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so the second
+    pick stops being a near-copy of the first. Query = the lowest
+    vec_id (the `hybrid_rrf` convention).
+
+    Determinism: relevance and pairwise similarities are fixed-point
+    bigints (round(cos·1e6)); the MMR objective is kept as the
+    UNDIVIDED integer 7·rel_fp − 3·max_sim_fp (dividing by 10 is
+    monotone, and integer division of negatives truncates toward zero
+    in Spark but floors in DuckDB — so the division is simply never
+    performed). Winner per round: max_by on (mmr_fp, −vec_id) — one
+    1-row relation, never collected (the `bpe_merges` chained-winner
+    discipline; the oracle replays every round as chained CTEs).
+
+    Scale shape: ONE corpus scan against the broadcast query vector,
+    truncated to `pool_n` via orderBy+limit (TakeOrderedAndProject —
+    per-partition heaps, no global sort); everything after operates
+    on the persisted ≤pool_n-row pool (pairwise sims ≤ pool_n² rows,
+    broadcast; k rounds of 1-row aggregates). The greedy loop cost is
+    independent of corpus size by construction."""
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+
+    e = _vecs(embeddings)
+    qid = embeddings.agg(F.min("vec_id").alias("_qid"))
+    q = (e.join(F.broadcast(qid), F.col("vec_id") == F.col("_qid"))
+          .select(F.col("v").alias("qv"), F.col("v_norm").alias("qn"),
+                  F.col("vec_id").alias("_q")))
+    cos_q = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("v_norm"))
+    scored = (e.join(F.broadcast(q), F.col("vec_id") != F.col("_q"))
+               .select("vec_id", "v", "v_norm",
+                       F.round(cos_q * MMR_FP).cast("bigint").alias("rel_fp")))
+    pool = tracked_persist(
+        scored.orderBy(F.desc("rel_fp"), F.asc("vec_id")).limit(pool_n))
+    pa = pool.select("vec_id", F.col("v").alias("va"),
+                     F.col("v_norm").alias("na"))
+    pb = pool.select(F.col("vec_id").alias("sel_id"),
+                     F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    cos_p = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sims = tracked_persist(
+        pa.join(F.broadcast(pb), F.col("vec_id") != F.col("sel_id"))
+          .select("vec_id", "sel_id",
+                  F.round(cos_p * MMR_FP).cast("bigint").alias("sim_fp")))
+    cand0 = pool.select("vec_id", "rel_fp")
+
+    selected = None
+    rounds = []
+    for rnk in range(1, k + 1):
+        if selected is None:
+            cand = cand0.withColumn("max_sim_fp", F.lit(0).cast("bigint"))
+        else:
+            sel_ids = selected.select(F.col("vec_id").alias("sel_id"))
+            pen = (sims.join(F.broadcast(sel_ids), "sel_id")
+                       .groupBy("vec_id")
+                       .agg(F.max("sim_fp").alias("max_sim_fp")))
+            # inner join: sims covers every ordered pool pair, so each
+            # unselected candidate has a row against every selected id
+            cand = (cand0.join(selected.select("vec_id"),
+                               "vec_id", "left_anti")
+                         .join(pen, "vec_id"))
+        mmr = (F.lit(MMR_LAMBDA_NUM) * F.col("rel_fp")
+               - F.lit(MMR_LAMBDA_DEN - MMR_LAMBDA_NUM)
+               * F.col("max_sim_fp")).cast("bigint")
+        w = (cand.withColumn("mmr_fp", mmr)
+                 .agg(F.expr("max_by(struct(vec_id, rel_fp, mmr_fp), "
+                             "struct(mmr_fp, -vec_id))").alias("w"))
+                 .select(F.lit(rnk).cast("int").alias("rnk"),
+                         F.col("w.vec_id").alias("vec_id"),
+                         F.col("w.rel_fp").alias("rel_fp"),
+                         F.col("w.mmr_fp").alias("mmr_fp")))
+        rounds.append(w)
+        selected = w if selected is None else selected.unionAll(w)
+
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "rnk", "vec_id",
+        F.round(F.col("rel_fp") / float(MMR_FP), 6).alias("relevance"),
+        "mmr_fp")

@@ -160,6 +160,17 @@ def llm_oracles() -> dict[str, str]:
 SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_copies,
        md5(text) AS text_md5
 FROM documents GROUP BY md5(text)""",
+        # mirrors dedup.soft_dedup_weights: 1/n_copies as an exact
+        # ppm floor division, every copy keeps a row
+        "soft_dedup_weights": """
+WITH grp AS (
+  SELECT md5(text) AS text_md5, count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT doc_id, text_md5, n_copies,
+       CAST(1000000 // n_copies AS BIGINT) AS weight_ppm
+FROM (SELECT doc_id, md5(text) AS text_md5 FROM documents) d
+JOIN grp USING (text_md5)""",
         # mirrors dedup.dedup_paragraph: same block slicing, integer
         # keeper election, block-ordered clean-text re-join
         "dedup_paragraph": f"""
@@ -1898,6 +1909,9 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # knn_graph consumer: strong-edge components → per-component
         # quality argmax — mirrors similarity.knn_diversity_sample
         "knn_diversity_sample": _knn_diversity_sample_sql(),
+        # greedy diversity re-ranking, each round a chained CTE —
+        # mirrors retrieval.mmr_rerank
+        "mmr_rerank": _mmr_rerank_sql(),
     }
 
 
@@ -2054,6 +2068,62 @@ SELECT m.doc_id, m.cluster_id, s.cluster_size, m.quality,
 FROM member m
 JOIN canon c USING (cluster_id)
 JOIN sizes s USING (cluster_id)"""
+
+
+def _mmr_rerank_sql() -> str:
+    """Mirrors retrieval.mmr_rerank: relevance pool, fixed-point
+    pairwise sims, each greedy round as a chained CTE (winner LIMIT 1
+    under the identical (mmr_fp DESC, vec_id) order). The MMR
+    objective stays the UNDIVIDED integer 7·rel − 3·max_sim — the
+    operator never divides, so neither does the oracle."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        MMR_FP,
+        MMR_K,
+        MMR_LAMBDA_DEN,
+        MMR_LAMBDA_NUM,
+        MMR_POOL,
+    )
+
+    lam, mu = MMR_LAMBDA_NUM, MMR_LAMBDA_DEN - MMR_LAMBDA_NUM
+    head = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qm AS (SELECT min(vec_id) AS qid FROM e),
+q AS (SELECT v AS qv FROM e, qm WHERE vec_id = qid),
+scored AS (
+  SELECT vec_id, CAST(round({_cos_sql('e.v', 'qv')} * {MMR_FP}) AS BIGINT)
+         AS rel_fp
+  FROM e, q, qm WHERE vec_id <> qid
+),
+pool AS (SELECT * FROM scored ORDER BY rel_fp DESC, vec_id LIMIT {MMR_POOL}),
+pv AS (SELECT p.vec_id, e.v FROM pool p JOIN e USING (vec_id)),
+sims AS (
+  SELECT a.vec_id, b.vec_id AS sel_id,
+         CAST(round({_cos_sql('a.v', 'b.v')} * {MMR_FP}) AS BIGINT) AS sim_fp
+  FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+),
+w1 AS (SELECT vec_id, rel_fp, CAST({lam} * rel_fp AS BIGINT) AS mmr_fp
+       FROM pool ORDER BY mmr_fp DESC, vec_id LIMIT 1),
+s1 AS (SELECT vec_id AS sel_id FROM w1)"""
+    rounds = []
+    for i in range(2, MMR_K + 1):
+        rounds.append(f""",
+c{i} AS (
+  SELECT p.vec_id, p.rel_fp, max(s.sim_fp) AS ms
+  FROM pool p
+  JOIN sims s ON s.vec_id = p.vec_id
+  JOIN s{i - 1} ON s.sel_id = s{i - 1}.sel_id
+  WHERE p.vec_id NOT IN (SELECT sel_id FROM s{i - 1})
+  GROUP BY 1, 2
+),
+w{i} AS (SELECT vec_id, rel_fp,
+                CAST({lam} * rel_fp - {mu} * ms AS BIGINT) AS mmr_fp
+         FROM c{i} ORDER BY mmr_fp DESC, vec_id LIMIT 1),
+s{i} AS (SELECT * FROM s{i - 1} UNION ALL SELECT vec_id FROM w{i})""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS rnk, vec_id,"
+        f" round(rel_fp / {float(MMR_FP)}, 6) AS relevance, mmr_fp FROM w{i}"
+        for i in range(1, MMR_K + 1))
+    return head + "".join(rounds) + "\n" + tail
 
 
 def _knn_diversity_sample_sql() -> str:

@@ -272,6 +272,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
     "boilerplate_ngrams": lambda s, d: pipeline_ops.boilerplate_ngrams(load_table(s, d, "documents")),
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
+    "soft_dedup_weights": lambda s, d: dedup.soft_dedup_weights(load_table(s, d, "documents")),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(load_table(s, d, "documents")),
     "dedup_clusters_twostar": lambda s, d: dedup.dedup_clusters_twostar(load_table(s, d, "documents")),
     "dedup_substring": lambda s, d: dedup.dedup_substring(load_table(s, d, "documents")),
@@ -295,6 +296,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
+    "mmr_rerank": lambda s, d: retrieval.mmr_rerank(load_table(s, d, "embeddings")),
     "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),
     "label_outliers": lambda s, d: similarity.label_outliers(load_table(s, d, "embeddings")),
 }
@@ -485,6 +487,23 @@ def _stream_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arrival-order free — same oracle as the batch scorer
 register("stream_lm_score", _stream_lm_score,
          _LLM_ORACLES["bigram_lm_score"])
+
+
+def _stream_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_trigram_lm_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_trigram_lm_stream(
+        spark, sf_dir, query_name=f"trigram_stream_{_STREAM_COUNTER['n']}")
+
+
+# stream-static: the batch-trained trigram LM (with bigram backoff)
+# applied to a document stream; fixed-point sums make the drained
+# state arrival-order free — same oracle as the batch scorer
+register("stream_trigram_lm_score", _stream_trigram_lm,
+         _LLM_ORACLES["trigram_lm_score"])
 
 
 def _stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,6 +163,49 @@ def run_lm_score_stream(spark, sf_dir: str,
     return spark.table(query_name)
 
 
+def run_trigram_lm_stream(spark, sf_dir: str,
+                          query_name: str = "trigram_stream") -> DataFrame:
+    """STREAM-STATIC twin of `trigram_lm_score`: the trigram model
+    (with its bigram/unigram backoff relations) trains on the batch
+    corpus's even-doc_id half, then scores documents arriving as a
+    file stream — the model-trained-offline / applied-online shape,
+    one rung above `run_lm_score_stream`. All model relations are
+    broadcast into each micro-batch (stream-static joins must be
+    map-side); |V| is collected once as model metadata. Per-doc sums
+    are fixed-point integers, so the complete-mode drained state is
+    arrival-order free and equals the batch scorer exactly (shared
+    oracle).
+
+    SCALE CONTRACT — bounded drain only (the run_lm_score_stream
+    contract): complete mode retains and re-emits all per-doc state;
+    a continuous intake uses update mode + upsert sink with
+    TTL-bounded state, and the batch scorer remains the full-corpus
+    production path."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        TRI_TRAIN_MOD,
+        doc_trigrams,
+        score_trigrams_with_lm,
+        trigram_model,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    batch = load_table(spark, sf_dir, "documents")
+    uni, big, tric = trigram_model(
+        batch.where(F.col("doc_id") % TRI_TRAIN_MOD == 0))
+    v = uni.count()  # model metadata: vocabulary size
+
+    out = score_trigrams_with_lm(
+        doc_trigrams(_documents_stream(spark, sf_dir)),
+        uni, big, tric, F.lit(v), broadcast_model=True)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_pii_scrub_stream(spark, sf_dir: str,
                          query_name: str = "pii_stream") -> DataFrame:
     """Bounded drain of the PII scrubber over a documents file stream

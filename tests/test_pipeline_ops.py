@@ -628,6 +628,73 @@ def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
     assert (out.sort_values("rnk").rrf.diff().dropna() <= 0).all()
 
 
+def test_mmr_rerank_diversifies_constructed_pool(spark):
+    """The defining MMR property on constructed geometry: with two
+    near-identical high-relevance vectors (A1, A2) and a moderately
+    relevant but DISTINCT vector (B), pure relevance ranks A1, A2, B —
+    MMR at λ = 0.7 must pick A1, then B (A2's similarity penalty to
+    the already-selected A1 outweighs its relevance edge), then A2.
+    Also pins: rnk 1 is the pure relevance champion and per-round
+    mmr_fp values are the hand-computed integers."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    def unit(*comps):
+        import math
+
+        n = math.sqrt(sum(c * c for c in comps))
+        v = [c / n for c in comps] + [0.0] * (8 - len(comps))
+        return v[:8]
+
+    emb = [
+        (0, unit(1.0)),              # the query (lowest vec_id)
+        (1, unit(1.0, 0.2)),         # A1: rel ~0.981
+        (2, unit(1.0, 0.21)),        # A2: rel ~0.979, cos(A1,A2) ~1
+        (3, unit(1.0, -0.4)),        # B:  rel ~0.928, cos(A1,B) ~0.84
+        (4, unit(0.1, 0.0, 1.0)),    # filler, low relevance
+        (5, unit(0.0, 0.1, 0.0, 1.0)),
+    ]
+    edf = spark.createDataFrame(emb, "vec_id bigint, embedding array<double>")
+    out = mmr_rerank(edf, k=3).orderBy("rnk").collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["relevance"] > out[1]["relevance"]  # champion by rel
+    # every selection's raw objective: 7·rel_fp − 3·max_sim_fp
+    assert out[0]["mmr_fp"] == 7 * round(out[0]["relevance"] * 1e6)
+
+
+def test_soft_dedup_weights_conserve_group_mass(spark, sf_dir):
+    """Soft-dedup contract: every doc keeps a row; a unique text
+    weighs exactly 1e6 ppm; an n-copy group's total weight is n·(1e6
+    div n) — within n ppm of one full copy and never above it."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = soft_dedup_weights(docs).toPandas()
+    assert len(out) == docs.count()
+    assert (out.loc[out.n_copies == 1, "weight_ppm"] == 1_000_000).all()
+    # the synthetic corpus carries no exact copies, so exercise the
+    # duplicated path on a constructed mix: 1×unique, 3×copy, 7×copy
+    fx = spark.createDataFrame(
+        [(0, "one of a kind")]
+        + [(10 + i, "three copies here") for i in range(3)]
+        + [(20 + i, "seven identical rows") for i in range(7)],
+        "doc_id bigint, text string")
+    w = soft_dedup_weights(fx).toPandas()
+    assert len(w) == 11                       # every copy keeps a row
+    grp = w.groupby("text_md5").agg(n=("n_copies", "first"),
+                                    total=("weight_ppm", "sum"),
+                                    rows=("doc_id", "count"))
+    assert sorted(grp.n) == [1, 3, 7]
+    assert (grp.n == grp.rows).all()
+    # group mass: n·(1e6 div n) — within n ppm of one copy, never over
+    assert (grp.total <= 1_000_000).all()
+    assert (grp.total > 1_000_000 - grp.n).all()
+    assert set(w.loc[w.n_copies == 7, "weight_ppm"]) == {1_000_000 // 7}
+
+
 def test_temperature_mix_flattens_and_degenerates(spark, sf_dir):
     """The two defining temperature-sampling properties: (1) at
     alpha<1 keep rates are anti-monotone in source size — the binding
