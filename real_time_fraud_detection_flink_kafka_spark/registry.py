@@ -269,6 +269,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_pairs": lambda s, d: pipeline_ops.contrastive_pairs(load_table(s, d, "documents")),
     "dataset_split": lambda s, d: pipeline_ops.dataset_split(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
+    "quality_calibrate_by_source": lambda s, d: pipeline_ops.quality_calibrate_by_source(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
     "boilerplate_ngrams": lambda s, d: pipeline_ops.boilerplate_ngrams(load_table(s, d, "documents")),
     "bigram_lm_score": lambda s, d: pipeline_ops.bigram_lm_score(load_table(s, d, "documents")),
@@ -297,6 +298,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "mmr_rerank": lambda s, d: retrieval.mmr_rerank(load_table(s, d, "embeddings")),
+    "ann_mrl": lambda s, d: similarity.ann_mrl(load_table(s, d, "embeddings")),
+    "ann_mrl_rerank": lambda s, d: similarity.ann_mrl_rerank(load_table(s, d, "embeddings")),
+    "ann_mrl_recall": lambda s, d: similarity.ann_mrl_recall(load_table(s, d, "embeddings")),
     "hard_negatives": lambda s, d: similarity.hard_negatives(load_table(s, d, "embeddings")),
     "label_outliers": lambda s, d: similarity.label_outliers(load_table(s, d, "embeddings")),
 }

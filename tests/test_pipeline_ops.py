@@ -695,6 +695,44 @@ def test_soft_dedup_weights_conserve_group_mass(spark, sf_dir):
     assert set(w.loc[w.n_copies == 7, "weight_ppm"]) == {1_000_000 // 7}
 
 
+def test_quality_calibrate_is_per_source_fair(spark, sf_dir):
+    """The fairness property the per-source calibration exists for:
+    with one uniformly high-quality source and one uniformly
+    low-quality source, a global gate would drop the weak source
+    entirely — the calibrated gate keeps roughly the same fraction
+    of EACH. Also replays below_ppm as the exact strict-rank
+    fraction from the returned qualities."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (  # noqa: F401
+        soft_dedup_weights,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        quality_calibrate_by_source,
+    )
+
+    # source "hi": long unique wordy docs; source "lo": short texts
+    rows = []
+    for i in range(10):
+        words = " ".join(f"distinctive{i}word{k}" for k in range(20 + i))
+        rows.append((i, words, "hi"))
+    for i in range(10):
+        rows.append((100 + i, "a a " + "b " * (i + 1), "lo"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = quality_calibrate_by_source(docs).toPandas()
+    assert len(out) == 20
+    # replay below_ppm per source from the returned quality column
+    for src, g in out.groupby("source"):
+        n = len(g)
+        for _, r in g.iterrows():
+            below = int((g.quality < r.quality).sum())
+            assert r.below_ppm == (1_000_000 * below) // n
+        # each source keeps its own top tail — neither is wiped out
+        assert 0 < g.keep.sum() < n
+    # the real corpus: every doc present, keep matches the cut
+    corpus = quality_calibrate_by_source(
+        load_table(spark, sf_dir, "documents")).toPandas()
+    assert (corpus.keep == (corpus.below_ppm >= 600_000)).all()
+
+
 def test_temperature_mix_flattens_and_degenerates(spark, sf_dir):
     """The two defining temperature-sampling properties: (1) at
     alpha<1 keep rates are anti-monotone in source size — the binding

@@ -529,6 +529,27 @@ def test_dedup_ppjoin_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:3000]
 
 
+def test_mmr_rerank_no_cartesian_pool_bounded(spark, sf_dir):
+    """The MMR loop's joins are all bounded-relation broadcasts (the
+    ≤POOL-row pool against 1-row winners / ≤k selected ids): a
+    CartesianProduct or a SortMergeJoin anywhere means a corpus-sized
+    relation leaked into the greedy loop. The relevance pool itself
+    must come from per-partition heaps (TakeOrderedAndProject), not a
+    global sort."""
+    plan = _plan(spark, sf_dir, "mmr_rerank")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_diversity_sample_no_cartesian(spark, sf_dir):
+    """Strong-edge extraction, two-star rounds, the quality join and
+    the component aggregates are all equi-joins; a cartesian means
+    the cell blocking fell out of the candidate join."""
+    plan = _plan(spark, sf_dir, "knn_diversity_sample")
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_fuzzy_broadcast_only_joins(spark, sf_dir):
     """The eval side (benchmark suite) is bounded, so BOTH its band
     rows and its shingle-hash sets must broadcast, and the corpus

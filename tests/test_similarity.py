@@ -276,6 +276,28 @@ def test_jl_rerank_dominates_direct_and_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_mrl_rerank_dominates_direct_and_plan(spark, sf_dir):
+    """The MRL twin of the JL dominance invariant: re-rank consumes
+    `ann_mrl`'s own ranking as its shortlist, so re-rank recall >=
+    direct recall PER QUERY; on untrained embeddings direct recall
+    is near-noise (0.08 measured at 16 of 64 dims, sf0.01) while the
+    pipeline recovers 0.68 — slack bounds for corpus regeneration.
+    Plan gate: truncation is a row-local slice, so the scorer stays
+    all-broadcast (no shuffle join, no cartesian)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_mrl,
+        ann_mrl_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = ann_mrl_recall(emb).toPandas()
+    assert (r["n_rerank"] >= r["n_mrl"]).all()
+    assert r["recall_rerank"].mean() >= 0.4
+    plan = ann_mrl(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_hard_negatives_exclude_own_label(spark, sf_dir):
     """Every mined negative carries a different label than its query,
     each query gets a full top-k, and the best hard negative can
