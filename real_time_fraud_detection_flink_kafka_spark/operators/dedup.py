@@ -1049,13 +1049,19 @@ def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
         shingles(spread(documents))
         .select("doc_id", H.md5_int60(F.col("shingle")).alias("sh_h")))
     dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shd = sh.join(dfr, "sh_h").join(sizes, "doc_id")
+    # n_sh rides the SAME doc_id exchange as the prefix window (an
+    # unordered count window over the identical partition key) — the
+    # separate groupBy(doc_id)+join spent a full extra shuffle of the
+    # token-level relation, which at the 100× bench factor (~10⁹
+    # shingle rows on one box) was a third of the spill volume
+    shd = sh.join(dfr, "sh_h")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    w_all = Window.partitionBy("doc_id")
     # p = s − ⌈τ·s⌉ + 1 with ⌈num·s/den⌉ = (num·s + den − 1) div den
     prefix_len = F.expr(
         f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
-    prefix = (shd.withColumn("rn", F.row_number().over(w))
+    prefix = (shd.withColumn("n_sh", F.count(F.lit(1)).over(w_all))
+                 .withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") <= prefix_len)
                  .select("doc_id", "sh_h", "n_sh"))
     a = prefix.select(F.col("doc_id").alias("doc_a"), "sh_h",
