@@ -760,7 +760,115 @@ def _ivf_assigned(embeddings: DataFrame,
                   F.first("v_norm").alias("v_norm")))
 
 
+def _ivf_assigned_hier(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v, v_norm, cell) via TWO-LEVEL coarse assignment —
+    the fix for the flat quantizer's measured super-linearity: with
+    cells = n/IVF_DIV, flat assignment scans every centroid per
+    vector, O(n·cells) = O(n²/IVF_DIV) total — the r9 100× bench
+    point read 1.698× per replica (475 s vs the 2.8 s base), a
+    quadratic bomb hidden behind a broadcast. Here the first
+    ⌈√cells⌉ seeds double as LEVEL-1 anchors: each CELL maps to its
+    nearest anchor once (cells × √cells, bounded), each VECTOR scans
+    only the anchors (n·√cells) and then only its anchor-group's
+    cells (n·~√cells expected) — O(n·√cells) total, the standard
+    two-level/IMI shape every production IVF uses past a few
+    thousand cells.
+
+    The assignment is an APPROXIMATION of the flat argmax (a vector
+    whose true cell sits in another anchor group picks its group's
+    best instead); `ivf_hier_agreement` measures exactly how often,
+    oracle-checked. Measured at sf0.01 (500 vectors, 16 cells, 4
+    anchors): cell agreement 50.6% — random synthetic embeddings are
+    the adversarial case for anchor pruning (no cluster structure) —
+    yet the END metric is unchanged: k-NN edge recall vs exact top-5
+    reads 0.197 (hier) vs 0.198 (flat), because any similarly-sized
+    blocking captures the same share of true neighbors. Tie-breaks
+    mirror the flat path (cos DESC, lower id) at both levels, so the
+    oracle replays every argmax."""
+    e = _vecs(embeddings)
+    params = ivf_cell_params(embeddings)
+    seeds = (e.crossJoin(F.broadcast(params))
+              .where(F.col("vec_id") < F.col("_cells")))
+    cents = seeds.select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"),
+        F.expr("greatest(1, cast(floor(sqrt(_cells)) as int))")
+         .alias("_nl1"))
+    l1 = cents.where(F.col("cell") < F.col("_nl1")).select(
+        F.col("cell").alias("g"), F.col("cv").alias("gv"),
+        F.col("c_norm").alias("g_norm"))
+    cosg = dot(F.col("cv"), F.col("gv")) / (F.col("c_norm") * F.col("g_norm"))
+    cellmap = (cents.join(F.broadcast(l1))
+               .select("cell", "cv", "c_norm", "g", cosg.alias("cg"))
+               .groupBy("cell")
+               .agg(F.expr("max_by(g, struct(cg, -g))").alias("g"),
+                    F.first("cv").alias("cv"),
+                    F.first("c_norm").alias("c_norm")))
+    cosv = dot(F.col("v"), F.col("gv")) / (F.col("v_norm") * F.col("g_norm"))
+    vg = (e.join(F.broadcast(l1))
+           .select("vec_id", "v", "v_norm", "g", cosv.alias("cg"))
+           .groupBy("vec_id")
+           .agg(F.expr("max_by(g, struct(cg, -g))").alias("g"),
+                F.first("v").alias("v"), F.first("v_norm").alias("v_norm")))
+    cos_c = dot(F.col("v"), F.col("cv")) / (F.col("v_norm") * F.col("c_norm"))
+    return (vg.join(F.broadcast(cellmap), "g")
+              .select("vec_id", "v", "v_norm", "cell", cos_c.alias("cos_c"))
+              .groupBy("vec_id")
+              .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
+                   F.first("v").alias("v"),
+                   F.first("v_norm").alias("v_norm")))
+
+
 KNN_K = 5
+
+
+def _knn_from_assigned(assigned: DataFrame, k: int) -> DataFrame:
+    """Per-vector top-k cosine neighbors WITHIN the assigned cell —
+    the shared graph construction under `knn_graph` (flat assignment)
+    and `knn_graph_hier` (two-level assignment)."""
+    from pyspark.sql import Window
+
+    a = assigned.select("cell", "vec_id",
+                        F.col("v").alias("va"), F.col("v_norm").alias("na"))
+    b = assigned.select("cell", F.col("vec_id").alias("nbr_id"),
+                        F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
+    pairs = a.join(b, "cell").where(F.col("vec_id") != F.col("nbr_id"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
+    return (pairs.select("vec_id", "nbr_id", "cell", cos.alias("cos_raw"))
+                 .withColumn("rnk", F.row_number().over(w))
+                 .where(F.col("rnk") <= k)
+                 .select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"),
+                         F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                         F.col("cell").cast("long").alias("cell")))
+
+
+def knn_graph_hier(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """`knn_graph` over the TWO-LEVEL assignment — the 100-TB-shaped
+    construction: total work O(n·√cells) for assignment plus the same
+    within-cell pair join, instead of flat assignment's O(n·cells).
+    Same output contract; the blocking differs only where the
+    two-level argmax picks a different cell (`ivf_hier_agreement`
+    measures that rate, oracle-checked)."""
+    return _knn_from_assigned(_ivf_assigned_hier(embeddings), k)
+
+
+def ivf_hier_agreement(embeddings: DataFrame) -> DataFrame:
+    """How often the two-level assignment lands in the flat argmax's
+    cell — the honesty metric for `knn_graph_hier`'s speedup: one
+    row, integer counts, exact ppm floor division."""
+    flat = _ivf_assigned(embeddings).select("vec_id",
+                                            F.col("cell").alias("cell_flat"))
+    hier = _ivf_assigned_hier(embeddings).select(
+        "vec_id", F.col("cell").alias("cell_hier"))
+    j = flat.join(hier, "vec_id")
+    return (j.agg(F.count(F.lit(1)).alias("n_vectors"),
+                  F.sum(F.when(F.col("cell_flat") == F.col("cell_hier"), 1)
+                         .otherwise(0)).alias("n_same"))
+             .select(F.col("n_vectors").cast("int").alias("n_vectors"),
+                     F.col("n_same").cast("int").alias("n_same"),
+                     F.expr("(1000000 * n_same) div n_vectors")
+                      .cast("bigint").alias("agreement_ppm")))
 
 
 def knn_graph(embeddings: DataFrame, k: int = KNN_K,
@@ -781,23 +889,14 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
 
     Degree ≤ k (singleton-cell vectors emit no rows); rank breaks
     cosine ties on nbr_id — same raw-double ordering trade as
-    `ann_topk`, stated there."""
-    from pyspark.sql import Window
+    `ann_topk`, stated there.
 
-    assigned = _ivf_assigned(embeddings, n_cells)
-    a = assigned.select("cell", "vec_id",
-                        F.col("v").alias("va"), F.col("v_norm").alias("na"))
-    b = assigned.select("cell", F.col("vec_id").alias("nbr_id"),
-                        F.col("v").alias("vb"), F.col("v_norm").alias("nb"))
-    pairs = a.join(b, "cell").where(F.col("vec_id") != F.col("nbr_id"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("nbr_id"))
-    return (pairs.select("vec_id", "nbr_id", "cell", cos.alias("cos_raw"))
-                 .withColumn("rnk", F.row_number().over(w))
-                 .where(F.col("rnk") <= k)
-                 .select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"),
-                         F.round(F.col("cos_raw"), 6).alias("cos_sim"),
-                         F.col("cell").cast("long").alias("cell")))
+    MEASURED SCALE LIMIT (r9, 100× bench): with cells = n/IVF_DIV the
+    flat assignment is O(n·cells) = O(n²/IVF_DIV) — 1.698× per
+    replica at 100× (475 s vs the 2.8 s base). Past a few thousand
+    cells use `knn_graph_hier` (two-level assignment, O(n·√cells)),
+    with `ivf_hier_agreement` quantifying the assignment drift."""
+    return _knn_from_assigned(_ivf_assigned(embeddings, n_cells), k)
 
 
 def dedup_embedding_blocked(embeddings: DataFrame,

@@ -2008,6 +2008,10 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "dedup_embedding_blocked": _blocked_pairs_sql(),
         "knn_graph": _knn_graph_sql(),
         "knn_graph_recall": _knn_graph_recall_sql(),
+        # two-level coarse assignment (the O(n·√cells) scale path)
+        # and its flat-agreement honesty metric
+        "knn_graph_hier": _knn_graph_hier_sql(),
+        "ivf_hier_agreement": _ivf_hier_agreement_sql(),
         # blocked pairs → recursive-CTE closure → quality-argmax
         # canonical per cluster — mirrors similarity.semantic_canonicalize
         "semantic_canonicalize": _semantic_canonicalize_sql(),
@@ -2080,6 +2084,95 @@ r AS (
 SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
        round(cos_raw, 6) AS cos_sim, CAST(cell AS BIGINT) AS cell
 FROM r WHERE rnk <= {KNN_K}""")
+
+
+def _hier_assign_ctes() -> str:
+    """CTE block ending in `hassigned(vec_id, cell)` — mirrors
+    similarity._ivf_assigned_hier: the first ⌈√cells⌉ seeds are the
+    level-1 anchors; cell→group, vector→group, then vector→best cell
+    within its group, every argmax ordered (cos DESC, lower id)."""
+    return (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
+            " AS cells FROM e),\n"
+            "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
+            " WHERE vec_id < cells),\n"
+            "nl AS (SELECT greatest(1, CAST(floor(sqrt(cells)) AS INTEGER))"
+            " AS nl1 FROM p),\n"
+            "l1 AS (SELECT cell AS g, cv AS gv FROM c, nl WHERE cell < nl1),\n"
+            + f"""cm AS (
+  SELECT cell, g FROM (
+    SELECT c.cell, l1.g,
+           row_number() OVER (PARTITION BY c.cell
+             ORDER BY {_cos_sql('c.cv', 'l1.gv')} DESC, l1.g) AS arn
+    FROM c, l1) t WHERE arn = 1
+),
+vgrp AS (
+  SELECT vec_id, g FROM (
+    SELECT e.vec_id, l1.g,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'l1.gv')} DESC, l1.g) AS arn
+    FROM e, l1) t WHERE arn = 1
+),
+hassigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vgrp.vec_id, cm.cell,
+           row_number() OVER (PARTITION BY vgrp.vec_id
+             ORDER BY {_cos_sql('ev.v', 'c2.cv')} DESC, cm.cell) AS arn
+    FROM vgrp
+    JOIN cm ON cm.g = vgrp.g
+    JOIN e ev ON ev.vec_id = vgrp.vec_id
+    JOIN c c2 ON c2.cell = cm.cell) t
+  WHERE arn = 1
+)""")
+
+
+def _knn_graph_hier_sql() -> str:
+    """Mirrors similarity.knn_graph_hier: the two-level assignment
+    CTEs + the identical within-cell top-k tail as _knn_graph_sql."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import KNN_K
+
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+""" + _hier_assign_ctes() + f""",
+j AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, a.cell,
+         {_cos_sql('ea.v', 'eb.v')} AS cos_raw
+  FROM hassigned a JOIN hassigned b USING (cell)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_raw DESC, nbr_id) AS rnk
+  FROM j
+)
+SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
+       round(cos_raw, 6) AS cos_sim, CAST(cell AS BIGINT) AS cell
+FROM r WHERE rnk <= {KNN_K}""")
+
+
+def _ivf_hier_agreement_sql() -> str:
+    """Mirrors similarity.ivf_hier_agreement: flat argmax assignment
+    vs the two-level one, joined on vec_id, exact ppm."""
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+""" + _hier_assign_ctes() + f""",
+fac AS (
+  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
+  FROM e, c
+),
+fassigned AS (SELECT vec_id, cell AS cell_flat FROM fac WHERE arn = 1),
+j AS (
+  SELECT f.vec_id, cell_flat, h.cell AS cell_hier
+  FROM fassigned f JOIN hassigned h USING (vec_id)
+)
+SELECT CAST(count(*) AS INTEGER) AS n_vectors,
+       CAST(sum(CASE WHEN cell_flat = cell_hier THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_same,
+       CAST((1000000 * sum(CASE WHEN cell_flat = cell_hier THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS agreement_ppm
+FROM j""")
 
 
 def _knn_graph_recall_sql() -> str:

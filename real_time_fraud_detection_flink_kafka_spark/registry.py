@@ -292,6 +292,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
     "knn_graph": lambda s, d: similarity.knn_graph(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
+    "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
+    "ivf_hier_agreement": lambda s, d: similarity.ivf_hier_agreement(load_table(s, d, "embeddings")),
     "knn_diversity_sample": lambda s, d: similarity.knn_diversity_sample(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),

@@ -431,6 +431,52 @@ def test_knn_diversity_sample_constructed_graph(spark):
     assert {d for d in out if out[d]["keep"]} == {17, 19}
 
 
+def test_knn_graph_hier_contract_and_agreement(spark, sf_dir):
+    """The two-level graph keeps the flat graph's contract (ranks
+    contiguous 1..deg ≤ k, cosine non-increasing in rank) while the
+    agreement row stays arithmetically exact (n_same ≤ n_vectors,
+    ppm an exact floor division) — and the END metric holds: the
+    hier graph's edge overlap with exact top-k must be within a few
+    points of the flat graph's (measured 0.197 vs 0.198 — blocking
+    drift does not cost recall on this corpus)."""
+    import pyspark.sql.functions as SF
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+        ann_topk,
+        ivf_hier_agreement,
+        knn_graph,
+        knn_graph_hier,
+    )
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(SF.col("vec_id") < 500))
+    out = knn_graph_hier(emb).toPandas()
+    assert len(out) > 0
+    for _vid, g in out.groupby("vec_id"):
+        assert sorted(g.rnk) == list(range(1, len(g) + 1))
+        assert len(g) <= KNN_K
+        assert (g.sort_values("rnk").cos_sim.diff().dropna() <= 1e-12).all()
+    row = ivf_hier_agreement(emb).collect()[0]
+    assert 0 < row["n_same"] <= row["n_vectors"]
+    assert row["agreement_ppm"] == (1_000_000 * row["n_same"]) // row["n_vectors"]
+
+    n = emb.count()
+    exact = ann_topk(emb, k=KNN_K, n_queries=n).select(
+        SF.col("query_id").alias("vec_id"),
+        SF.col("neighbor_id").alias("nbr_id"))
+
+    def edge_recall(g):
+        hit = exact.join(
+            g.select("vec_id", "nbr_id", SF.lit(1).alias("h")),
+            ["vec_id", "nbr_id"], "left")
+        r = hit.agg(SF.count(SF.lit(1)).alias("n"),
+                    SF.sum(SF.coalesce("h", SF.lit(0))).alias("f")).collect()[0]
+        return r["f"] / r["n"]
+
+    assert edge_recall(knn_graph_hier(emb)) >= edge_recall(knn_graph(emb)) - 0.05
+
+
 def test_knn_graph_recall_accounting(spark, sf_dir):
     """Recall accounting must be exact set arithmetic: true edges =
     n_vectors x KNN_K (every slice vector has >= K candidates),
