@@ -1731,6 +1731,52 @@ def ann_jl_recall(embeddings: DataFrame, k: int = TOP_K,
                       .alias("recall_rerank")))
 
 
+# graded-relevance rank quality (nDCG@k): discount weights
+# 1/log2(i+1) precomputed as fixed-point LITERALS shared with the
+# oracle (the BENFORD_EXPECTED move — no log2() runs at query time in
+# either engine, so there is nothing libm-dependent to drift); the
+# ideal DCG is a Python-computed integer constant because the gain
+# scale (k+1−rank over the exact top-k) is fixed
+NDCG_W_FP = [round(1_000_000 / __import__("math").log2(i + 1))
+             for i in range(1, TOP_K + 1)]
+NDCG_IDCG_FP = sum((TOP_K + 1 - i) * NDCG_W_FP[i - 1]
+                   for i in range(1, TOP_K + 1))
+
+
+def ann_ivf_ndcg(embeddings: DataFrame, k: int = TOP_K,
+                 n_queries: int = N_QUERIES) -> DataFrame:
+    """nDCG@k of the IVF probe ranking against the exact cosine
+    top-k — the RANK-QUALITY row of the index evaluation harness,
+    complementing the recall@k family: recall says how many true
+    neighbors an index finds, nDCG says whether it puts the BEST ones
+    first (an index that finds all five but inverts their order
+    serves worse RAG contexts than one that nails the top two).
+    Gain = k+1 − exact_rank for hits, 0 for non-neighbors; weights
+    are the fixed-point 1/log2(i+1) literals; per-query DCG is an
+    integer sum, so the only FP op is the final ideal-DCG division.
+
+    Scale shape: both rankings are the existing broadcast-query
+    operators; the join is (query_id, neighbor_id)-keyed over
+    ≤ k·n_queries rows; one query-keyed aggregate."""
+    exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id",
+        (F.lit(k + 1) - F.col("rnk")).alias("gain"))
+    appr = ann_ivf(embeddings, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id", "rnk")
+    w = F.lit(None).cast("bigint")
+    for i, wf in enumerate(NDCG_W_FP[:k], start=1):
+        w = F.when(F.col("rnk") == i, F.lit(wf)).otherwise(w)
+    j = (appr.join(exact, ["query_id", "neighbor_id"], "left")
+             .select("query_id",
+                     (F.coalesce("gain", F.lit(0)) * w).alias("gw")))
+    per = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ranked"),
+        F.sum("gw").alias("dcg_fp"))
+    return per.select(
+        "query_id", "n_ranked", "dcg_fp",
+        F.round(F.col("dcg_fp") / F.lit(NDCG_IDCG_FP), 6).alias("ndcg"))
+
+
 # --- Matryoshka (prefix-truncation) dimension reduction ----------------------
 # MRL-trained embeddings (Kusupati et al., NeurIPS'22) nest coarse
 # representations in their PREFIX dims, so production stacks serve the

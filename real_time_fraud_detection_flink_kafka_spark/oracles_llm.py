@@ -1190,6 +1190,49 @@ SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOP_K}"""
 
 
+def _ann_ivf_ndcg_sql() -> str:
+    """Mirrors similarity.ann_ivf_ndcg: the full ann_ivf query as a
+    derived table, exact top-k gains, fixed-point discount weights as
+    a CASE over the approx rank, integer DCG sum, one ideal-DCG
+    division at the end."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        NDCG_IDCG_FP,
+        NDCG_W_FP,
+    )
+
+    ivf = ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+"""
+           + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
+           + _ivf_tail("c"))
+    wcase = ("CASE a.rnk "
+             + " ".join(f"WHEN {i} THEN {wf}"
+                        for i, wf in enumerate(NDCG_W_FP, start=1))
+             + " END")
+    return f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id, rnk FROM ({ivf}) iv
+),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exact AS (
+  SELECT query_id, neighbor_id, {TOP_K} + 1 - rnk AS gain FROM (
+    SELECT eq.vec_id AS query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY eq.vec_id
+               ORDER BY {_cos_sql('eq.v', 'e2.v')} DESC, e2.vec_id) AS rnk
+    FROM (SELECT vec_id, v FROM e2 WHERE vec_id < {N_QUERIES}) eq, e2
+    WHERE e2.vec_id <> eq.vec_id) x
+  WHERE rnk <= {TOP_K}
+),
+j AS (
+  SELECT a.query_id, coalesce(x.gain, 0) * ({wcase}) AS gw
+  FROM approx a LEFT JOIN exact x USING (query_id, neighbor_id)
+)
+SELECT query_id, CAST(count(*) AS INTEGER) AS n_ranked,
+       CAST(sum(gw) AS BIGINT) AS dcg_fp,
+       round(CAST(sum(gw) AS DOUBLE) / {NDCG_IDCG_FP}, 6) AS ndcg
+FROM j GROUP BY 1"""
+
+
 def _hp_literal(hp: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in hp) + "]"
 
@@ -1898,6 +1941,10 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 """
                     + f"c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {IVF_K}),\n"
                     + _ivf_tail("c")),
+        # nDCG@k of the IVF ranking vs exact top-k — weights are the
+        # shared fixed-point 1/log2(i+1) literals (no log2 at query
+        # time); mirrors similarity.ann_ivf_ndcg
+        "ann_ivf_ndcg": _ann_ivf_ndcg_sql(),
         "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {BRUTE_MAX_ID}

@@ -300,6 +300,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "mmr_rerank": lambda s, d: retrieval.mmr_rerank(load_table(s, d, "embeddings")),
+    "ann_ivf_ndcg": lambda s, d: similarity.ann_ivf_ndcg(load_table(s, d, "embeddings")),
     "ann_mrl": lambda s, d: similarity.ann_mrl(load_table(s, d, "embeddings")),
     "ann_mrl_rerank": lambda s, d: similarity.ann_mrl_rerank(load_table(s, d, "embeddings")),
     "ann_mrl_recall": lambda s, d: similarity.ann_mrl_recall(load_table(s, d, "embeddings")),

@@ -276,6 +276,38 @@ def test_jl_rerank_dominates_direct_and_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_ivf_ndcg_replays_by_hand(spark, sf_dir):
+    """The nDCG accounting replayed in plain pandas from the two
+    source rankings: per query, DCG must equal the sum of
+    (k+1−exact_rank)·w_fp[approx_rank] over hits, ndcg == dcg/IDCG
+    rounded, and every value sits in [0, 1]."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        NDCG_IDCG_FP,
+        NDCG_W_FP,
+        TOP_K,
+        ann_ivf,
+        ann_ivf_ndcg,
+        ann_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["query_id"]: r for r in ann_ivf_ndcg(emb).collect()}
+    exact = {(r["query_id"], r["neighbor_id"]): r["rnk"]
+             for r in ann_topk(emb).collect()}
+    approx = ann_ivf(emb).collect()
+    dcg = {}
+    for r in approx:
+        g = TOP_K + 1 - exact.get((r["query_id"], r["neighbor_id"]),
+                                  TOP_K + 1)
+        dcg[r["query_id"]] = (dcg.get(r["query_id"], 0)
+                              + g * NDCG_W_FP[r["rnk"] - 1])
+    assert set(out) == set(dcg)
+    for q, row in out.items():
+        assert row["dcg_fp"] == dcg[q]
+        assert row["ndcg"] == round(dcg[q] / NDCG_IDCG_FP, 6)
+        assert 0.0 <= row["ndcg"] <= 1.0
+
+
 def test_mrl_rerank_dominates_direct_and_plan(spark, sf_dir):
     """The MRL twin of the JL dominance invariant: re-rank consumes
     `ann_mrl`'s own ranking as its shortlist, so re-rank recall >=
