@@ -199,14 +199,23 @@ def main() -> None:
                 t0 = time.monotonic()
                 try:
                     QUERIES[name](spark, data_dir).write.format("noop").mode("overwrite").save()
+                    # dt is taken HERE, before the finally: the cache
+                    # release (one py4j trip per tracked relation) must
+                    # not inflate the reported time — prior rounds'
+                    # numbers were measured without it in the window
+                    dt = time.monotonic() - t0
                 except Exception as ex:  # noqa: BLE001
                     if not tolerate_failures:
                         raise
-                    failed[name] = f"{type(ex).__name__}: {str(ex)[:160]}"
+                    # a query with one valid earlier measurement is
+                    # MEASURED — a later transient rep failure must not
+                    # re-tag it as failed (the artifact would list it
+                    # in both queries and failed, a contradiction)
+                    if name not in best:
+                        failed[name] = f"{type(ex).__name__}: {str(ex)[:160]}"
                     continue
                 finally:
                     release_caches()  # nothing persisted leaks into the next timing
-                dt = time.monotonic() - t0
                 if name not in best or dt < best[name]:
                     best[name] = dt
         out = {name: round(t, 3) for name, t in best.items()}
@@ -424,12 +433,11 @@ def emit(result: dict) -> None:
             result["components_engines"]["twostar_wins_at_depth"])
     for s in result.get("scale", []):
         ratios = sorted(s["ratio_per_replica"].items(), key=lambda kv: kv[1])
-        row = {
-            "replicas": s["replicas"],
-            "sec": s["value"],
-            "median_ratio": ratios[len(ratios) // 2][1],
-            "worst_ratio": list(ratios[-1]),
-        }
+        row = {"replicas": s["replicas"], "sec": s["value"]}
+        if ratios:  # every query at this factor may have failed —
+            # the compact line must still print (that IS the artifact)
+            row["median_ratio"] = ratios[len(ratios) // 2][1]
+            row["worst_ratio"] = list(ratios[-1])
         if s.get("failed"):
             row["failed"] = sorted(s["failed"])
         compact.setdefault("scale", []).append(row)

@@ -161,13 +161,20 @@ def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
         mmr = (F.lit(MMR_LAMBDA_NUM) * F.col("rel_fp")
                - F.lit(MMR_LAMBDA_DEN - MMR_LAMBDA_NUM)
                * F.col("max_sim_fp")).cast("bigint")
+        # the isNotNull filter matters when the pool exhausts before k
+        # selections (corpus smaller than k, or k > pool_n): agg over
+        # an EMPTY cand still yields one all-NULL row, while the
+        # oracle's `ORDER BY ... LIMIT 1` over the empty CTE yields
+        # none — without the filter the output carries NULL ranks the
+        # oracle doesn't have
         w = (cand.withColumn("mmr_fp", mmr)
                  .agg(F.expr("max_by(struct(vec_id, rel_fp, mmr_fp), "
                              "struct(mmr_fp, -vec_id))").alias("w"))
                  .select(F.lit(rnk).cast("int").alias("rnk"),
                          F.col("w.vec_id").alias("vec_id"),
                          F.col("w.rel_fp").alias("rel_fp"),
-                         F.col("w.mmr_fp").alias("mmr_fp")))
+                         F.col("w.mmr_fp").alias("mmr_fp"))
+                 .where(F.col("vec_id").isNotNull()))
         rounds.append(w)
         selected = w if selected is None else selected.unionAll(w)
 

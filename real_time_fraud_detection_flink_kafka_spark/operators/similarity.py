@@ -998,10 +998,26 @@ def semantic_canonicalize(documents: DataFrame,
 KNN_STRONG_TAU = 0.4  # an edge this similar marks a DENSE neighborhood
 
 
+def knn_diversity_sample_hier(documents: DataFrame,
+                              embeddings: DataFrame,
+                              k: int = KNN_K,
+                              tau: float = KNN_STRONG_TAU) -> DataFrame:
+    """`knn_diversity_sample` consuming the TWO-LEVEL graph
+    (`knn_graph_hier`) — the composition a 100 TB run actually
+    executes: the flat-graph variant inherits flat assignment's
+    measured O(n·cells) super-linearity (1.698/replica at 100×), so
+    the consumer must ride the O(n·√cells) constructor whose edge
+    recall is measured equal (0.197 vs 0.198). Same strong-edge →
+    components → quality-argmax pipeline, same output contract."""
+    return knn_diversity_sample(documents, embeddings, k, tau,
+                                graph=knn_graph_hier(embeddings, k))
+
+
 def knn_diversity_sample(documents: DataFrame,
                          embeddings: DataFrame,
                          k: int = KNN_K,
-                         tau: float = KNN_STRONG_TAU) -> DataFrame:
+                         tau: float = KNN_STRONG_TAU,
+                         graph: DataFrame | None = None) -> DataFrame:
     """Graph-based diversity downsampling — the consumer that closes
     the `knn_graph` loop (SemDeDup-over-graph): keep ONE max-quality
     document per dense semantic neighborhood, drop the rest. Dense
@@ -1045,7 +1061,13 @@ def knn_diversity_sample(documents: DataFrame,
         quality_score,
     )
 
-    strong = knn_graph(embeddings, k).where(F.col("cos_sim") >= tau)
+    if graph is None:
+        # flat-assignment graph: fine at moderate cell counts, but
+        # past a few thousand cells the assignment itself goes
+        # O(n·cells) — use `knn_diversity_sample_hier` there (the
+        # measured story lives on knn_graph/knn_graph_hier)
+        graph = knn_graph(embeddings, k)
+    strong = graph.where(F.col("cos_sim") >= tau)
     pairs = (strong.select(
         F.least("vec_id", "nbr_id").alias("doc_a"),
         F.greatest("vec_id", "nbr_id").alias("doc_b")).distinct())
@@ -1737,10 +1759,19 @@ def ann_jl_recall(embeddings: DataFrame, k: int = TOP_K,
 # either engine, so there is nothing libm-dependent to drift); the
 # ideal DCG is a Python-computed integer constant because the gain
 # scale (k+1−rank over the exact top-k) is fixed
-NDCG_W_FP = [round(1_000_000 / __import__("math").log2(i + 1))
-             for i in range(1, TOP_K + 1)]
-NDCG_IDCG_FP = sum((TOP_K + 1 - i) * NDCG_W_FP[i - 1]
-                   for i in range(1, TOP_K + 1))
+def _ndcg_params(k: int) -> tuple[list[int], int]:
+    """(per-rank fixed-point weights, ideal DCG) for a given k — the
+    constants must be DERIVED from the call's k: a weight table fixed
+    to TOP_K would silently NULL ranks past 5 for larger k and make a
+    perfect k=3 ranking score ~0.45 against the k=5 ideal."""
+    import math
+
+    w = [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+    idcg = sum((k + 1 - i) * w[i - 1] for i in range(1, k + 1))
+    return w, idcg
+
+
+NDCG_W_FP, NDCG_IDCG_FP = _ndcg_params(TOP_K)
 
 
 def ann_ivf_ndcg(embeddings: DataFrame, k: int = TOP_K,
@@ -1758,13 +1789,14 @@ def ann_ivf_ndcg(embeddings: DataFrame, k: int = TOP_K,
     Scale shape: both rankings are the existing broadcast-query
     operators; the join is (query_id, neighbor_id)-keyed over
     ≤ k·n_queries rows; one query-keyed aggregate."""
+    w_fp, idcg_fp = _ndcg_params(k)
     exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
         "query_id", "neighbor_id",
         (F.lit(k + 1) - F.col("rnk")).alias("gain"))
     appr = ann_ivf(embeddings, k=k, n_queries=n_queries).select(
         "query_id", "neighbor_id", "rnk")
     w = F.lit(None).cast("bigint")
-    for i, wf in enumerate(NDCG_W_FP[:k], start=1):
+    for i, wf in enumerate(w_fp, start=1):
         w = F.when(F.col("rnk") == i, F.lit(wf)).otherwise(w)
     j = (appr.join(exact, ["query_id", "neighbor_id"], "left")
              .select("query_id",
@@ -1774,7 +1806,7 @@ def ann_ivf_ndcg(embeddings: DataFrame, k: int = TOP_K,
         F.sum("gw").alias("dcg_fp"))
     return per.select(
         "query_id", "n_ranked", "dcg_fp",
-        F.round(F.col("dcg_fp") / F.lit(NDCG_IDCG_FP), 6).alias("ndcg"))
+        F.round(F.col("dcg_fp") / F.lit(idcg_fp), 6).alias("ndcg"))
 
 
 # --- Matryoshka (prefix-truncation) dimension reduction ----------------------

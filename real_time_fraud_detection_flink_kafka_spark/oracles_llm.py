@@ -2065,6 +2065,9 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # knn_graph consumer: strong-edge components → per-component
         # quality argmax — mirrors similarity.knn_diversity_sample
         "knn_diversity_sample": _knn_diversity_sample_sql(),
+        # the same consumer over the two-level graph (the scale path)
+        "knn_diversity_sample_hier":
+            _knn_diversity_sample_sql(_knn_graph_hier_sql()),
         # greedy diversity re-ranking, each round a chained CTE —
         # mirrors retrieval.mmr_rerank
         "mmr_rerank": _mmr_rerank_sql(),
@@ -2371,18 +2374,22 @@ s{i} AS (SELECT * FROM s{i - 1} UNION ALL SELECT vec_id FROM w{i})""")
     return head + "".join(rounds) + "\n" + tail
 
 
-def _knn_diversity_sample_sql() -> str:
-    """Mirrors similarity.knn_diversity_sample: the knn_graph edge
-    set thresholded on the ROUNDED cos_sim, undirected-distinct
-    pairs, recursive-CTE closure, quality argmax per component."""
+def _knn_diversity_sample_sql(graph_sql: str | None = None) -> str:
+    """Mirrors similarity.knn_diversity_sample: the graph's edge set
+    (flat knn_graph by default; pass _knn_graph_hier_sql() for the
+    two-level variant) thresholded on the ROUNDED cos_sim,
+    undirected-distinct pairs, recursive-CTE closure, quality argmax
+    per component."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         KNN_STRONG_TAU,
     )
 
+    if graph_sql is None:
+        graph_sql = _knn_graph_sql()
     score = _quality_parts()["score"]
     return f"""
 WITH RECURSIVE g AS (
-  SELECT vec_id, nbr_id FROM ({_knn_graph_sql()}) kg
+  SELECT vec_id, nbr_id FROM ({graph_sql}) kg
   WHERE cos_sim >= {KNN_STRONG_TAU}
 ),
 pairs AS (

@@ -296,6 +296,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_hier_agreement": lambda s, d: similarity.ivf_hier_agreement(load_table(s, d, "embeddings")),
     "knn_diversity_sample": lambda s, d: similarity.knn_diversity_sample(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
+    "knn_diversity_sample_hier": lambda s, d: similarity.knn_diversity_sample_hier(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),

@@ -308,6 +308,56 @@ def test_ann_ivf_ndcg_replays_by_hand(spark, sf_dir):
         assert 0.0 <= row["ndcg"] <= 1.0
 
 
+def test_ann_ivf_ndcg_k_derived_ideal(spark):
+    """The weight table and ideal DCG must derive from the CALL's k:
+    on a corpus where every vector seeds its own cell (n <= IVF_K),
+    probing self + NPROBE−1 nearest cells makes the IVF top-3 equal
+    the exact top-3, so ndcg at k=3 must be EXACTLY 1.0 — constants
+    fixed to TOP_K=5 would score this perfect ranking ~0.45."""
+    import math
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_ivf_ndcg,
+    )
+
+    rows = []
+    for i in range(12):
+        raw = [1.0, 0.1 * (i + 1), 0.05 * ((i * i) % 7), 0.03 * (i % 5),
+               0.0, 0.0, 0.0, 0.0]
+        n = math.sqrt(sum(c * c for c in raw))
+        rows.append((i, [c / n for c in raw]))
+    edf = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = ann_ivf_ndcg(edf, k=3).collect()
+    assert len(out) == 10
+    assert all(r["ndcg"] == 1.0 for r in out)
+
+
+def test_mmr_rerank_pool_exhaustion_emits_no_null_rows(spark):
+    """When the pool exhausts before k selections (3 candidates,
+    k=5), the output must stop at 3 real rows — the aggregate over an
+    empty candidate set yields an all-NULL row that must be filtered,
+    matching the oracle's empty LIMIT 1."""
+    import math
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    def unit(*comps):
+        n = math.sqrt(sum(c * c for c in comps))
+        v = [c / n for c in comps] + [0.0] * (8 - len(comps))
+        return v[:8]
+
+    edf = spark.createDataFrame(
+        [(0, unit(1.0)), (1, unit(1.0, 0.2)), (2, unit(1.0, -0.3)),
+         (3, unit(0.2, 1.0))],
+        "vec_id bigint, embedding array<double>")
+    out = mmr_rerank(edf, k=5).orderBy("rnk").collect()
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+    assert all(r["vec_id"] is not None and r["mmr_fp"] is not None
+               for r in out)
+
+
 def test_mrl_rerank_dominates_direct_and_plan(spark, sf_dir):
     """The MRL twin of the JL dominance invariant: re-rank consumes
     `ann_mrl`'s own ranking as its shortlist, so re-rank recall >=
