@@ -1840,6 +1840,64 @@ COMPACT_TARGET_BYTES = 2_000   # target compacted-file size (scaled to
 COMPACT_FILE_US = 3_600_000_000  # one manifest "file" per hour of data
 
 
+SNAP_HOUR_US = 3_600_000_000   # one snapshot per ingest hour
+SNAP_KEEP_LAST = 5             # retention: always keep the newest N
+# plus one DAILY anchor (the day's last snapshot) for all history —
+# the standard lakehouse retention ladder (Delta VACUUM/Iceberg
+# expire_snapshots keep-last + time-travel anchors)
+
+
+def expire_snapshots(events: DataFrame) -> DataFrame:
+    """Snapshot-retention planning — the lakehouse EXPIRE maintenance
+    pass that closes the family next to `compact_small_files`
+    (OPTIMIZE), `merge_upsert` (write), `mv_maintain` (views) and
+    `table_diff` (reconciliation): a streaming ingest commits one
+    snapshot per trigger; unbounded history bloats metadata and
+    blocks data-file deletion, so the expirer keeps the newest
+    SNAP_KEEP_LAST snapshots plus each day's LAST snapshot as the
+    time-travel anchor, and marks everything else expired. The
+    snapshot manifest derives deterministically from events (one
+    snapshot per ingest hour with integer row/byte tallies).
+
+    Output: one audit row per snapshot — kept flag, the reason
+    ('recent' wins over 'daily_anchor'; NULL when expired), and the
+    reclaimable byte tally a scheduler thresholds on.
+
+    Scale shape: the only row-scale work is the manifest aggregation
+    (map-side-combined groupBy on the hour bucket); retention logic
+    runs on the MANIFEST — |hours| rows, metadata not data — so the
+    unpartitioned recency window orders thousands of manifest rows,
+    never the table (the compact_small_files discipline).
+
+    Determinism: hour/day ids are exact bigint floor divisions;
+    recency rank orders by the integer snapshot hour; the daily
+    anchor is an integer max per day."""
+    def idiv(num, den: int):
+        return ((num - num % den) / den).cast("bigint")
+
+    manifest = (events.groupBy(
+        idiv(F.unix_micros(F.col("ts")), SNAP_HOUR_US).alias("snap_hour"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             (F.count(F.lit(1)) * 64
+              + F.sum(F.length("event_type"))).alias("size_bytes")))
+    manifest = manifest.withColumn("day", F.expr("snap_hour div 24"))
+    w_recent = Window.orderBy(F.desc("snap_hour"))
+    w_day = Window.partitionBy("day")
+    planned = (manifest
+               .withColumn("recency", F.row_number().over(w_recent))
+               .withColumn("day_last", F.max("snap_hour").over(w_day)))
+    reason = (F.when(F.col("recency") <= SNAP_KEEP_LAST, F.lit("recent"))
+               .when(F.col("snap_hour") == F.col("day_last"),
+                     F.lit("daily_anchor")))
+    return (planned.select(
+        "snap_hour", "day", F.col("n_rows").cast("int").alias("n_rows"),
+        "size_bytes", reason.alias("keep_reason"))
+        .withColumn("kept", F.col("keep_reason").isNotNull())
+        .withColumn("reclaim_bytes",
+                    F.when(~F.col("kept"), F.col("size_bytes"))
+                     .otherwise(F.lit(0)).cast("bigint")))
+
+
 def compact_small_files(events: DataFrame) -> DataFrame:
     """Small-file compaction planning — the lakehouse OPTIMIZE
     maintenance pass that complements `merge_upsert` (write path),

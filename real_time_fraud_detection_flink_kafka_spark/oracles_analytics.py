@@ -141,6 +141,35 @@ SELECT event_id AS conv_event_id, user_id,
 FROM t WHERE event_type = 'purchase'"""
 
 
+def _expire_snapshots_sql() -> str:
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        SNAP_HOUR_US,
+        SNAP_KEEP_LAST,
+    )
+
+    return f"""
+WITH manifest AS (
+  SELECT epoch_us(ts) // {SNAP_HOUR_US} AS snap_hour,
+         count(*) AS n_rows,
+         count(*) * 64 + sum(length(event_type)) AS size_bytes
+  FROM events GROUP BY 1
+), m AS (
+  SELECT *, snap_hour // 24 AS day,
+         row_number() OVER (ORDER BY snap_hour DESC) AS recency,
+         max(snap_hour) OVER (PARTITION BY snap_hour // 24) AS day_last
+  FROM manifest
+)
+SELECT snap_hour, day, CAST(n_rows AS INTEGER) AS n_rows,
+       CAST(size_bytes AS BIGINT) AS size_bytes,
+       CASE WHEN recency <= {SNAP_KEEP_LAST} THEN 'recent'
+            WHEN snap_hour = day_last THEN 'daily_anchor' END
+         AS keep_reason,
+       (recency <= {SNAP_KEEP_LAST} OR snap_hour = day_last) AS kept,
+       CAST(CASE WHEN recency <= {SNAP_KEEP_LAST} OR snap_hour = day_last
+            THEN 0 ELSE size_bytes END AS BIGINT) AS reclaim_bytes
+FROM m"""
+
+
 def _compact_sql() -> str:
     from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
         COMPACT_FILE_US,
@@ -517,6 +546,9 @@ FROM events GROUP BY event_type""",
         # mirrors analytics.compact_small_files: hourly manifest,
         # greedy sequential bin-pack via cumsum-before floor-div
         "compact_small_files": _compact_sql(),
+        # mirrors analytics.expire_snapshots: hourly manifest,
+        # keep-last-N recency rank + per-day anchor, exact integers
+        "expire_snapshots": _expire_snapshots_sql(),
         # mirrors analytics.table_diff: derived v1/v2 snapshots,
         # full-outer keyed join, md5 row hashes, exception verdicts
         "table_diff": _table_diff_sql(),

@@ -108,6 +108,7 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": lambda s, d: analytics.table_diff(load_table(s, d, "events")),
     "merge_upsert": lambda s, d: analytics.merge_upsert(load_table(s, d, "events")),
     "compact_small_files": lambda s, d: analytics.compact_small_files(load_table(s, d, "events")),
+    "expire_snapshots": lambda s, d: analytics.expire_snapshots(load_table(s, d, "events")),
     "mv_maintain": lambda s, d: analytics.mv_maintain(load_table(s, d, "events")),
     "attribution_credit": lambda s, d: analytics.attribution_credit(load_table(s, d, "events")),
     "pivot_events": lambda s, d: analytics.pivot_events(load_table(s, d, "events")),

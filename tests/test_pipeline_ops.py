@@ -1012,6 +1012,34 @@ def test_table_diff_verdict_partition(spark, sf_dir):
     assert clean.isdisjoint(set(out.event_id))
 
 
+def test_expire_snapshots_retention_ladder(spark, sf_dir):
+    """The retention contract: exactly the newest SNAP_KEEP_LAST
+    snapshots carry reason 'recent'; every day's LAST snapshot is
+    kept (as 'recent' if it's also new, else 'daily_anchor'); every
+    other snapshot is expired with its bytes reclaimable; reclaim is
+    zero on kept rows."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        SNAP_KEEP_LAST,
+        expire_snapshots,
+    )
+
+    out = expire_snapshots(load_table(spark, sf_dir, "events")).toPandas()
+    assert len(out) > SNAP_KEEP_LAST
+    recent = out[out.keep_reason == "recent"]
+    assert len(recent) == SNAP_KEEP_LAST
+    assert set(recent.snap_hour) == set(
+        out.nlargest(SNAP_KEEP_LAST, "snap_hour").snap_hour)
+    day_last = out.groupby("day").snap_hour.max()
+    for day, h in day_last.items():
+        assert bool(out.loc[out.snap_hour == h, "kept"].iloc[0])
+    expired = out[~out.kept]
+    assert len(expired) > 0
+    assert (expired.reclaim_bytes == expired.size_bytes).all()
+    assert (out.loc[out.kept, "reclaim_bytes"] == 0).all()
+    # expired == neither recent nor a day's last snapshot
+    assert (~expired.snap_hour.isin(day_last.values)).all()
+
+
 def test_merge_upsert_counts_and_checksum_replay(spark, sf_dir):
     """The audit row must match an independent pandas replay of the
     merge: action counts partition base∪changes, and the mod-folded
