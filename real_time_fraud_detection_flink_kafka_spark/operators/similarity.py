@@ -47,6 +47,17 @@ BRUTE_MAX_ID = 1500  # baseline slice bound for the quadratic path
 IVF_K = 16           # coarse-quantizer cells (floor; see ivf_cells_for)
 NPROBE = 4           # cells probed per query (recall knob)
 IVF_DIV = 128        # target occupancy: one cell per IVF_DIV vectors
+# cell count at/above which the DEFAULT coarse assignment switches
+# from the flat argmax (exact, O(n·cells)) to two-level/IMI
+# (approximate, O(n·√cells)). The r9 100× bench MEASURED the flat
+# path's super-linearity — 297.6 s vs 76.5 s for the hier twin at
+# ~1562 cells (0.933 vs 0.209 per replica) with edge recall unchanged
+# (0.197 vs 0.198) — so past ~a thousand cells the exact argmax buys
+# nothing but the quadratic term. Below the threshold flat assignment
+# costs ≤ HIER_CELLS_MIN cos-folds per vector (comparable to the
+# within-cell join itself) and stays the bit-exact default. At
+# IVF_DIV=128 the switch engages at ≥131,072 vectors.
+HIER_CELLS_MIN = 1024
 
 
 def ivf_cells_for(n: int) -> int:
@@ -760,7 +771,27 @@ def _ivf_assigned(embeddings: DataFrame,
                   F.first("v_norm").alias("v_norm")))
 
 
-def _ivf_assigned_hier(embeddings: DataFrame) -> DataFrame:
+def _ivf_assigned_auto(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v, v_norm, cell): the SCALE-AWARE default coarse
+    assignment — bit-exactly the flat argmax below `HIER_CELLS_MIN`
+    cells, two-level/IMI at or above it. One plan shape serves both
+    regimes because two-level assignment with a SINGLE level-1 anchor
+    degenerates to flat: every cell maps to the one anchor group,
+    every vector scans that group's cells — i.e. all of them — under
+    the identical (cos DESC, lower cell) argmax, so the sub-threshold
+    result is the flat argmax to the bit (pytest-pinned both ways).
+    The anchor count is data, not plan structure: a 1-row broadcast
+    `_nl1 = CASE cells < HIER_CELLS_MIN THEN 1 ELSE ⌊√cells⌋`, the
+    same engine-side lever as `lsh_bits_for` (no driver collect; the
+    oracle replays the CASE integer-exactly). Shared default under
+    `knn_graph`, `knn_diversity_sample`, `dedup_embedding_blocked`
+    and `semantic_canonicalize` — the r10 fix for the r9-measured
+    flat-assignment super-linearity (see HIER_CELLS_MIN)."""
+    return _ivf_assigned_hier(embeddings, scale_aware=True)
+
+
+def _ivf_assigned_hier(embeddings: DataFrame,
+                       scale_aware: bool = False) -> DataFrame:
     """(vec_id, v, v_norm, cell) via TWO-LEVEL coarse assignment —
     the fix for the flat quantizer's measured super-linearity: with
     cells = n/IVF_DIV, flat assignment scans every centroid per
@@ -784,16 +815,23 @@ def _ivf_assigned_hier(embeddings: DataFrame) -> DataFrame:
     reads 0.197 (hier) vs 0.198 (flat), because any similarly-sized
     blocking captures the same share of true neighbors. Tie-breaks
     mirror the flat path (cos DESC, lower id) at both levels, so the
-    oracle replays every argmax."""
+    oracle replays every argmax.
+
+    With ``scale_aware=True`` (via `_ivf_assigned_auto`) the anchor
+    count collapses to 1 below `HIER_CELLS_MIN` cells, which makes
+    this exactly the flat argmax — see `_ivf_assigned_auto`."""
     e = _vecs(embeddings)
     params = ivf_cell_params(embeddings)
     seeds = (e.crossJoin(F.broadcast(params))
               .where(F.col("vec_id") < F.col("_cells")))
+    nl1 = F.expr("greatest(1, cast(floor(sqrt(_cells)) as int))")
+    if scale_aware:
+        nl1 = (F.when(F.col("_cells") < HIER_CELLS_MIN, F.lit(1))
+                .otherwise(nl1))
     cents = seeds.select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
         F.col("v_norm").alias("c_norm"),
-        F.expr("greatest(1, cast(floor(sqrt(_cells)) as int))")
-         .alias("_nl1"))
+        nl1.cast("int").alias("_nl1"))
     l1 = cents.where(F.col("cell") < F.col("_nl1")).select(
         F.col("cell").alias("g"), F.col("cv").alias("gv"),
         F.col("c_norm").alias("g_norm"))
@@ -893,9 +931,16 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
 
     MEASURED SCALE LIMIT (r9, 100× bench): with cells = n/IVF_DIV the
     flat assignment is O(n·cells) = O(n²/IVF_DIV) — 1.698× per
-    replica at 100× (475 s vs the 2.8 s base). Past a few thousand
-    cells use `knn_graph_hier` (two-level assignment, O(n·√cells)),
-    with `ivf_hier_agreement` quantifying the assignment drift."""
+    replica at 100× (475 s vs the 2.8 s base). r10 therefore made the
+    DEFAULT assignment scale-aware (`_ivf_assigned_auto`): bit-exact
+    flat below HIER_CELLS_MIN cells, two-level O(n·√cells) past it,
+    the switch an engine-side 1-row broadcast the oracle replays
+    (`ivf_hier_agreement` quantifies the assignment drift; edge
+    recall measured unchanged, 0.197 vs 0.198). An explicit
+    `n_cells` pins the flat argmax at that cell count (the bounded
+    slice/debug path — the caller asserted the count is small)."""
+    if n_cells is None:
+        return _knn_from_assigned(_ivf_assigned_auto(embeddings), k)
     return _knn_from_assigned(_ivf_assigned(embeddings, n_cells), k)
 
 
@@ -922,8 +967,13 @@ def dedup_embedding_blocked(embeddings: DataFrame,
     `n_cells=None` (the default) sizes the cell count from the corpus
     via `ivf_cells_for` — one cell per IVF_DIV vectors, a 1-row count
     broadcast replayed integer-exactly by the oracle — so within-cell
-    candidate pairs per row stay ~constant as the corpus grows."""
-    assigned = _ivf_assigned(embeddings, n_cells)
+    candidate pairs per row stay ~constant as the corpus grows; the
+    ASSIGNMENT is likewise scale-aware (`_ivf_assigned_auto`:
+    bit-exact flat argmax below HIER_CELLS_MIN cells, two-level
+    O(n·√cells) past it — the r9-measured flat super-linearity fix).
+    An explicit `n_cells` pins the flat argmax at that count."""
+    assigned = (_ivf_assigned_auto(embeddings) if n_cells is None
+                else _ivf_assigned(embeddings, n_cells))
     a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
                         F.col("v").alias("va"), F.col("v_norm").alias("na"))
     b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
@@ -1002,12 +1052,14 @@ def knn_diversity_sample_hier(documents: DataFrame,
                               embeddings: DataFrame,
                               k: int = KNN_K,
                               tau: float = KNN_STRONG_TAU) -> DataFrame:
-    """`knn_diversity_sample` consuming the TWO-LEVEL graph
-    (`knn_graph_hier`) — the composition a 100 TB run actually
-    executes: the flat-graph variant inherits flat assignment's
-    measured O(n·cells) super-linearity (1.698/replica at 100×), so
-    the consumer must ride the O(n·√cells) constructor whose edge
-    recall is measured equal (0.197 vs 0.198). Same strong-edge →
+    """`knn_diversity_sample` consuming the PURE two-level graph
+    (`knn_graph_hier`) — pins the O(n·√cells) constructor regardless
+    of corpus size, so the flat-vs-hier comparison stays measurable
+    at every scale. Since r10 the default-named
+    `knn_diversity_sample` rides the scale-aware auto assignment and
+    executes this same plan past HIER_CELLS_MIN cells; this entry
+    remains the explicit hier path (and the one the sub-threshold
+    agreement/recall harness exercises). Same strong-edge →
     components → quality-argmax pipeline, same output contract."""
     return knn_diversity_sample(documents, embeddings, k, tau,
                                 graph=knn_graph_hier(embeddings, k))
@@ -1062,10 +1114,12 @@ def knn_diversity_sample(documents: DataFrame,
     )
 
     if graph is None:
-        # flat-assignment graph: fine at moderate cell counts, but
-        # past a few thousand cells the assignment itself goes
-        # O(n·cells) — use `knn_diversity_sample_hier` there (the
-        # measured story lives on knn_graph/knn_graph_hier)
+        # scale-aware default graph (r10): knn_graph rides
+        # _ivf_assigned_auto — bit-exact flat assignment below
+        # HIER_CELLS_MIN cells, two-level O(n·√cells) past it, so the
+        # default-named entry executes the 100-TB plan at scale
+        # (knn_diversity_sample_hier pins the PURE two-level path for
+        # the measured flat-vs-hier story)
         graph = knn_graph(embeddings, k)
     strong = graph.where(F.col("cos_sim") >= tau)
     pairs = (strong.select(

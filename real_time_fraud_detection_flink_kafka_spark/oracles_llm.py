@@ -30,6 +30,7 @@ from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
     BRUTE_MAX_ID,
     DIM,
     COS_THRESHOLD,
+    HIER_CELLS_MIN,
     HYPERPLANES,
     IVF_DIV,
     IVF_K,
@@ -2075,25 +2076,18 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
 
 
 def _blocked_pairs_sql() -> str:
-    # scale-aware cell count in lockstep with similarity.ivf_cells_for:
-    # one cell per IVF_DIV vectors, floored at IVF_K, integer-exact
+    # scale-aware cell count in lockstep with similarity.ivf_cells_for
+    # (one cell per IVF_DIV vectors, floored at IVF_K) AND the
+    # scale-aware ASSIGNMENT in lockstep with _ivf_assigned_auto:
+    # the nl1 CASE degenerates the two-level argmax to flat below
+    # HIER_CELLS_MIN cells — integer-exact in both engines
     return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-"""
-            + (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
-               " AS cells FROM e),\n")
-            + "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
-              " WHERE vec_id < cells),\n"
-            + f"""ac AS (
-  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
-  FROM e, c
-),
-assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1)
+""" + _hier_assign_ctes(scale_aware=True) + f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_cos_sql('ea.v', 'eb.v')}, 6) AS cos_sim,
        CAST(a.cell AS BIGINT) AS cell
-FROM assigned a JOIN assigned b USING (cell)
+FROM hassigned a JOIN hassigned b USING (cell)
 JOIN e ea ON ea.vec_id = a.vec_id
 JOIN e eb ON eb.vec_id = b.vec_id
 WHERE a.vec_id < b.vec_id
@@ -2101,27 +2095,19 @@ WHERE a.vec_id < b.vec_id
 
 
 def _knn_graph_sql() -> str:
-    """Mirrors similarity.knn_graph: same scale-aware cell count and
-    arn=1 assignment as _blocked_pairs_sql, per-vector top-k window."""
+    """Mirrors similarity.knn_graph: same scale-aware cell count AND
+    scale-aware auto assignment as _blocked_pairs_sql (flat below
+    HIER_CELLS_MIN cells via the nl1=1 degeneration, two-level past
+    it), per-vector top-k window."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import KNN_K
 
     return ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-"""
-            + (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
-               " AS cells FROM e),\n")
-            + "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
-              " WHERE vec_id < cells),\n"
-            + f"""ac AS (
-  SELECT e.vec_id, cell, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY {_cos_sql('e.v', 'cv')} DESC, cell) AS arn
-  FROM e, c
-),
-assigned AS (SELECT vec_id, cell FROM ac WHERE arn = 1),
+""" + _hier_assign_ctes(scale_aware=True) + f""",
 j AS (
   SELECT a.vec_id, b.vec_id AS nbr_id, a.cell,
          {_cos_sql('ea.v', 'eb.v')} AS cos_raw
-  FROM assigned a JOIN assigned b USING (cell)
+  FROM hassigned a JOIN hassigned b USING (cell)
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
   WHERE a.vec_id <> b.vec_id
@@ -2136,16 +2122,23 @@ SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
 FROM r WHERE rnk <= {KNN_K}""")
 
 
-def _hier_assign_ctes() -> str:
+def _hier_assign_ctes(scale_aware: bool = False) -> str:
     """CTE block ending in `hassigned(vec_id, cell)` — mirrors
     similarity._ivf_assigned_hier: the first ⌈√cells⌉ seeds are the
     level-1 anchors; cell→group, vector→group, then vector→best cell
-    within its group, every argmax ordered (cos DESC, lower id)."""
+    within its group, every argmax ordered (cos DESC, lower id).
+    With ``scale_aware`` the anchor count is the same CASE as
+    `_ivf_assigned_auto`: 1 below HIER_CELLS_MIN cells (bit-exactly
+    the flat argmax — one anchor group holds every cell), ⌊√cells⌋
+    at/above it."""
+    nl1 = "greatest(1, CAST(floor(sqrt(cells)) AS INTEGER))"
+    if scale_aware:
+        nl1 = f"CASE WHEN cells < {HIER_CELLS_MIN} THEN 1 ELSE {nl1} END"
     return (f"p AS (SELECT greatest({IVF_K}, count(*) // {IVF_DIV})"
             " AS cells FROM e),\n"
             "c AS (SELECT vec_id AS cell, v AS cv FROM e, p"
             " WHERE vec_id < cells),\n"
-            "nl AS (SELECT greatest(1, CAST(floor(sqrt(cells)) AS INTEGER))"
+            f"nl AS (SELECT {nl1}"
             " AS nl1 FROM p),\n"
             "l1 AS (SELECT cell AS g, cv AS gv FROM c, nl WHERE cell < nl1),\n"
             + f"""cm AS (

@@ -559,6 +559,31 @@ def test_knn_graph_hier_contract_and_agreement(spark, sf_dir):
     assert edge_recall(knn_graph_hier(emb)) >= edge_recall(knn_graph(emb)) - 0.05
 
 
+def test_scale_aware_assignment_switch(spark, sf_dir, monkeypatch):
+    """The r10 scale-aware default (`_ivf_assigned_auto`) must be
+    BIT-EXACT flat below HIER_CELLS_MIN cells and BIT-EXACT two-level
+    at/above it — the two regimes of the one nl1-CASE plan, pinned
+    both ways. Below: sf cells = IVF_K = 16 < 1024, so auto must
+    reproduce `_ivf_assigned`'s flat argmax row-for-row. Above:
+    monkeypatching the threshold under the corpus's cell count flips
+    the same plan to ⌊√cells⌋ anchors, which must reproduce
+    `_ivf_assigned_hier` row-for-row. (This is what lets knn_graph /
+    dedup_embedding_blocked / knn_diversity_sample /
+    semantic_canonicalize keep their flat-path oracles at test scale
+    while riding the O(n·√cells) plan past the threshold.)"""
+    from real_time_fraud_detection_flink_kafka_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted((r["vec_id"], r["cell"])
+                      for r in df.select("vec_id", "cell").collect())
+
+    assert rows(sim._ivf_assigned_auto(emb)) == rows(sim._ivf_assigned(emb))
+    monkeypatch.setattr(sim, "HIER_CELLS_MIN", 1)
+    assert rows(sim._ivf_assigned_auto(emb)) == rows(sim._ivf_assigned_hier(emb))
+
+
 def test_knn_graph_recall_accounting(spark, sf_dir):
     """Recall accounting must be exact set arithmetic: true edges =
     n_vectors x KNN_K (every slice vector has >= K candidates),
