@@ -1033,85 +1033,194 @@ def dedup_ppjoin(documents: DataFrame,
 
     Determinism: candidates are exact set logic; the final jaccard is
     the same n_common/(n_a+n_b−n_common) rounded to 6 dp and
-    thresholded AFTER rounding, exactly as `dedup_ngram_jaccard`."""
-    _sh, _prefix, _cand, verified = _ppjoin_parts(documents, threshold)
-    return verified
+    thresholded AFTER rounding, exactly as `dedup_ngram_jaccard`.
+
+    CANONICALIZE-FIRST (r10): docs with IDENTICAL shingle sets are
+    grouped into cliques before any join — the prefix/candidate/
+    verify pipeline runs over one representative per distinct set,
+    and clique members are expanded back into output pairs afterwards
+    (intra-clique pairs are Jaccard 1.0 by identity; inter-clique
+    pairs inherit their representatives' exact Jaccard, which depends
+    only on the sets). The r9 30×/100× bench measured the old
+    all-docs pipeline super-linear (0.459/replica at 30×, /tmp
+    exhaustion at 100×) — and the profile showed why: under content
+    duplication the OUTPUT is quadratic in the copy count (every
+    m-clique owes C(m,2) pairs — 256 base pairs → 2.1M at 30×), and
+    the old plan paid that quadratic factor again in every stage
+    (candidate rows 43k → 41M, each verify row carrying two full hash
+    arrays). Canonicalize-first pays it exactly once, in the final
+    expansion join that emits the answer — filter + verify cost is
+    per-DISTINCT-set, constant per replica. At 100 TB, where
+    duplicated content is the workload's defining property (that's
+    why you dedup), this is the only shape that survives."""
+    parts = _ppjoin_parts(documents, threshold)
+    return parts["verified"]
 
 
-def _ppjoin_parts(documents: DataFrame, threshold: float = JACCARD_THRESHOLD):
-    """(sh, prefix, cand, verified) — the PPJoin pipeline's stages,
-    shared by `dedup_ppjoin` (returns verified) and `ppjoin_stats`
-    (counts every stage)."""
+def _ppjoin_parts(documents: DataFrame,
+                  threshold: float = JACCARD_THRESHOLD) -> dict:
+    """Named stages of the canonicalize-first PPJoin pipeline, shared
+    by `dedup_ppjoin` (returns 'verified') and `ppjoin_stats` (counts
+    every stage): members (doc→clique), grp (one row per distinct
+    set), sh (REPRESENTATIVE token rows — the only relation the
+    prefix order and candidate join ever touch), prefix, cand,
+    verified_reps (rep pairs passing exact verification), verified
+    (clique-expanded output pairs)."""
     from pyspark.sql import Window
 
     num, den = _pp_rational(threshold)
+    # per-doc sorted 60-bit shingle-hash set, row-local (no shuffle);
+    # docs with no shingles (< n words) never pair in the quadratic
+    # baseline, so they are excluded before clique-building — an
+    # empty-set "clique" must NOT emit Jaccard-1.0 pairs
+    hsets = tracked_persist(
+        shingle_sets(spread(documents))
+        .select("doc_id",
+                F.array_sort(F.transform(
+                    "sh_set", lambda s: H.md5_int60(s))).alias("hset"))
+        .where(F.size("hset") >= 1))
+    # set fingerprint: md5 over the sorted hash list — a 128-bit
+    # row-local group key so clique-building shuffles 32 bytes per
+    # doc, never the array itself
+    fp = F.md5(F.concat_ws(",", F.transform(
+        "hset", lambda h: h.cast("string"))))
+    docs_fp = hsets.select("doc_id", fp.alias("fp"))
+    # clique groupBy over scalars only (hash-agg, map-side combine);
+    # the representative's array is joined back afterwards — a
+    # first(hset) in the agg would force a SortAggregate that sorts
+    # every doc's array payload by fp
+    grp = tracked_persist(
+        docs_fp.groupBy("fp").agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("m"))
+        .join(hsets.select(F.col("doc_id").alias("rep"), "hset"), "rep"))
+    members = docs_fp.join(
+        grp.select("fp", "rep"), "fp").select("doc_id", "rep")
+    # representative token rows: re-exploded from the already-hashed
+    # set, with n_sh row-local from the array size (the old per-doc
+    # count window — a second full pass over the token relation — is
+    # gone). Everything from here to verification is per-distinct-set.
     sh = tracked_persist(
-        shingles(spread(documents))
-        .select("doc_id", H.md5_int60(F.col("shingle")).alias("sh_h")))
+        grp.select(F.col("rep").alias("doc_id"),
+                   F.size("hset").alias("n_sh"),
+                   F.explode("hset").alias("sh_h")))
     dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    # n_sh rides the SAME doc_id exchange as the prefix window (an
-    # unordered count window over the identical partition key) — the
-    # separate groupBy(doc_id)+join spent a full extra shuffle of the
-    # token-level relation, which at the 100× bench factor (~10⁹
-    # shingle rows on one box) was a third of the spill volume
     shd = sh.join(dfr, "sh_h")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
-    w_all = Window.partitionBy("doc_id")
     # p = s − ⌈τ·s⌉ + 1 with ⌈num·s/den⌉ = (num·s + den − 1) div den
     prefix_len = F.expr(
         f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
-    prefix = (shd.withColumn("n_sh", F.count(F.lit(1)).over(w_all))
-                 .withColumn("rn", F.row_number().over(w))
+    prefix = (shd.withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") <= prefix_len)
-                 .select("doc_id", "sh_h", "n_sh"))
+                 .select("doc_id", "sh_h", "n_sh", "rn"))
     a = prefix.select(F.col("doc_id").alias("doc_a"), "sh_h",
-                      F.col("n_sh").alias("n_a"))
+                      F.col("n_sh").alias("n_a"), F.col("rn").alias("rn_a"))
     b = prefix.select(F.col("doc_id").alias("doc_b"), "sh_h",
-                      F.col("n_sh").alias("n_b"))
+                      F.col("n_sh").alias("n_b"), F.col("rn").alias("rn_b"))
+    # POSITIONAL FILTER (Xiao et al. WWW'08 §3.2): both prefixes are
+    # sorted under the same (df, sh_h) global order, so the shared
+    # prefix token with MIN positions (i*, j*) — min(rn_a) and
+    # min(rn_b) land on the same token because both rankings restrict
+    # one total order — is the globally FIRST common token of the two
+    # sets; every other common token sits after it in BOTH lists,
+    # hence |common| ≤ 1 + min(n_a − i*, n_b − j*). Jaccard ≥ num/den
+    # needs |common|·(num+den) ≥ num·(n_a+n_b), so pairs whose bound
+    # can't reach it are pruned BEFORE the array-verify join — the
+    # stage whose candidate×2-arrays shuffle is the 100× cost center.
+    # The groupBy replaces the old `.distinct()` (same shuffle shape,
+    # hash-agg with map-side partial combine instead of sort-unique).
     cand = (a.join(b, "sh_h")
              .where((F.col("doc_a") < F.col("doc_b"))
                     & (den * F.least("n_a", "n_b")
                        >= num * F.greatest("n_a", "n_b")))
-             .select("doc_a", "doc_b", "n_a", "n_b").distinct())
-    hsets = shingle_sets(documents).select(
-        "doc_id",
-        F.transform("sh_set", lambda s: H.md5_int60(s)).alias("hset"))
-    sa = hsets.select(F.col("doc_id").alias("doc_a"),
-                      F.col("hset").alias("set_a"))
-    sb = hsets.select(F.col("doc_id").alias("doc_b"),
-                      F.col("hset").alias("set_b"))
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
+             .agg(F.min("rn_a").alias("i1"), F.min("rn_b").alias("j1"))
+             .where((num + den)
+                    * (1 + F.least(F.col("n_a") - F.col("i1"),
+                                   F.col("n_b") - F.col("j1")))
+                    >= num * (F.col("n_a") + F.col("n_b")))
+             .select("doc_a", "doc_b", "n_a", "n_b"))
+    sa = grp.select(F.col("rep").alias("doc_a"),
+                    F.col("hset").alias("set_a"))
+    sb = grp.select(F.col("rep").alias("doc_b"),
+                    F.col("hset").alias("set_b"))
     v = (cand.join(sa, "doc_a").join(sb, "doc_b")
              .withColumn("n_common",
                          F.size(F.array_intersect("set_a", "set_b"))))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    verified = (v.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-                 .where(F.col("jaccard") >= threshold))
-    return sh, prefix, cand, verified
+    verified_reps = (v.select("doc_a", "doc_b",
+                              F.round(jac, 6).alias("jaccard"))
+                      .where(F.col("jaccard") >= threshold))
+    # clique expansion — the ONLY stage whose size is the (possibly
+    # quadratic-under-duplication) answer itself: inter-clique pairs
+    # inherit the representatives' Jaccard, intra-clique pairs are
+    # identical sets (Jaccard exactly 1.0); least/greatest restores
+    # the doc_a < doc_b contract since member ids interleave
+    ma = members.select(F.col("rep").alias("doc_a"),
+                        F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep").alias("doc_b"),
+                        F.col("doc_id").alias("db"))
+    inter = (verified_reps.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b"), "jaccard"))
+    intra = (members.select("rep", F.col("doc_id").alias("da"))
+             .join(members.select("rep", F.col("doc_id").alias("db")), "rep")
+             .where(F.col("da") < F.col("db"))
+             .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                     F.lit(1.0).alias("jaccard")))
+    verified = inter.unionAll(intra)
+    return {"hsets": hsets, "grp": grp, "members": members, "sh": sh,
+            "prefix": prefix, "cand": cand,
+            "verified_reps": verified_reps, "verified": verified}
 
 
 def ppjoin_stats(documents: DataFrame,
                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Pruning-evidence audit for the prefix filter — the numbers
-    that justify PPJoin at scale, measured not argued: token rows vs
-    prefix rows (the join only ever keys on the prefix fraction,
-    prefix_ppm), candidates surviving the size filter, and verified
-    pairs. One summary row; every count an integer, the fraction an
-    exact ppm floor division. No quadratic stage anywhere — the
-    audit itself follows the same plan as the join."""
-    sh, prefix, cand, verified = _ppjoin_parts(documents, threshold)
-    c_tok = sh.agg(F.count(F.lit(1)).alias("n_token_rows"),
-                   F.countDistinct("doc_id").alias("n_sets"))
-    c_pre = prefix.agg(F.count(F.lit(1)).alias("n_prefix_rows"))
-    c_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    c_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
-    out = (c_tok.crossJoin(F.broadcast(c_pre))
+    that justify PPJoin at scale, measured not argued. Since the r10
+    canonicalize-first rework the row names BOTH cost components:
+
+    - the per-distinct-set filter cost: n_token_rows vs n_prefix_rows
+      (the candidate join only ever keys on the prefix fraction,
+      prefix_ppm) and n_candidates → n_verified_reps, all measured
+      over one representative per distinct shingle set — constant
+      per replica under content duplication;
+    - the OUTPUT-driven term: n_sets vs n_distinct_sets, max_clique,
+      and clique_pairs = Σ C(m,2) — the exact-duplicate pair floor
+      that grows quadratically in the copy count and lower-bounds
+      n_verified. This is the super-linear component the r9 30×/100×
+      bench observed: it is the answer's size, not a plan defect
+      (n_verified = Σ m_a·m_b over verified rep pairs + clique_pairs).
+
+    One summary row; every count an integer, the fraction an exact
+    ppm floor division. No quadratic stage anywhere except the
+    expansion that emits the (quadratic-under-duplication) answer."""
+    p = _ppjoin_parts(documents, threshold)
+    c_tok = p["sh"].agg(F.count(F.lit(1)).alias("n_token_rows"))
+    c_grp = p["grp"].agg(
+        F.count(F.lit(1)).alias("n_distinct_sets"),
+        F.sum("m").alias("n_sets"),
+        F.max("m").alias("max_clique"),
+        F.sum(F.expr("m * (m - 1) div 2")).alias("clique_pairs"))
+    c_pre = p["prefix"].agg(F.count(F.lit(1)).alias("n_prefix_rows"))
+    c_cand = p["cand"].agg(F.count(F.lit(1)).alias("n_candidates"))
+    c_vr = p["verified_reps"].agg(
+        F.count(F.lit(1)).alias("n_verified_reps"))
+    c_ver = p["verified"].agg(F.count(F.lit(1)).alias("n_verified"))
+    out = (c_grp.crossJoin(F.broadcast(c_tok))
+                .crossJoin(F.broadcast(c_pre))
                 .crossJoin(F.broadcast(c_cand))
+                .crossJoin(F.broadcast(c_vr))
                 .crossJoin(F.broadcast(c_ver)))
     return out.select(
         F.col("n_sets").cast("int").alias("n_sets"),
+        F.col("n_distinct_sets").cast("int").alias("n_distinct_sets"),
+        F.col("max_clique").cast("int").alias("max_clique"),
+        F.col("clique_pairs").cast("bigint").alias("clique_pairs"),
         F.col("n_token_rows").cast("int").alias("n_token_rows"),
         F.col("n_prefix_rows").cast("int").alias("n_prefix_rows"),
         F.expr("n_prefix_rows * 1000000 div n_token_rows")
          .cast("bigint").alias("prefix_ppm"),
         F.col("n_candidates").cast("int").alias("n_candidates"),
+        F.col("n_verified_reps").cast("int").alias("n_verified_reps"),
         F.col("n_verified").cast("int").alias("n_verified"))

@@ -198,39 +198,65 @@ SELECT doc_id, CAST(count(*) AS INTEGER) AS n_blocks,
                     FILTER (WHERE NOT is_dup), '')) AS clean_md5
 FROM j GROUP BY doc_id""",
         "dedup_ngram_jaccard": _JACCARD_SQL,
-        # mirrors dedup.ppjoin_stats: same prefix construction
-        # ((df, hash) order, integer prefix length), stage counts
+        # mirrors dedup.ppjoin_stats (r10 canonicalize-first): clique
+        # stats over distinct shingle sets, prefix construction
+        # ((df, hash) order, integer prefix length) over one
+        # representative per set, verified = the clique-expanded
+        # exact-Jaccard output (shared with dedup_ngram_jaccard)
         "ppjoin_stats": f"""
 WITH {_SHINGLE_CTE},
 shh AS (
   SELECT doc_id, {md5_int60_sql('shingle')} AS sh_h FROM sh
 ),
-dfr AS (SELECT sh_h, count(*) AS df FROM shh GROUP BY 1),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
-shd AS (
-  SELECT s.doc_id, s.sh_h, d.df, z.n_sh
-  FROM shh s JOIN dfr d USING (sh_h) JOIN sizes z USING (doc_id)
+hs AS (
+  SELECT doc_id, list_sort(list(sh_h)) AS hset FROM shh GROUP BY 1
 ),
+grp AS (
+  SELECT hset, min(doc_id) AS rep, count(*) AS m FROM hs GROUP BY hset
+),
+rsh AS (
+  SELECT rep AS doc_id, len(hset) AS n_sh, unnest(hset) AS sh_h FROM grp
+),
+dfr AS (SELECT sh_h, count(*) AS df FROM rsh GROUP BY 1),
 pre AS (
-  SELECT doc_id, sh_h, n_sh FROM (
-    SELECT *, row_number() OVER (PARTITION BY doc_id
-             ORDER BY df, sh_h) AS rn
-    FROM shd)
+  SELECT doc_id, sh_h, n_sh, rn FROM (
+    SELECT r.doc_id, r.sh_h, r.n_sh, d.df,
+           row_number() OVER (PARTITION BY r.doc_id
+             ORDER BY d.df, r.sh_h) AS rn
+    FROM rsh r JOIN dfr d USING (sh_h))
   WHERE rn <= n_sh - ((4 * n_sh + 4) // 5) + 1
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n_sh AS n_a, b.n_sh AS n_b
-  FROM pre a JOIN pre b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
-  WHERE 5 * least(a.n_sh, b.n_sh) >= 4 * greatest(a.n_sh, b.n_sh)
+  SELECT doc_a, doc_b, n_a, n_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS n_a, b.n_sh AS n_b,
+           min(a.rn) AS i1, min(b.rn) AS j1
+    FROM pre a JOIN pre b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+    WHERE 5 * least(a.n_sh, b.n_sh) >= 4 * greatest(a.n_sh, b.n_sh)
+    GROUP BY 1, 2, 3, 4)
+  WHERE 9 * (1 + least(n_a - i1, n_b - j1)) >= 4 * (n_a + n_b)
+),
+vreps AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b
+  WHERE round(len(list_intersect(ga.hset, gb.hset))
+              / (c.n_a + c.n_b - len(list_intersect(ga.hset, gb.hset))),
+              6) >= 0.8
 ),
 ver AS (SELECT count(*) AS n_verified FROM ({_JACCARD_SQL}) q)
-SELECT CAST((SELECT count(*) FROM sizes) AS INTEGER) AS n_sets,
-       CAST((SELECT count(*) FROM shh) AS INTEGER) AS n_token_rows,
+SELECT CAST((SELECT sum(m) FROM grp) AS INTEGER) AS n_sets,
+       CAST((SELECT count(*) FROM grp) AS INTEGER) AS n_distinct_sets,
+       CAST((SELECT max(m) FROM grp) AS INTEGER) AS max_clique,
+       CAST((SELECT sum(m * (m - 1) // 2) FROM grp) AS BIGINT)
+         AS clique_pairs,
+       CAST((SELECT count(*) FROM rsh) AS INTEGER) AS n_token_rows,
        CAST((SELECT count(*) FROM pre) AS INTEGER) AS n_prefix_rows,
        CAST((SELECT count(*) FROM pre) * 1000000
-            // (SELECT count(*) FROM shh) AS BIGINT) AS prefix_ppm,
+            // (SELECT count(*) FROM rsh) AS BIGINT) AS prefix_ppm,
        CAST((SELECT count(*) FROM cand) AS INTEGER) AS n_candidates,
+       CAST((SELECT count(*) FROM vreps) AS INTEGER) AS n_verified_reps,
        CAST((SELECT n_verified FROM ver) AS INTEGER) AS n_verified""",
         # verified-LSH output == exact output at this data's dup
         # profile (r=2/b=8 band curve; see operators/dedup.py docs)

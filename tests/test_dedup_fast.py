@@ -444,10 +444,13 @@ def test_dedup_ppjoin_complete_below_default_threshold(spark):
 
 
 def test_ppjoin_stats_pruning_evidence(spark, sf_dir):
-    """The stats row must show the filter actually filtering:
-    prefix rows a strict subset of token rows (prefix_ppm < 1e6),
-    verified <= candidates, and n_verified equal to the join's own
-    output count (the stats and the join can't disagree)."""
+    """The stats row must show the filter actually filtering —
+    prefix rows a strict subset of representative token rows
+    (prefix_ppm < 1e6), rep-verified <= candidates — and the clique
+    accounting must be self-consistent: n_sets = sum of clique sizes
+    >= n_distinct_sets, clique_pairs the exact-duplicate pair floor
+    of n_verified, and n_verified equal to the join's own output
+    count (the stats and the join can't disagree)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
         dedup_ppjoin,
         ppjoin_stats,
@@ -458,5 +461,49 @@ def test_ppjoin_stats_pruning_evidence(spark, sf_dir):
     row = ppjoin_stats(docs).collect()[0]
     assert 0 < row["n_prefix_rows"] < row["n_token_rows"]
     assert row["prefix_ppm"] < 1_000_000
-    assert row["n_verified"] <= row["n_candidates"]
+    assert row["n_verified_reps"] <= row["n_candidates"]
+    assert row["n_sets"] >= row["n_distinct_sets"] >= 1
+    assert row["max_clique"] >= 1
+    assert row["clique_pairs"] <= row["n_verified"]
     assert row["n_verified"] == dedup_ppjoin(docs).count()
+    if row["max_clique"] == 1:
+        # no duplicate sets: expansion is the identity, so the
+        # expanded count must equal rep pairs + (zero) clique pairs
+        assert row["clique_pairs"] == 0
+        assert row["n_verified"] == row["n_verified_reps"]
+
+
+def test_ppjoin_clique_expansion(spark):
+    """Canonicalize-first must expand duplicate-set cliques exactly:
+    3 identical docs (one clique) + 1 near-dup of them + 1 unrelated
+    doc. Expected pairs: C(3,2)=3 intra-clique at Jaccard 1.0 plus
+    3 inter-clique (near-dup × each clique member) at the same
+    rep-pair Jaccard — and the result must equal the quadratic
+    baseline pair-for-pair."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ppjoin,
+        ppjoin_stats,
+    )
+
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    near = "a b c d e f g h i j k l m n o p q r s z"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, near), (5, other)],
+        "doc_id long, text string")
+    got = sorted(map(tuple, dedup_ppjoin(docs, 0.5).collect()))
+    want = sorted(map(tuple, dedup_ngram_jaccard(docs, 0.5).collect()))
+    assert got == want
+    intra = [(a, b, j) for a, b, j in got
+             if a in (1, 2, 3) and b in (1, 2, 3)]
+    assert len(intra) == 3 and all(j == 1.0 for _, _, j in intra)
+    inter = [(a, b, j) for a, b, j in got if 4 in (a, b)]
+    assert len(inter) == 3
+    assert len({j for _, _, j in inter}) == 1  # inherited rep Jaccard
+    row = ppjoin_stats(docs, 0.5).collect()[0]
+    assert row["n_sets"] == 5 and row["n_distinct_sets"] == 3
+    assert row["max_clique"] == 3 and row["clique_pairs"] == 3
+    assert row["n_verified"] == 6
+    assert (row["n_verified"]
+            == row["clique_pairs"] + 3 * row["n_verified_reps"])
