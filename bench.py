@@ -272,24 +272,32 @@ def main() -> None:
             "regressions": regressions,
         }
 
-    # streaming throughput as a TRACKED metric (r9): r1 claimed
-    # ~7k events/s end-to-end and nothing has measured drain
-    # throughput since. events/s = input events / best drain
-    # wall-time for the two heaviest stream drains (the stateful
-    # keyed detector and the dual-buffer interval join) — each
-    # callable runs the full availableNow drain internally, so its
-    # wall time IS the drain time. Disable with SPARK_GRAFT_STREAM=0.
+    # streaming throughput as a TRACKED metric (r9; widened r10 per
+    # the r9 verdict): events/s = input events / best drain wall-time
+    # for the four stateful drains — keyed detector, dual-buffer
+    # interval join, dropDuplicates state dedup, session windows —
+    # each callable runs the full availableNow drain internally, so
+    # its wall time IS the drain time. Round-over-round gate: any
+    # drain reading <0.67× the prior round's BENCH_DETAIL eps on this
+    # host lands in stream_regressions (min-of-N already absorbs
+    # transient bursts; the flag is the same discipline as
+    # window_regressions). Disable with SPARK_GRAFT_STREAM=0.
     if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
         n_events = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
                     .count())
         stimes = run_suite(
-            ["stream_fraud_detector", "stream_interval_join"],
+            ["stream_fraud_detector", "stream_interval_join",
+             "stream_dedup_events", "stream_session_counts"],
             sf_dir, reps=max(2, reps - 1))
+        eps = {n: round(n_events / t, 1) for n, t in stimes.items()}
+        prior_eps = _prior_stream_eps()
         result["streaming"] = {
             "input_events": n_events,
             "drain_sec": stimes,
-            "events_per_sec": {
-                n: round(n_events / t, 1) for n, t in stimes.items()},
+            "events_per_sec": eps,
+            "regressions": sorted(
+                n for n, v in eps.items()
+                if n in prior_eps and v < 0.67 * prior_eps[n]),
         }
 
     factors = [int(r) for r in
@@ -344,6 +352,17 @@ def main() -> None:
 
     emit(result)
     spark.stop()
+
+
+def _prior_stream_eps() -> dict[str, float]:
+    """Previous round's per-drain events/s from the committed
+    BENCH_DETAIL.json (empty if absent/unreadable — first run)."""
+    p = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        return (json.loads(p.read_text()).get("streaming", {})
+                .get("events_per_sec", {}))
+    except Exception:
+        return {}
 
 
 def _prior_window_times() -> dict[str, float]:
@@ -438,6 +457,8 @@ def emit(result: dict) -> None:
             r["name"] for r in result["window"].get("regressions", [])]
     if "streaming" in result:
         compact["stream_eps"] = result["streaming"]["events_per_sec"]
+        compact["stream_regressions"] = result["streaming"].get(
+            "regressions", [])
     if "components_engines" in result:
         compact["cc_twostar_wins_at_depth"] = (
             result["components_engines"]["twostar_wins_at_depth"])
