@@ -530,6 +530,113 @@ def score_trigrams_with_lm(trigrams: DataFrame, uni: DataFrame,
          .alias("avg_trigram_p"))
 
 
+# --- LM ranking-quality lift (bigram vs trigram, labeled fixtures) -----------
+
+# fixture ids sit far above any corpus (or scale-replica) doc_id and
+# are ODD so they can never leak into the trigram train half
+# (doc_id % 2 == 0); id % 4 == 1 → fluent, 3 → garbled
+LM_FIX_OFF = 1 << 41
+LM_FIX_N = 16
+
+
+def _lm_fixture_union(documents: DataFrame) -> DataFrame:
+    """Corpus ∪ labeled fixtures: the first LM_FIX_N train-half docs
+    (by doc_id — a TakeOrderedAndProject, never a global sort)
+    re-keyed twice — verbatim ('fluent': on-model by construction)
+    and word-REVERSED ('garbled': same unigrams, destroyed bigram/
+    trigram structure — the deterministic-injection move pii_scrub
+    uses for a corpus that ships no labels)."""
+    base = (documents.select("doc_id", "text")
+            .where(F.col("doc_id") % TRI_TRAIN_MOD == 0)
+            .orderBy("doc_id").limit(LM_FIX_N))
+    fluent = base.select(
+        (F.lit(LM_FIX_OFF) + F.col("doc_id") * 4 + 1).alias("doc_id"),
+        "text")
+    garbled = base.select(
+        (F.lit(LM_FIX_OFF) + F.col("doc_id") * 4 + 3).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.trim(F.col("text")), " ")), " ")
+         .alias("text"))
+    return (documents.select("doc_id", "text")
+            .unionAll(fluent).unionAll(garbled))
+
+
+def _lm_fixture_metrics(name: str, scored: DataFrame) -> DataFrame:
+    """One summary row for a scorer's (doc_id, score) relation:
+    pairwise fluent>garbled accuracy over the fixture label pairs,
+    and the mean population-rank gap between fluent and garbled
+    fixtures. Ranks are counted against the scorer's own population
+    (corpus ∪ fixtures) by streaming it ONCE against the broadcast
+    ≤2·LM_FIX_N fixture rows — never a global sort/window. All
+    divisions are floor-div over non-negative integers (the gap is
+    offset by +1·n_pop so a garbled-above-fluent scorer cannot go
+    negative — Spark `div` truncates while DuckDB `//` floors)."""
+    scored = tracked_persist(scored)
+    fix = (scored.where(F.col("doc_id") >= LM_FIX_OFF)
+           .select(F.col("doc_id").alias("fid"), F.col("score").alias("fs")))
+    npop = scored.agg(F.count(F.lit(1)).alias("n_pop"))
+    below = (scored.crossJoin(F.broadcast(fix))
+             .where((F.col("score") < F.col("fs"))
+                    | ((F.col("score") == F.col("fs"))
+                       & (F.col("doc_id") < F.col("fid"))))
+             .groupBy("fid").agg(F.count(F.lit(1)).alias("rnk")))
+    fr = (fix.join(below, "fid", "left")
+          .select("fid", "fs", F.coalesce("rnk", F.lit(0)).alias("rnk")))
+    sums = fr.agg(
+        F.sum(F.when(F.col("fid") % 4 == 1, F.col("rnk"))).alias("sum_rf"),
+        F.sum(F.when(F.col("fid") % 4 == 3, F.col("rnk"))).alias("sum_rg"),
+        F.sum(F.when(F.col("fid") % 4 == 1, 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("fid") % 4 == 3, 1).otherwise(0)).alias("n_g"))
+    fl = fr.where(F.col("fid") % 4 == 1).select(F.col("fs").alias("s_f"))
+    gb = fr.where(F.col("fid") % 4 == 3).select(F.col("fs").alias("s_g"))
+    pairs = fl.crossJoin(F.broadcast(gb)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("s_f") > F.col("s_g"), 1).otherwise(0))
+         .alias("correct_pairs"))
+    return (pairs.crossJoin(F.broadcast(sums))
+                 .crossJoin(F.broadcast(npop))
+                 .select(
+        F.lit(name).alias("scorer"),
+        F.col("n_pop").cast("int").alias("n_pop"),
+        F.col("n_f").cast("int").alias("n_fluent"),
+        F.col("n_g").cast("int").alias("n_garbled"),
+        F.col("n_pairs").cast("int").alias("n_pairs"),
+        F.col("correct_pairs").cast("int").alias("correct_pairs"),
+        F.expr("correct_pairs * 1000000 div n_pairs")
+         .cast("bigint").alias("acc_ppm"),
+        F.expr("((sum_rf * n_g - sum_rg * n_f) + n_f * n_g * n_pop)"
+               " * 1000000 div (n_f * n_g * n_pop)")
+         .cast("bigint").alias("rank_gap_offset_ppm")))
+
+
+def lm_quality_lift(documents: DataFrame) -> DataFrame:
+    """Ranking-quality comparison of the two corpus-trained LM rungs
+    — the `ann_recall_compare` habit applied to fluency scoring: the
+    score parity gates prove each scorer's ARITHMETIC, this measures
+    whether the trigram rung actually ranks better. Labeled fixtures
+    (verbatim train-half docs = fluent, word-reversed twins =
+    garbled) are injected into the corpus; both scorers score the
+    whole population; the output is one row per scorer with its
+    pairwise fluent>garbled accuracy (acc_ppm) and its mean
+    population-rank separation (rank_gap_offset_ppm, 1e6 = no gap).
+    A trigram lift shows as acc/gap ≥ the bigram row — measured on
+    the same fixtures under the same population, every number an
+    exact integer both engines replay.
+
+    Scale shape: fixture injection is a bounded union (≤2·LM_FIX_N
+    rows); both scorers keep their production plans; rank counting
+    streams each scored population once against broadcast fixtures.
+    The reversed garble keeps unigram counts identical, so the
+    comparison isolates exactly what the higher-order model is
+    supposed to buy: sequence structure."""
+    pop = tracked_persist(_lm_fixture_union(documents))
+    big = bigram_lm_score(pop).select(
+        "doc_id", F.col("avg_bigram_p").alias("score"))
+    tri = trigram_lm_score(pop).select(
+        "doc_id", F.col("avg_trigram_p").alias("score"))
+    return (_lm_fixture_metrics("bigram", big)
+            .unionAll(_lm_fixture_metrics("trigram", tri)))
+
+
 # --- intra-document repetition filter ----------------------------------------
 
 TOP_TOK_MAX = 0.2    # max share of the single most frequent token

@@ -154,6 +154,161 @@ def _substring_ctes(src: str = "documents", k: int | None = None) -> str:
 )"""
 
 
+def _bigram_lm_sql(src: str = "documents") -> str:
+    """Mirror of pipeline.bigram_lm_score over `src`: Laplace-smoothed
+    bigram probabilities over exact integer counts, fixed-point
+    per-doc sums (round(p*1e9) bigints) so agg order is irrelevant."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM {src}),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM ex),
+unic AS (
+  SELECT a, count(*) AS cnt_a
+  FROM (SELECT unnest(ws) AS a FROM w) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM unic),
+big AS (SELECT a, b, count(*) AS cnt_ab FROM pr GROUP BY 1, 2),
+j AS (
+  SELECT doc_id,
+         CAST(round(CAST(cnt_ab + 1 AS DOUBLE) / CAST(cnt_a + v AS DOUBLE)
+                    * 1000000000) AS BIGINT) AS pf
+  FROM pr JOIN big USING (a, b) JOIN unic USING (a) CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_bigram_p
+FROM j GROUP BY 1"""
+
+
+def _trigram_lm_sql(src: str = "documents") -> str:
+    """Mirror of pipeline.trigram_lm_score over `src`: model trained
+    on the even-doc_id half, Laplace trigram probability for seen
+    trigrams, stupid backoff λ=2/5 (bigint multiply + floor div on
+    the fixed-point bigram probability) for unseen ones."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM {src}),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
+tg AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM ex),
+tw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+tex AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tw),
+tric AS (
+  SELECT a, b, c, count(*) AS cnt_abc FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM tex)
+  GROUP BY 1, 2, 3
+),
+bex AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tw),
+bigc AS (
+  SELECT a, b, count(*) AS cnt_ab FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b FROM bex)
+  GROUP BY 1, 2
+),
+unic AS (
+  SELECT a, count(*) AS cnt_a
+  FROM (SELECT unnest(ws) AS a FROM tw) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM unic),
+j AS (
+  SELECT tg.doc_id, (t.cnt_abc IS NULL) AS backoff,
+         CASE WHEN t.cnt_abc IS NOT NULL
+              THEN CAST(round(CAST(t.cnt_abc + 1 AS DOUBLE)
+                        / CAST(cb.cnt_ab + v AS DOUBLE)
+                        * 1000000000) AS BIGINT)
+              ELSE (CAST(round(CAST(coalesce(bb.cnt_bc, 0) + 1 AS DOUBLE)
+                        / CAST(coalesce(u.cnt_b, 0) + v AS DOUBLE)
+                        * 1000000000) AS BIGINT) * 2) // 5
+         END AS pf
+  FROM tg
+  LEFT JOIN tric t USING (a, b, c)
+  LEFT JOIN bigc cb USING (a, b)
+  LEFT JOIN (SELECT a AS b, b AS c, cnt_ab AS cnt_bc FROM bigc) bb USING (b, c)
+  LEFT JOIN (SELECT a AS b, cnt_a AS cnt_b FROM unic) u USING (b)
+  CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
+       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_trigram_p
+FROM j GROUP BY 1"""
+
+
+def _lm_lift_sql() -> str:
+    """Mirror of pipeline.lm_quality_lift: fixture injection (first
+    LM_FIX_N train-half docs verbatim at id%4==1, word-reversed at
+    id%4==3), both scorers over the union population (their full SQL
+    embedded as derived tables over `docsrc` — outer CTEs are in
+    scope for nested WITH), then per-scorer pairwise accuracy and
+    offset rank gap, all floor-divs over non-negative integers."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        LM_FIX_N,
+        LM_FIX_OFF,
+    )
+
+    def metrics(p: str, scored: str) -> str:
+        return f"""
+{p}fix AS (
+  SELECT doc_id AS fid, score AS fs FROM {scored}
+  WHERE doc_id >= {LM_FIX_OFF}
+),
+{p}rnk AS (
+  SELECT f.fid, f.fs, count(s.doc_id) AS rnk
+  FROM {p}fix f LEFT JOIN {scored} s
+    ON s.score < f.fs OR (s.score = f.fs AND s.doc_id < f.fid)
+  GROUP BY 1, 2
+),
+{p}np AS (SELECT count(*) AS n_pop FROM {scored}),
+{p}sums AS (
+  SELECT sum(CASE WHEN fid % 4 = 1 THEN rnk END) AS sum_rf,
+         sum(CASE WHEN fid % 4 = 3 THEN rnk END) AS sum_rg,
+         sum(CASE WHEN fid % 4 = 1 THEN 1 ELSE 0 END) AS n_f,
+         sum(CASE WHEN fid % 4 = 3 THEN 1 ELSE 0 END) AS n_g
+  FROM {p}rnk
+),
+{p}pairs AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN a.fs > b.fs THEN 1 ELSE 0 END) AS correct_pairs
+  FROM {p}rnk a JOIN {p}rnk b ON a.fid % 4 = 1 AND b.fid % 4 = 3
+)"""
+
+    def row(name: str, p: str) -> str:
+        return f"""
+SELECT '{name}' AS scorer,
+       CAST(np.n_pop AS INTEGER) AS n_pop,
+       CAST(s.n_f AS INTEGER) AS n_fluent,
+       CAST(s.n_g AS INTEGER) AS n_garbled,
+       CAST(pr.n_pairs AS INTEGER) AS n_pairs,
+       CAST(pr.correct_pairs AS INTEGER) AS correct_pairs,
+       CAST(pr.correct_pairs * 1000000 // pr.n_pairs AS BIGINT) AS acc_ppm,
+       CAST(((s.sum_rf * s.n_g - s.sum_rg * s.n_f)
+             + s.n_f * s.n_g * np.n_pop) * 1000000
+            // (s.n_f * s.n_g * np.n_pop) AS BIGINT)
+         AS rank_gap_offset_ppm
+FROM {p}pairs pr CROSS JOIN {p}sums s CROSS JOIN {p}np np"""
+
+    return (f"""
+WITH fixbase AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  ORDER BY doc_id LIMIT {LM_FIX_N}
+),
+docsrc AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {LM_FIX_OFF} + doc_id * 4 + 1 AS doc_id, text FROM fixbase
+  UNION ALL
+  SELECT {LM_FIX_OFF} + doc_id * 4 + 3 AS doc_id,
+         array_to_string(list_reverse(string_split(trim(text), ' ')), ' ')
+           AS text
+  FROM fixbase
+),
+bsc AS (
+  SELECT doc_id, avg_bigram_p AS score
+  FROM ({_bigram_lm_sql('docsrc')}) q
+),
+tsc AS (
+  SELECT doc_id, avg_trigram_p AS score
+  FROM ({_trigram_lm_sql('docsrc')}) q
+),"""
+            + metrics("b", "bsc") + "," + metrics("t", "tsc")
+            + row("bigram", "b") + "\nUNION ALL" + row("trigram", "t"))
+
+
 def llm_oracles() -> dict[str, str]:
     return {
         "dedup_incremental": _INCREMENTAL_SQL,
@@ -775,72 +930,18 @@ FROM top""",
         # mirrors pipeline.bigram_lm_score: Laplace-smoothed bigram
         # probabilities over exact integer counts, fixed-point per-doc
         # sums (round(p*1e9) bigints) so agg order is irrelevant
-        "bigram_lm_score": """
-WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
-pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM ex),
-unic AS (
-  SELECT a, count(*) AS cnt_a
-  FROM (SELECT unnest(ws) AS a FROM w) GROUP BY 1
-),
-vv AS (SELECT count(*) AS v FROM unic),
-big AS (SELECT a, b, count(*) AS cnt_ab FROM pr GROUP BY 1, 2),
-j AS (
-  SELECT doc_id,
-         CAST(round(CAST(cnt_ab + 1 AS DOUBLE) / CAST(cnt_a + v AS DOUBLE)
-                    * 1000000000) AS BIGINT) AS pf
-  FROM pr JOIN big USING (a, b) JOIN unic USING (a) CROSS JOIN vv
-)
-SELECT doc_id, count(*) AS n_bigrams,
-       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_bigram_p
-FROM j GROUP BY 1""",
+        "bigram_lm_score": _bigram_lm_sql(),
         # mirrors pipeline.trigram_lm_score: model trained on the
         # even-doc_id half, Laplace trigram probability for seen
         # trigrams, stupid backoff λ=2/5 (bigint multiply + floor
         # div on the fixed-point bigram probability) for unseen ones
-        "trigram_lm_score": """
-WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
-ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w),
-tg AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM ex),
-tw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
-tex AS (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM tw),
-tric AS (
-  SELECT a, b, c, count(*) AS cnt_abc FROM (
-    SELECT ws[i] AS a, ws[i + 1] AS b, ws[i + 2] AS c FROM tex)
-  GROUP BY 1, 2, 3
-),
-bex AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tw),
-bigc AS (
-  SELECT a, b, count(*) AS cnt_ab FROM (
-    SELECT ws[i] AS a, ws[i + 1] AS b FROM bex)
-  GROUP BY 1, 2
-),
-unic AS (
-  SELECT a, count(*) AS cnt_a
-  FROM (SELECT unnest(ws) AS a FROM tw) GROUP BY 1
-),
-vv AS (SELECT count(*) AS v FROM unic),
-j AS (
-  SELECT tg.doc_id, (t.cnt_abc IS NULL) AS backoff,
-         CASE WHEN t.cnt_abc IS NOT NULL
-              THEN CAST(round(CAST(t.cnt_abc + 1 AS DOUBLE)
-                        / CAST(cb.cnt_ab + v AS DOUBLE)
-                        * 1000000000) AS BIGINT)
-              ELSE (CAST(round(CAST(coalesce(bb.cnt_bc, 0) + 1 AS DOUBLE)
-                        / CAST(coalesce(u.cnt_b, 0) + v AS DOUBLE)
-                        * 1000000000) AS BIGINT) * 2) // 5
-         END AS pf
-  FROM tg
-  LEFT JOIN tric t USING (a, b, c)
-  LEFT JOIN bigc cb USING (a, b)
-  LEFT JOIN (SELECT a AS b, b AS c, cnt_ab AS cnt_bc FROM bigc) bb USING (b, c)
-  LEFT JOIN (SELECT a AS b, cnt_a AS cnt_b FROM unic) u USING (b)
-  CROSS JOIN vv
-)
-SELECT doc_id, count(*) AS n_trigrams,
-       sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
-       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_trigram_p
-FROM j GROUP BY 1""",
+        "trigram_lm_score": _trigram_lm_sql(),
+        # mirrors pipeline.lm_quality_lift: labeled fixture injection
+        # (verbatim train docs = fluent, word-reversed = garbled),
+        # both scorers over the same population, per-scorer pairwise
+        # accuracy + offset rank gap — every division floor-div over
+        # non-negative integers
+        "lm_quality_lift": _lm_lift_sql(),
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents

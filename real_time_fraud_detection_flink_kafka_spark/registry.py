@@ -300,6 +300,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_diversity_sample_hier": lambda s, d: similarity.knn_diversity_sample_hier(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),
+    "lm_quality_lift": lambda s, d: pipeline_ops.lm_quality_lift(load_table(s, d, "documents")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "mmr_rerank": lambda s, d: retrieval.mmr_rerank(load_table(s, d, "embeddings")),

