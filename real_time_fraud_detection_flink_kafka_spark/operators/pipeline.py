@@ -1067,6 +1067,67 @@ def quality_calibrate_by_source(documents: DataFrame,
             .withColumn("keep", F.col("below_ppm") >= keep_ppm))
 
 
+DOMAIN_CAP_K = 10
+
+
+def domain_cap(documents: DataFrame, cap: int = DOMAIN_CAP_K) -> DataFrame:
+    """Per-source document cap — the FineWeb/C4-class domain-balance
+    step: no source contributes more than `cap` documents to the
+    blend, keepers chosen as the source's top-`cap` under
+    (quality DESC, doc_id ASC). Complements
+    `quality_calibrate_by_source` (relative gate) with the ABSOLUTE
+    budget production mixes also enforce — one hot crawl domain must
+    not drown the mix no matter how well-written it is.
+
+    Scale shape: never a per-doc window over `source` (a hot source
+    would single-task its whole partition at 100 TB). The
+    strictly-above count comes from the per-source quality HISTOGRAM
+    (groupBy(source, quality) — 6dp rounding bounds it at
+    |sources|·(10⁶+1) rows, in practice tiny), cumulated by a window
+    over that bounded relation. Whole histogram buckets then decide
+    row-locally: a bucket entirely inside the cap keeps every doc,
+    entirely outside drops every doc; ONLY the single per-source
+    BOUNDARY bucket (the one straddling the cap) needs an
+    intra-bucket doc_id rank, and that window partitions only the
+    boundary bucket's rows — ≤ |sources| partitions of tie-width
+    size, not corpus-sized.
+
+    Determinism: bucket counts are integers; the boundary rank is a
+    row_number under (doc_id) — total order, no ties. The oracle
+    states the same contract as one per-source rank; equality holds
+    because rank = cnt_above + tie_rn inside the boundary bucket."""
+    from pyspark.sql import Window
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
+        quality_score,
+    )
+
+    qd = (documents.select("doc_id", "source")
+          .join(quality_score(documents).select("doc_id", "quality"),
+                "doc_id"))
+    hist = qd.groupBy("source", "quality").agg(F.count(F.lit(1)).alias("c"))
+    w_above = (Window.partitionBy("source").orderBy(F.desc("quality"))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    calib = hist.select(
+        "source", "quality", "c",
+        F.coalesce(F.sum("c").over(w_above), F.lit(0)).alias("cnt_above"))
+    j = qd.join(calib, ["source", "quality"])
+    boundary = j.where((F.col("cnt_above") < cap)
+                       & (F.col("cnt_above") + F.col("c") > cap))
+    wb = Window.partitionBy("source", "quality").orderBy("doc_id")
+    brk = (boundary.withColumn("tie_rn", F.row_number().over(wb))
+           .select("doc_id",
+                   (F.col("tie_rn") <= cap - F.col("cnt_above"))
+                   .alias("kept_b")))
+    return (j.join(brk, "doc_id", "left")
+            .select("doc_id", "source", "quality",
+                    F.when(F.col("cnt_above") + F.col("c") <= cap,
+                           F.lit(True))
+                     .when(F.col("cnt_above") >= cap, F.lit(False))
+                     .otherwise(F.coalesce("kept_b", F.lit(False)))
+                     .alias("kept")))
+
+
 def dedup_rate_by_source(documents: DataFrame) -> DataFrame:
     """Per-source exact-duplication observability: doc count, distinct
     text count, dup rate — the number a curation dashboard tracks per

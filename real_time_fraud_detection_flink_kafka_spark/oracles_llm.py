@@ -838,6 +838,7 @@ def _pipeline_oracles() -> dict[str, str]:
         PACK_BUDGET,
         QUALITY_GATE_Q,
         CAL_KEEP_PPM as _CAL_KEEP_PPM,
+        DOMAIN_CAP_K as _DOMAIN_CAP_K,
         PACK_SHARDS,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
@@ -1121,6 +1122,21 @@ SELECT doc_id, q.source, q.quality,
        CAST((1000000 * cnt_below) // n_source AS BIGINT) AS below_ppm,
        ((1000000 * cnt_below) // n_source >= {_CAL_KEEP_PPM}) AS keep
 FROM q JOIN calib USING (source, quality)""",
+        # mirrors pipeline.domain_cap's CONTRACT (top-cap per source
+        # under (quality DESC, doc_id)); the Spark plan decides via
+        # the bounded histogram + boundary-bucket rank, which equals
+        # this per-source rank because rank = cnt_above + tie_rn
+        "domain_cap": f"""
+WITH q AS (
+  SELECT doc_id, source, round({_quality_parts()['score']}, 6) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, source, quality, (rn <= {_DOMAIN_CAP_K}) AS kept FROM r""",
         # mirrors pipeline.boilerplate_ngrams: guarded gram-hash
         # transform, distinct per doc, df ranking with hash tie-break
         "boilerplate_ngrams": f"""

@@ -301,6 +301,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "trigram_lm_score": lambda s, d: pipeline_ops.trigram_lm_score(load_table(s, d, "documents")),
     "lm_quality_lift": lambda s, d: pipeline_ops.lm_quality_lift(load_table(s, d, "documents")),
+    "domain_cap": lambda s, d: pipeline_ops.domain_cap(load_table(s, d, "documents")),
     "hybrid_rrf": lambda s, d: retrieval.hybrid_rrf(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")),
     "mmr_rerank": lambda s, d: retrieval.mmr_rerank(load_table(s, d, "embeddings")),

@@ -288,6 +288,42 @@ def test_bigram_lm_score_ranks_fluency(spark):
     assert got[2]["avg_bigram_p"] > got[4]["avg_bigram_p"]
 
 
+def test_domain_cap_boundary_ties_and_budget(spark, sf_dir):
+    """Per-source budgets must hold exactly: (a) on the corpus, every
+    source keeps exactly min(cap, n_source) docs; (b) on a
+    constructed tie fixture where one quality bucket STRADDLES the
+    cap (the boundary-bucket path), the keepers inside the bucket are
+    the lowest doc_ids and the budget still holds."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        DOMAIN_CAP_K,
+        domain_cap,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = {}
+    kept_src = {}
+    for r in domain_cap(docs).collect():
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        if r["kept"]:
+            kept_src[r["source"]] = kept_src.get(r["source"], 0) + 1
+    assert per_src, "corpus produced no rows"
+    for s, n in per_src.items():
+        assert kept_src.get(s, 0) == min(DOMAIN_CAP_K, n)
+
+    # tie fixture: same text (= same quality) for ids 10..19, cap 3
+    # → boundary bucket straddles the cap; two superior docs take
+    # slots 1-2, the tie bucket yields exactly one keeper: id 10
+    tie = "spam spam spam spam spam"  # low uniqueness → low quality
+    good = " ".join(f"distinctive{i:02d}word" for i in range(60))
+    rows = [(1, good, "s"), (2, good + " another", "s")]
+    rows += [(i, tie, "s") for i in range(10, 20)]
+    fix = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["kept"] for r in domain_cap(fix, cap=3).collect()}
+    assert sum(got.values()) == 3
+    assert got[10] and not got[11] and not got[19]
+
+
 def test_lm_quality_lift_measures_trigram_advantage(spark, sf_dir):
     """The comparison row must (a) be structurally sound — one row
     per scorer, n_pairs = n_fluent·n_garbled, acc/gap within range,
