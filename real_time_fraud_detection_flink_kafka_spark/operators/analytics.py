@@ -1759,6 +1759,57 @@ def merge_upsert(events: DataFrame) -> DataFrame:
                   F.sum("rh").alias("table_checksum")))
 
 
+def scd2_user_segments(events: DataFrame) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build — the lakehouse
+    dimension-maintenance pattern next to MERGE (`merge_upsert`) and
+    diff (`table_diff`): each user's observed event_type is the
+    tracked attribute, and the output is its full validity history —
+    one row per RUN of consecutive equal values with
+    [valid_from_us, valid_to_us) interval semantics, valid_to_us = -1
+    and is_current = true on the open (latest) run. This is exactly
+    the history table an SCD2 pipeline materializes from a CDC
+    change stream: consecutive duplicate values collapse (no new
+    version when nothing changed), each change CLOSES the prior
+    version at the successor's start.
+
+    Scale shape: gaps-and-islands entirely inside per-user windows
+    ordered by (ts_us, event_id) — one keyed exchange reused by the
+    lag/run-sum/lead passes (same partition key, Catalyst plans one
+    Exchange); run collapse is a map-side-combinable groupBy on
+    (user_id, run). User keys are high-cardinality (no hot-partition
+    risk) and runs are bounded by per-user activity. Times are
+    BIGINT epoch-micros (the ts_us contract).
+
+    Determinism: (ts_us, event_id) is a total order; run ids are
+    integer prefix sums of change flags; -1 (not NULL) marks the
+    open interval so the value hash never compares NaN."""
+    from pyspark.sql import Window
+
+    e = events.select(
+        "user_id", "event_id", F.col("event_type").alias("segment"),
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = F.when(
+        F.lag("segment").over(w).isNull()
+        | (F.lag("segment").over(w) != F.col("segment")), 1).otherwise(0)
+    runs = (e.withColumn("chg", chg)
+             .withColumn("run", F.sum("chg").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0))))
+    collapsed = (runs.groupBy("user_id", "run")
+                 .agg(F.first("segment").alias("segment"),
+                      F.min("ts_us").alias("valid_from_us"),
+                      F.count(F.lit(1)).alias("n_events")))
+    w_run = Window.partitionBy("user_id").orderBy("run")
+    nxt = F.lead("valid_from_us").over(w_run)
+    return collapsed.select(
+        "user_id",
+        F.col("run").cast("int").alias("version"),
+        "segment", "valid_from_us",
+        F.coalesce(nxt, F.lit(-1)).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.col("n_events").cast("int").alias("n_events"))
+
+
 MV_DELTA_MOD = 10  # event_id % 10 == 0 → the arriving delta batch
 
 

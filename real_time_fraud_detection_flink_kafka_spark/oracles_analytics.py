@@ -552,6 +552,35 @@ FROM events GROUP BY event_type""",
         # mirrors analytics.table_diff: derived v1/v2 snapshots,
         # full-outer keyed join, md5 row hashes, exception verdicts
         "table_diff": _table_diff_sql(),
+        # mirrors analytics.scd2_user_segments: gaps-and-islands over
+        # (ts_us, event_id), run collapse, lead() closes intervals
+        "scd2_user_segments": """
+WITH e AS (
+  SELECT user_id, event_id, event_type AS segment, epoch_us(ts) AS ts_us
+  FROM events
+),
+r AS (
+  SELECT *, CASE WHEN lag(segment) OVER w IS NULL
+                  OR lag(segment) OVER w <> segment THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+rr AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM r
+),
+c AS (
+  SELECT user_id, run, min(segment) AS segment,
+         min(ts_us) AS valid_from_us, count(*) AS n_events
+  FROM rr GROUP BY 1, 2
+)
+SELECT user_id, CAST(run AS INTEGER) AS version, segment, valid_from_us,
+       coalesce(lead(valid_from_us)
+                OVER (PARTITION BY user_id ORDER BY run), -1) AS valid_to_us,
+       (lead(valid_from_us)
+        OVER (PARTITION BY user_id ORDER BY run) IS NULL) AS is_current,
+       CAST(n_events AS INTEGER) AS n_events
+FROM c""",
         # mirrors analytics.cusum_value_drift: fixed-point running
         # sum / running min windows, floor-div global mean
         "cusum_value_drift": _cusum_sql(),

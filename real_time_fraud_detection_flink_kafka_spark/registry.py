@@ -107,6 +107,7 @@ _ANALYTICS_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_value_drift": lambda s, d: analytics.cusum_value_drift(load_table(s, d, "events")),
     "table_diff": lambda s, d: analytics.table_diff(load_table(s, d, "events")),
     "merge_upsert": lambda s, d: analytics.merge_upsert(load_table(s, d, "events")),
+    "scd2_user_segments": lambda s, d: analytics.scd2_user_segments(load_table(s, d, "events")),
     "compact_small_files": lambda s, d: analytics.compact_small_files(load_table(s, d, "events")),
     "expire_snapshots": lambda s, d: analytics.expire_snapshots(load_table(s, d, "events")),
     "mv_maintain": lambda s, d: analytics.mv_maintain(load_table(s, d, "events")),

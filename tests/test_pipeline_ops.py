@@ -288,6 +288,40 @@ def test_bigram_lm_score_ranks_fluency(spark):
     assert got[2]["avg_bigram_p"] > got[4]["avg_bigram_p"]
 
 
+def test_scd2_history_tiles_and_collapses(spark, sf_dir):
+    """SCD2 invariants on the real events table: per user, versions
+    are 1..n with intervals that TILE (valid_to of version k equals
+    valid_from of k+1), exactly one open current row (valid_to = -1),
+    no two consecutive versions share a segment (runs collapsed), and
+    n_events sums back to the user's event count."""
+    from collections import defaultdict
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        scd2_user_segments,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = scd2_user_segments(ev).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    ev_counts = {r["user_id"]: r["n"] for r in
+                 ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    assert by_user
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r["version"])
+        assert [h["version"] for h in hist] == list(range(1, len(hist) + 1))
+        assert sum(h["n_events"] for h in hist) == ev_counts[uid]
+        assert sum(1 for h in hist if h["is_current"]) == 1
+        assert hist[-1]["is_current"] and hist[-1]["valid_to_us"] == -1
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # tiling
+            assert a["segment"] != b["segment"]            # collapsed
+            assert not a["is_current"]
+
+
 def test_domain_cap_boundary_ties_and_budget(spark, sf_dir):
     """Per-source budgets must hold exactly: (a) on the corpus, every
     source keeps exactly min(cap, n_source) docs; (b) on a
