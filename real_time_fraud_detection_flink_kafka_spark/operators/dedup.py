@@ -1057,22 +1057,18 @@ def dedup_ppjoin(documents: DataFrame,
     return parts["verified"]
 
 
-def _ppjoin_parts(documents: DataFrame,
-                  threshold: float = JACCARD_THRESHOLD) -> dict:
-    """Named stages of the canonicalize-first PPJoin pipeline, shared
-    by `dedup_ppjoin` (returns 'verified') and `ppjoin_stats` (counts
-    every stage): members (doc→clique), grp (one row per distinct
-    set), sh (REPRESENTATIVE token rows — the only relation the
-    prefix order and candidate join ever touch), prefix, cand,
-    verified_reps (rep pairs passing exact verification), verified
-    (clique-expanded output pairs)."""
-    from pyspark.sql import Window
-
-    num, den = _pp_rational(threshold)
+def _set_cliques(documents: DataFrame) -> dict:
+    """Canonicalize-first substrate shared by the exact set-similarity
+    joins (`dedup_ppjoin`, `dedup_containment`): docs grouped into
+    cliques of IDENTICAL shingle sets, one representative per
+    distinct set. Returns hsets (doc_id, sorted hash array), grp
+    (fp, rep, m, hset — one row per distinct set), members
+    (doc_id → rep), sh (REPRESENTATIVE token rows with row-local
+    n_sh — the only relation any downstream join touches)."""
     # per-doc sorted 60-bit shingle-hash set, row-local (no shuffle);
     # docs with no shingles (< n words) never pair in the quadratic
     # baseline, so they are excluded before clique-building — an
-    # empty-set "clique" must NOT emit Jaccard-1.0 pairs
+    # empty-set "clique" must NOT emit similarity-1.0 pairs
     hsets = tracked_persist(
         shingle_sets(spread(documents))
         .select("doc_id",
@@ -1097,13 +1093,52 @@ def _ppjoin_parts(documents: DataFrame,
     members = docs_fp.join(
         grp.select("fp", "rep"), "fp").select("doc_id", "rep")
     # representative token rows: re-exploded from the already-hashed
-    # set, with n_sh row-local from the array size (the old per-doc
-    # count window — a second full pass over the token relation — is
-    # gone). Everything from here to verification is per-distinct-set.
+    # set, with n_sh row-local from the array size. Everything from
+    # here to verification is per-distinct-set.
     sh = tracked_persist(
         grp.select(F.col("rep").alias("doc_id"),
                    F.size("hset").alias("n_sh"),
                    F.explode("hset").alias("sh_h")))
+    return {"hsets": hsets, "grp": grp, "members": members, "sh": sh}
+
+
+def _expand_cliques(verified_reps: DataFrame, members: DataFrame,
+                    value_col: str, identical_value) -> DataFrame:
+    """Clique expansion — the ONLY stage whose size is the (possibly
+    quadratic-under-duplication) answer itself: inter-clique pairs
+    inherit the representatives' exact similarity, intra-clique pairs
+    are identical sets (similarity = `identical_value`); least/
+    greatest restores the doc_a < doc_b contract since member ids
+    interleave."""
+    ma = members.select(F.col("rep").alias("doc_a"),
+                        F.col("doc_id").alias("da"))
+    mb = members.select(F.col("rep").alias("doc_b"),
+                        F.col("doc_id").alias("db"))
+    inter = (verified_reps.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("da", "db").alias("doc_a"),
+                     F.greatest("da", "db").alias("doc_b"), value_col))
+    intra = (members.select("rep", F.col("doc_id").alias("da"))
+             .join(members.select("rep", F.col("doc_id").alias("db")), "rep")
+             .where(F.col("da") < F.col("db"))
+             .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                     F.lit(identical_value).alias(value_col)))
+    return inter.unionAll(intra)
+
+
+def _ppjoin_parts(documents: DataFrame,
+                  threshold: float = JACCARD_THRESHOLD) -> dict:
+    """Named stages of the canonicalize-first PPJoin pipeline, shared
+    by `dedup_ppjoin` (returns 'verified') and `ppjoin_stats` (counts
+    every stage): members (doc→clique), grp (one row per distinct
+    set), sh (REPRESENTATIVE token rows — the only relation the
+    prefix order and candidate join ever touch), prefix, cand,
+    verified_reps (rep pairs passing exact verification), verified
+    (clique-expanded output pairs)."""
+    from pyspark.sql import Window
+
+    num, den = _pp_rational(threshold)
+    cl = _set_cliques(documents)
+    grp, members, sh = cl["grp"], cl["members"], cl["sh"]
     dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     shd = sh.join(dfr, "sh_h")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
@@ -1151,25 +1186,8 @@ def _ppjoin_parts(documents: DataFrame,
     verified_reps = (v.select("doc_a", "doc_b",
                               F.round(jac, 6).alias("jaccard"))
                       .where(F.col("jaccard") >= threshold))
-    # clique expansion — the ONLY stage whose size is the (possibly
-    # quadratic-under-duplication) answer itself: inter-clique pairs
-    # inherit the representatives' Jaccard, intra-clique pairs are
-    # identical sets (Jaccard exactly 1.0); least/greatest restores
-    # the doc_a < doc_b contract since member ids interleave
-    ma = members.select(F.col("rep").alias("doc_a"),
-                        F.col("doc_id").alias("da"))
-    mb = members.select(F.col("rep").alias("doc_b"),
-                        F.col("doc_id").alias("db"))
-    inter = (verified_reps.join(ma, "doc_a").join(mb, "doc_b")
-             .select(F.least("da", "db").alias("doc_a"),
-                     F.greatest("da", "db").alias("doc_b"), "jaccard"))
-    intra = (members.select("rep", F.col("doc_id").alias("da"))
-             .join(members.select("rep", F.col("doc_id").alias("db")), "rep")
-             .where(F.col("da") < F.col("db"))
-             .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
-                     F.lit(1.0).alias("jaccard")))
-    verified = inter.unionAll(intra)
-    return {"hsets": hsets, "grp": grp, "members": members, "sh": sh,
+    verified = _expand_cliques(verified_reps, members, "jaccard", 1.0)
+    return {"hsets": cl["hsets"], "grp": grp, "members": members, "sh": sh,
             "prefix": prefix, "cand": cand,
             "verified_reps": verified_reps, "verified": verified}
 
@@ -1224,3 +1242,74 @@ def ppjoin_stats(documents: DataFrame,
         F.col("n_candidates").cast("int").alias("n_candidates"),
         F.col("n_verified_reps").cast("int").alias("n_verified_reps"),
         F.col("n_verified").cast("int").alias("n_verified"))
+
+
+CONTAIN_THRESHOLD = 0.9
+
+
+def dedup_containment(documents: DataFrame,
+                      threshold: float = CONTAIN_THRESHOLD) -> DataFrame:
+    """Exact CONTAINMENT-similarity self-join — the near-SUBSET dedup
+    the Jaccard family structurally misses: max-containment
+    C(A,B) = |A∩B| / min(|A|,|B|) stays 1.0 when a short document is
+    wholly embedded in a long one while Jaccard shrinks with the size
+    ratio (|A|/|B| for A ⊂ B), so a τ_J = 0.8 Jaccard gate passes any
+    doc padded past 25% new content. Emits (doc_a, doc_b,
+    containment ≥ τ) with the same exact-complete guarantee as
+    `dedup_ppjoin`, via the shared canonicalize-first substrate
+    (`_set_cliques`: identical sets → cliques, all joins over one
+    representative per distinct set, output expanded at the end —
+    intra-clique pairs are containment 1.0 by identity).
+
+    Candidate completeness (prefix-on-the-smaller-set): wlog
+    |A| ≤ |B|; C ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so A's prefix — its
+    p = |A| − ⌈τ·|A|⌉ + 1 rarest tokens under the global (df, sh_h)
+    order — must contain a common token. Unlike the Jaccard join
+    there is NO size filter (that asymmetry is the point) and the
+    probe side must be B's FULL token set, so candidates come from
+    prefix(A) ⋈ all-tokens(B) with |A| ≤ |B| (ties broken by rep id).
+    Fan-out per prefix row is the token's full df, but prefix tokens
+    are the RAREST of each set by construction, so the join stays
+    rare-token-keyed. Verification is the row-local sorted-array
+    intersect of the two bounded candidate arrays.
+
+    Determinism: containment is one IEEE division of exact integer
+    counts rounded to 6 dp, thresholded AFTER rounding."""
+    from pyspark.sql import Window
+
+    num, den = _pp_rational(threshold)
+    cl = _set_cliques(documents)
+    grp, members, sh = cl["grp"], cl["members"], cl["sh"]
+    dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    shd = sh.join(dfr, "sh_h")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    prefix_len = F.expr(
+        f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
+    prefix = (shd.withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") <= prefix_len)
+                 .select("doc_id", "sh_h", "n_sh"))
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh_h",
+                      F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh_h",
+                  F.col("n_sh").alias("n_b"))
+    cand = (a.join(b, "sh_h")
+             .where((F.col("n_a") < F.col("n_b"))
+                    | ((F.col("n_a") == F.col("n_b"))
+                       & (F.col("doc_a") < F.col("doc_b"))))
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("_hits"))
+             .select("doc_a", "doc_b", "n_a", "n_b"))
+    sa = grp.select(F.col("rep").alias("doc_a"),
+                    F.col("hset").alias("set_a"))
+    sb = grp.select(F.col("rep").alias("doc_b"),
+                    F.col("hset").alias("set_b"))
+    v = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("n_common",
+                         F.size(F.array_intersect("set_a", "set_b"))))
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    verified_reps = (
+        v.select(F.least("doc_a", "doc_b").alias("doc_a"),
+                 F.greatest("doc_a", "doc_b").alias("doc_b"),
+                 F.round(cont, 6).alias("containment"))
+         .where(F.col("containment") >= threshold))
+    return _expand_cliques(verified_reps, members, "containment", 1.0)

@@ -11,6 +11,7 @@ from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
     rolling_hash_sql,
 )
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+    CONTAIN_THRESHOLD as _CONTAIN_T,
     DELTA_MOD,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
@@ -943,6 +944,26 @@ FROM top""",
         # accuracy + offset rank gap — every division floor-div over
         # non-negative integers
         "lm_quality_lift": _lm_lift_sql(),
+        # mirrors dedup.dedup_containment's CONTRACT: exact pairwise
+        # max-containment |A∩B| / min(|A|,|B|) over distinct shingle
+        # sets, >= tau after 6dp rounding (the quadratic form is the
+        # completeness oracle for the prefix-filtered Spark plan)
+        "dedup_containment": f"""
+WITH {_SHINGLE_CTE},
+shh AS (
+  SELECT doc_id, {md5_int60_sql('shingle')} AS sh_h FROM sh
+),
+hs AS (
+  SELECT doc_id, list_sort(list(sh_h)) AS hset FROM shh GROUP BY 1
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+               / least(len(a.hset), len(b.hset)), 6) AS containment
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, containment FROM p
+WHERE containment >= {_CONTAIN_T}""",
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents

@@ -473,6 +473,39 @@ def test_ppjoin_stats_pruning_evidence(spark, sf_dir):
         assert row["n_verified"] == row["n_verified_reps"]
 
 
+def test_containment_catches_subset_pairs_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc wholly embedded in
+    a long one has containment 1.0 but Jaccard |A|/|B| below the 0.8
+    gate. Fixture: A = 20-word doc (18 shingles), B = A + 15 novel
+    words (33 shingles, one straddle shingle shared... shingles of B
+    include all of A's contiguous ones), C = unrelated. Expect
+    (A,B) from dedup_containment at τ=0.9 and NOT from
+    dedup_ngram_jaccard at τ=0.8; plus an identical-set clique pair
+    at containment 1.0."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    a_words = [f"w{i}" for i in range(20)]
+    b_words = a_words + [f"extra{i}" for i in range(15)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words)),
+         (2, " ".join(b_words)),
+         (3, " ".join(a_words)),          # clique twin of 1
+         (4, " ".join(f"zz{i}" for i in range(12)))],
+        "doc_id long, text string")
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in dedup_containment(docs).collect()}
+    jac = {(r["doc_a"], r["doc_b"]) for r in
+           dedup_ngram_jaccard(docs).collect()}
+    # subset pairs caught at full containment
+    assert cont[(1, 2)] == 1.0 and cont[(2, 3)] == 1.0
+    assert cont[(1, 3)] == 1.0            # identical-set clique pair
+    assert (1, 2) not in jac              # Jaccard 18/33 < 0.8 → missed
+    assert not any(4 in p for p in cont)  # unrelated never pairs
+
+
 def test_ppjoin_clique_expansion(spark):
     """Canonicalize-first must expand duplicate-set cliques exactly:
     3 identical docs (one clique) + 1 near-dup of them + 1 unrelated
