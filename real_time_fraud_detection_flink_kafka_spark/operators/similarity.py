@@ -944,6 +944,54 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     return _knn_from_assigned(_ivf_assigned(embeddings, n_cells), k)
 
 
+def knn_triangle_stats(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the k-NN graph — the graph-density observability next to the
+    components/pagerank/diversity consumers: a dense-cluster node
+    (high clustering) sits in redundant content a curation pass can
+    thin aggressively, while a bridge node (low clustering at equal
+    degree) connects otherwise-distinct regions and is exactly what
+    diversity sampling must keep. Emits (vec_id, degree, n_triangles,
+    clustering_ppm = 2T·10⁶ div d(d−1), 0 below degree 2).
+
+    Scale shape: the undirected edge set is k-degree-bounded by
+    construction (≤ k·n edges after the distinct), so the wedge join
+    (edges ⋈ edges on the shared middle vertex, a<b<c canonical
+    orientation — each triangle counted exactly once) is O(n·k²)
+    rows, and the closing edge check is one more equi-join — never a
+    matrix product or an all-pairs stage. Corner counts are one
+    map-side-combined groupBy after a row-local 3-corner explode.
+
+    Determinism: pure integer set arithmetic; the ppm is an exact
+    floor division of non-negative integers."""
+    g = knn_graph(embeddings, k)
+    und = (g.select(F.least("vec_id", "nbr_id").alias("a"),
+                    F.greatest("vec_id", "nbr_id").alias("b"))
+            .distinct())
+    w = (und.alias("x")
+         .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
+         .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
+                 F.col("y.b").alias("c")))
+    closing = und.select(F.col("a").alias("ca"), F.col("b").alias("cc"))
+    tri = w.join(closing, (F.col("a") == F.col("ca"))
+                 & (F.col("c") == F.col("cc"))).select("a", "b", "c")
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+    tcnt = corners.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    deg = (und.select(F.col("a").alias("vec_id"))
+           .unionAll(und.select(F.col("b").alias("vec_id")))
+           .groupBy("vec_id").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.join(tcnt, "vec_id", "left")
+            .select("vec_id",
+                    F.col("degree").cast("int").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("int")
+                     .alias("n_triangles"),
+                    F.expr("CASE WHEN degree >= 2 THEN "
+                           "(2 * coalesce(n_triangles, 0) * 1000000)"
+                           " div (degree * (degree - 1)) ELSE 0 END")
+                     .cast("bigint").alias("clustering_ppm")))
+
+
 def dedup_embedding_blocked(embeddings: DataFrame,
                             threshold: float = COS_THRESHOLD,
                             n_cells: int | None = None) -> DataFrame:

@@ -2219,6 +2219,34 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # identical to _ivf_tail's arn=1; full table, no slice)
         "dedup_embedding_blocked": _blocked_pairs_sql(),
         "knn_graph": _knn_graph_sql(),
+        # mirrors similarity.knn_triangle_stats: undirected distinct
+        # edges from the knn graph, a<b<c canonical wedge + closing
+        # edge, 3-corner unnest, exact ppm floor division
+        "knn_triangle_stats": f"""
+WITH und AS (
+  SELECT DISTINCT least(vec_id, nbr_id) AS a,
+         greatest(vec_id, nbr_id) AS b
+  FROM ({_knn_graph_sql()}) kg
+),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM und x JOIN und y ON x.b = y.a
+  JOIN und z ON z.a = x.a AND z.b = y.b
+),
+corners AS (SELECT unnest([a, b, c]) AS vec_id FROM tri),
+tc AS (SELECT vec_id, count(*) AS n_triangles FROM corners GROUP BY 1),
+deg AS (
+  SELECT vec_id, count(*) AS degree FROM (
+    SELECT a AS vec_id FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+)
+SELECT d.vec_id, CAST(degree AS INTEGER) AS degree,
+       CAST(coalesce(n_triangles, 0) AS INTEGER) AS n_triangles,
+       CAST(CASE WHEN degree >= 2
+            THEN (2 * coalesce(n_triangles, 0) * 1000000)
+                 // (degree * (degree - 1)) ELSE 0 END AS BIGINT)
+         AS clustering_ppm
+FROM deg d LEFT JOIN tc USING (vec_id)""",
         "knn_graph_recall": _knn_graph_recall_sql(),
         # two-level coarse assignment (the O(n·√cells) scale path)
         # and its flat-agreement honesty metric

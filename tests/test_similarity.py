@@ -451,6 +451,55 @@ def test_knn_graph_degree_and_rank_contiguity(spark, sf_dir):
     assert (out.cell[mask] == nbr_cells[mask]).all()
 
 
+def test_knn_triangle_stats_invariants_and_clique(spark, sf_dir):
+    """Corpus invariants: clustering_ppm ∈ [0, 1e6], Σ n_triangles
+    divisible by 3 (every triangle touches exactly 3 corners), one
+    row per graph node. Constructed check: 3 near-identical vectors
+    in one cell form a mutual triangle — each gets n_triangles ≥ 1
+    and clustering 1e6 when its only 2 edges close the triangle."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        knn_graph,
+        knn_triangle_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = knn_triangle_stats(emb).collect()
+    nodes = {r["vec_id"] for r in rows}
+    g_nodes = {r["vec_id"] for r in knn_graph(emb).collect()} | {
+        r["nbr_id"] for r in knn_graph(emb).collect()}
+    assert nodes == g_nodes
+    assert all(0 <= r["clustering_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["degree"] >= 1 for r in rows)
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+
+    import math
+
+    def unit(*comps):
+        n = math.sqrt(sum(c * c for c in comps))
+        v = [c / n for c in comps] + [0.0] * (8 - len(comps))
+        return v[:8]
+
+    # 17 vectors → 16 cells; 0-15 seed the cells, 16/17 join vec 0's
+    # cell as slight e0 perturbations → {0, 16, 17} is a 3-clique
+    vecs = [(0, unit(1.0))]
+    axes = []
+    for i in range(1, 8):
+        axes.append(unit(*([0.0] * i + [1.0])))
+        axes.append(unit(*([0.0] * i + [-1.0])))
+    for i, v in enumerate(axes[:15], start=1):
+        vecs.append((i, v))
+    vecs.append((16, unit(1.0, 0.02)))
+    vecs.append((17, unit(1.0, -0.02)))
+    edf = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    tri = {r["vec_id"]: r for r in knn_triangle_stats(edf).collect()}
+    for v in (0, 16, 17):
+        assert tri[v]["n_triangles"] >= 1
+    # a node whose only two edges are the clique's closes exactly one
+    # triangle → clustering 2·1·1e6/(2·1) = 1e6
+    closed = [v for v in (0, 16, 17) if tri[v]["degree"] == 2]
+    assert all(tri[v]["clustering_ppm"] == 1_000_000 for v in closed)
+
+
 def test_knn_diversity_sample_constructed_graph(spark):
     """On a constructed corpus with two known dense neighborhoods the
     sampler must recover exactly those components, keep exactly the
