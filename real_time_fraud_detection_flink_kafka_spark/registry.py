@@ -872,6 +872,25 @@ JOIN events e
  AND e.ts <= p.ts""")
 
 
+def _stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.scd2_stream import (
+        run_scd2_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_scd2_stream(spark, sf_dir, f"scd2_stream_{_STREAM_COUNTER['n']}")
+
+
+# the stream emits each SCD2 version as its successor CLOSES it; the
+# open (is_current) version stays in the state store — so the drained
+# result is exactly the batch history minus its open rows
+register("stream_scd2_segments", _stream_scd2,
+         "SELECT user_id, version, segment, valid_from_us, valid_to_us,"
+         " n_events FROM ("
+         + _ANALYTICS_ORACLES["scd2_user_segments"]
+         + ") q WHERE NOT is_current")
+
+
 def _stream_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.dedup_stream import (
         run_coincident_stream,

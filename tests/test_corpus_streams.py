@@ -63,3 +63,30 @@ def test_asof_stream_is_stateless_and_equals_batch(spark, sf_dir):
     assert got == want
     assert progress and not progress[-1]["stateOperators"], (
         progress[-1].get("stateOperators"))
+
+
+def test_scd2_stream_equals_batch_closed_rows(spark, sf_dir):
+    """The drained stateful SCD2 fold must equal the batch operator's
+    CLOSED version set row-for-row (the open is_current rows live in
+    the state store by contract), and every user with >= 2 versions
+    must contribute exactly versions 1..n-1."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.analytics import (
+        scd2_user_segments,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.streaming.scd2_stream import (
+        run_scd2_stream,
+    )
+
+    got = sorted(map(tuple, run_scd2_stream(
+        spark, sf_dir, query_name="scd2_stream_test").collect()))
+    batch = scd2_user_segments(load_table(spark, sf_dir, "events"))
+    want = sorted(map(tuple, batch.where(~F.col("is_current"))
+                  .select("user_id", "version", "segment",
+                          "valid_from_us", "valid_to_us", "n_events")
+                  .collect()))
+    assert got == want and len(got) > 0
+    n_users_closed = len({t[0] for t in got})
+    n_open = batch.where(F.col("is_current")).count()
+    n_users = batch.select("user_id").distinct().count()
+    assert n_open == n_users  # exactly one open version per user
+    assert n_users_closed <= n_users
