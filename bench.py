@@ -119,6 +119,10 @@ SCALE_SUBSET = [
                       # overhead amortizes" is measured, not argued
     "dedup_substring",  # r8: the skew-hardened occurrence count, measured
     "dedup_ppjoin",     # r8: prefix filtering — the rare-token join, measured
+    "dedup_containment",  # r10: asymmetric near-subset join — no size
+                        # filter by construction, so its candidate
+                        # amplification under near-miss-rich replicas
+                        # is the measured story (0.37/replica at 30×)
     "knn_graph",        # r8: cell count scales with corpus — constant
                         # per-cell work is the claim, measured here
                         # (r10: default is scale-aware two-level
