@@ -98,6 +98,11 @@ HEADLINE = [
     "knn_graph_hier",         # two-level assignment, the O(n·√cells) path (r9)
     "ann_mrl_rerank",         # Matryoshka truncation shortlist + re-rank (r9)
     "quality_calibrate_by_source",  # per-source histogram percentile (r9)
+    "dedup_containment",      # asymmetric near-subset join (r10)
+    "scd2_user_segments",     # SCD2 history build, gaps-and-islands (r10)
+    "domain_cap",             # per-source budget via histogram plan (r10)
+    "knn_triangle_stats",     # wedge-join triangles over the k-NN graph (r10)
+    "lm_quality_lift",        # bigram-vs-trigram ranking lift on fixtures (r10)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
