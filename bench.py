@@ -363,25 +363,25 @@ def main() -> None:
     spark.stop()
 
 
-def _prior_stream_eps() -> dict[str, float]:
-    """Previous round's per-drain events/s from the committed
-    BENCH_DETAIL.json (empty if absent/unreadable — first run)."""
+def _prior_detail(*keys: str) -> dict[str, float]:
+    """Walk `keys` into the committed BENCH_DETAIL.json (empty dict if
+    absent/unreadable — first run)."""
     p = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     try:
-        return (json.loads(p.read_text()).get("streaming", {})
-                .get("events_per_sec", {}))
+        d = json.loads(p.read_text())
+        for k in keys:
+            d = d.get(k, {})
+        return d
     except Exception:
         return {}
+
+
+def _prior_stream_eps() -> dict[str, float]:
+    return _prior_detail("streaming", "events_per_sec")
 
 
 def _prior_window_times() -> dict[str, float]:
-    """Previous round's per-slot window times from the committed
-    BENCH_DETAIL.json (empty if absent/unreadable — first run)."""
-    p = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    try:
-        return json.loads(p.read_text()).get("window", {}).get("queries", {})
-    except Exception:
-        return {}
+    return _prior_detail("window", "queries")
 
 
 def _bench_components_engines(spark) -> dict:

@@ -994,17 +994,21 @@ PP_NUM, PP_DEN = 4, 5
 
 
 def _pp_rational(threshold: float) -> tuple[int, int]:
-    """τ as an exact rational (num, den) — the prefix length
-    p = s − ⌈τ·s⌉ + 1 and the size filter den·min ≥ num·max must be
-    derived from the SAME τ the verify step uses, else a caller
-    passing τ < the hard-coded rational silently loses qualifying
-    pairs at candidate generation (completeness violation)."""
-    from fractions import Fraction
-
-    fr = Fraction(threshold).limit_denominator(1_000_000)
-    if not 0 < fr <= 1:
+    """The candidate-side τ as an exact rational (num, den), RELAXED
+    by half a 6-dp ulp: verification keeps round(sim, 6) ≥ τ, which
+    admits sims down to τ − 5·10⁻⁷ (half-up rounding), so every
+    candidate filter derived from τ itself — prefix length
+    p = s − ⌈τ·s⌉ + 1, size filter den·min ≥ num·max, positional
+    bound — would silently drop a pair whose exact similarity sits in
+    [τ − 5·10⁻⁷, τ) yet rounds up to pass the verify/oracle contract
+    (reachable once sets grow past ~2·10⁶ tokens — 100 TB territory).
+    Using (2·⌊τ·10⁶⌉ − 1)/(2·10⁶) keeps the completeness theorem
+    against the ROUNDED verify for every τ, at the cost of at most
+    one extra prefix token and a vanishing candidate surplus."""
+    t6 = round(threshold * 1_000_000)
+    if not 0 < t6 <= 1_000_000:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    return fr.numerator, fr.denominator
+    return 2 * t6 - 1, 2_000_000
 
 
 def dedup_ppjoin(documents: DataFrame,
@@ -1239,9 +1243,11 @@ def ppjoin_stats(documents: DataFrame,
         F.col("n_prefix_rows").cast("int").alias("n_prefix_rows"),
         F.expr("n_prefix_rows * 1000000 div n_token_rows")
          .cast("bigint").alias("prefix_ppm"),
-        F.col("n_candidates").cast("int").alias("n_candidates"),
-        F.col("n_verified_reps").cast("int").alias("n_verified_reps"),
-        F.col("n_verified").cast("int").alias("n_verified"))
+        # pair counts are BIGINT: n_verified >= clique_pairs, which is
+        # quadratic under duplication (C(66k, 2) already overflows int)
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_verified_reps").cast("bigint").alias("n_verified_reps"),
+        F.col("n_verified").cast("bigint").alias("n_verified"))
 
 
 CONTAIN_THRESHOLD = 0.9

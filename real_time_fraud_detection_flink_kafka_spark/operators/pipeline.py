@@ -608,6 +608,25 @@ def _lm_fixture_metrics(name: str, scored: DataFrame) -> DataFrame:
          .cast("bigint").alias("rank_gap_offset_ppm")))
 
 
+def _bigram_lm_score_split(pop: DataFrame, train: DataFrame) -> DataFrame:
+    """`bigram_lm_score` with a SEPARATE training corpus: the model
+    (unigram/bigram counts, |V|) comes from `train`, every doc of
+    `pop` is scored. Unlike the self-trained scorer the count joins
+    are LEFT joins with Laplace zero-coalesce — a held-out bigram has
+    cnt_ab = 0 (p = 1/(cnt_a + |V|)), an unseen first token cnt_a = 0
+    (p = 1/|V|) — so off-model docs keep every bigram row instead of
+    silently losing the unseen ones to an inner join."""
+    pairs = doc_bigrams(pop)
+    uni, big = lm_model(train)
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    j = (pairs.join(big, ["a", "b"], "left")
+              .join(F.broadcast(uni), "a", "left")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("cnt_ab", F.coalesce("cnt_ab", F.lit(0)))
+              .withColumn("cnt_a", F.coalesce("cnt_a", F.lit(0))))
+    return score_pairs_with_lm(j, F.col("v"))
+
+
 def lm_quality_lift(documents: DataFrame) -> DataFrame:
     """Ranking-quality comparison of the two corpus-trained LM rungs
     — the `ann_recall_compare` habit applied to fluency scoring: the
@@ -622,6 +641,15 @@ def lm_quality_lift(documents: DataFrame) -> DataFrame:
     the same fixtures under the same population, every number an
     exact integer both engines replay.
 
+    BOTH models train on the PRISTINE even-doc_id corpus half and
+    never see a fixture (fixture ids are odd; the bigram side uses
+    `_bigram_lm_score_split`, not the self-trained scorer — a model
+    trained on the fixture-injected population would have learned the
+    garbled docs' reversed bigrams, contaminating the very comparison
+    this operator exists to make). Symmetric training also makes the
+    rungs directly comparable: same train half, same held-out
+    fixtures.
+
     Scale shape: fixture injection is a bounded union (≤2·LM_FIX_N
     rows); both scorers keep their production plans; rank counting
     streams each scored population once against broadcast fixtures.
@@ -629,7 +657,9 @@ def lm_quality_lift(documents: DataFrame) -> DataFrame:
     comparison isolates exactly what the higher-order model is
     supposed to buy: sequence structure."""
     pop = tracked_persist(_lm_fixture_union(documents))
-    big = bigram_lm_score(pop).select(
+    train = (documents.select("doc_id", "text")
+             .where(F.col("doc_id") % TRI_TRAIN_MOD == 0))
+    big = _bigram_lm_score_split(pop, train).select(
         "doc_id", F.col("avg_bigram_p").alias("score"))
     tri = trigram_lm_score(pop).select(
         "doc_id", F.col("avg_trigram_p").alias("score"))

@@ -965,9 +965,12 @@ def knn_triangle_stats(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     Determinism: pure integer set arithmetic; the ppm is an exact
     floor division of non-negative integers."""
     g = knn_graph(embeddings, k)
-    und = (g.select(F.least("vec_id", "nbr_id").alias("a"),
-                    F.greatest("vec_id", "nbr_id").alias("b"))
-            .distinct())
+    # five downstream references (wedge x/y, closing edge, two degree
+    # union sides) — persist or the whole graph build replays per use
+    und = tracked_persist(
+        g.select(F.least("vec_id", "nbr_id").alias("a"),
+                 F.greatest("vec_id", "nbr_id").alias("b"))
+         .distinct())
     w = (und.alias("x")
          .join(und.alias("y"), F.col("x.b") == F.col("y.a"))
          .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),

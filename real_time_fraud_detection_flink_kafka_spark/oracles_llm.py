@@ -13,6 +13,7 @@ from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
 from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
     CONTAIN_THRESHOLD as _CONTAIN_T,
     DELTA_MOD,
+    _pp_rational,
     HAMMING_MAX,
     JACCARD_THRESHOLD,
     PARA_ENC,
@@ -50,6 +51,13 @@ from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
     LANG_MARKERS,
     STOPWORDS,
 )
+
+# candidate-side rationals in lockstep with the Spark plan: the SAME
+# half-ulp-relaxed tau (_pp_rational) drives prefix length, size
+# filter and positional bound in BOTH engines
+_pp_n, _pp_d = _pp_rational(JACCARD_THRESHOLD)
+_pp_d_less1 = _pp_d - 1
+_pp_nd = _pp_n + _pp_d
 
 _SHINGLE_CTE = f"""w AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -230,13 +238,48 @@ SELECT doc_id, count(*) AS n_trigrams,
 FROM j GROUP BY 1"""
 
 
+def _bigram_lm_split_sql(src: str) -> str:
+    """Mirror of pipeline._bigram_lm_score_split over `src`: model
+    counts from the even-doc_id half only (fixture ids are odd, so
+    the model never sees a fixture), LEFT joins with Laplace
+    zero-coalesce so off-model docs keep every bigram row."""
+    return f"""
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM {src}),
+tw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+ex AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+pr AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b FROM ex),
+unic AS (
+  SELECT a, count(*) AS cnt_a
+  FROM (SELECT unnest(ws) AS a FROM tw) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM unic),
+big AS (
+  SELECT a, b, count(*) AS cnt_ab FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM tw))
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_id,
+         CAST(round(CAST(coalesce(cnt_ab, 0) + 1 AS DOUBLE)
+                    / CAST(coalesce(cnt_a, 0) + v AS DOUBLE)
+                    * 1000000000) AS BIGINT) AS pf
+  FROM pr LEFT JOIN big USING (a, b) LEFT JOIN unic USING (a) CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(pf) / 1000000000.0 / count(*), 6) AS avg_bigram_p
+FROM j GROUP BY 1"""
+
+
 def _lm_lift_sql() -> str:
     """Mirror of pipeline.lm_quality_lift: fixture injection (first
     LM_FIX_N train-half docs verbatim at id%4==1, word-reversed at
     id%4==3), both scorers over the union population (their full SQL
     embedded as derived tables over `docsrc` — outer CTEs are in
-    scope for nested WITH), then per-scorer pairwise accuracy and
-    offset rank gap, all floor-divs over non-negative integers."""
+    scope for nested WITH; the bigram side is the SPLIT-trained
+    variant so neither model ever sees a fixture), then per-scorer
+    pairwise accuracy and offset rank gap, all floor-divs over
+    non-negative integers."""
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         LM_FIX_N,
         LM_FIX_OFF,
@@ -300,7 +343,7 @@ docsrc AS (
 ),
 bsc AS (
   SELECT doc_id, avg_bigram_p AS score
-  FROM ({_bigram_lm_sql('docsrc')}) q
+  FROM ({_bigram_lm_split_sql('docsrc')}) q
 ),
 tsc AS (
   SELECT doc_id, avg_trigram_p AS score
@@ -358,7 +401,10 @@ FROM j GROUP BY doc_id""",
         # stats over distinct shingle sets, prefix construction
         # ((df, hash) order, integer prefix length) over one
         # representative per set, verified = the clique-expanded
-        # exact-Jaccard output (shared with dedup_ngram_jaccard)
+        # exact-Jaccard output (shared with dedup_ngram_jaccard).
+        # num/den come from the SAME relaxed rational as the Spark
+        # side (_pp_rational: half-ulp under tau so the rounded
+        # verify keeps completeness) — never hard-code 4/5 here
         "ppjoin_stats": f"""
 WITH {_SHINGLE_CTE},
 shh AS (
@@ -380,7 +426,7 @@ pre AS (
            row_number() OVER (PARTITION BY r.doc_id
              ORDER BY d.df, r.sh_h) AS rn
     FROM rsh r JOIN dfr d USING (sh_h))
-  WHERE rn <= n_sh - ((4 * n_sh + 4) // 5) + 1
+  WHERE rn <= n_sh - (({_pp_n} * n_sh + {_pp_d_less1}) // {_pp_d}) + 1
 ),
 cand AS (
   SELECT doc_a, doc_b, n_a, n_b
@@ -389,9 +435,9 @@ cand AS (
            a.n_sh AS n_a, b.n_sh AS n_b,
            min(a.rn) AS i1, min(b.rn) AS j1
     FROM pre a JOIN pre b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
-    WHERE 5 * least(a.n_sh, b.n_sh) >= 4 * greatest(a.n_sh, b.n_sh)
+    WHERE {_pp_d} * least(a.n_sh, b.n_sh) >= {_pp_n} * greatest(a.n_sh, b.n_sh)
     GROUP BY 1, 2, 3, 4)
-  WHERE 9 * (1 + least(n_a - i1, n_b - j1)) >= 4 * (n_a + n_b)
+  WHERE {_pp_nd} * (1 + least(n_a - i1, n_b - j1)) >= {_pp_n} * (n_a + n_b)
 ),
 vreps AS (
   SELECT c.doc_a, c.doc_b
@@ -411,9 +457,9 @@ SELECT CAST((SELECT sum(m) FROM grp) AS INTEGER) AS n_sets,
        CAST((SELECT count(*) FROM pre) AS INTEGER) AS n_prefix_rows,
        CAST((SELECT count(*) FROM pre) * 1000000
             // (SELECT count(*) FROM rsh) AS BIGINT) AS prefix_ppm,
-       CAST((SELECT count(*) FROM cand) AS INTEGER) AS n_candidates,
-       CAST((SELECT count(*) FROM vreps) AS INTEGER) AS n_verified_reps,
-       CAST((SELECT n_verified FROM ver) AS INTEGER) AS n_verified""",
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM vreps) AS BIGINT) AS n_verified_reps,
+       CAST((SELECT n_verified FROM ver) AS BIGINT) AS n_verified""",
         # verified-LSH output == exact output at this data's dup
         # profile (r=2/b=8 band curve; see operators/dedup.py docs)
         "dedup_minhash_lsh": _JACCARD_SQL,

@@ -366,7 +366,8 @@ def test_lm_quality_lift_measures_trigram_advantage(spark, sf_dir):
     the word-reversal fixtures (identical unigrams, destroyed
     sequence structure) the trigram scorer's pairwise accuracy and
     rank separation must be >= the bigram scorer's (measured at
-    sf0.001: 1.000 vs ~0.797 accuracy, 1.428 vs 1.272 offset gap)."""
+    sf0.001: 1.000 vs ~0.922 accuracy, 1.428 vs 1.391 offset gap,
+    both models split-trained on the pristine even half)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         LM_FIX_OFF,
         lm_quality_lift,
