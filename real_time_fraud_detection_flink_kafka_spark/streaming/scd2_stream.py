@@ -65,13 +65,11 @@ def scd2_collapse(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                         "valid_to_us": ts_us, "n_events": int(n)})
             seg, vfrom, n, ver = etype, ts_us, 1, ver + 1
     state.update((seg, int(vfrom), int(n), int(ver)))
-    pdf = pd.DataFrame(out, columns=_OUT_COLS)
-    if pdf.empty:
-        # keep Arrow happy on single-run users: typed empty frame
-        pdf = pdf.astype({"user_id": "int64", "version": "int32",
-                          "segment": "object", "valid_from_us": "int64",
-                          "valid_to_us": "int64", "n_events": "int32"})
-    yield pdf
+    if out:
+        # single-run users yield nothing (an empty all-NA frame would
+        # also trip pandas' concat-dtype FutureWarning in the Arrow
+        # serializer) — the generator just ends
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
 
 def scd2_stream(events: DataFrame, watermark: str = "5 seconds") -> DataFrame:
