@@ -315,6 +315,16 @@ def main() -> None:
     if factors:
         from scale_testdata import build_scaled
 
+        # base timings for scale-subset queries that aren't in the
+        # headline suite (e.g. knn_diversity_sample_hier): the ratio
+        # denominator must exist for every subset member. Kept in a
+        # COPY so the extra rows never leak into result["queries"].
+        base_times = dict(times)
+        scale_only = [n for n in set(SCALE_SUBSET) | set(SCALE_SUBSET_BIG)
+                      if n not in base_times]
+        if scale_only:
+            base_times.update(run_suite(sorted(scale_only), sf_dir, reps=2))
+
         result["scale"] = []
         for replicas in factors:
             out_dir = (f"/tmp/spark_graft_scale{replicas}_"
@@ -336,7 +346,8 @@ def main() -> None:
                 "value": round(sum(stimes.values()), 3),
                 "queries": stimes,
                 "ratio_per_replica": {
-                    n: round(stimes[n] / max(times[n], 1e-9) / replicas, 3)
+                    n: round(stimes[n] / max(base_times[n], 1e-9)
+                             / replicas, 3)
                     for n in subset if n in stimes},
             }
             if sfails:  # no silent caps: dropped coverage is printed
