@@ -339,12 +339,36 @@ def main() -> None:
                       else SCALE_SUBSET)
             stimes, sfails = run_suite(subset, out_dir,
                                        tolerate_failures=True)
+            # isolated re-timing of outliers — the window-pass
+            # discipline applied to the scale curve: the pass is
+            # one-shot (reps=1) and runs queries back-to-back, so a
+            # slot following a multi-minute heavyweight inherits its
+            # GC/page-cache pressure (r10 measured knn_graph at 150 s
+            # in-pass vs 60 s isolated at 100×, purely from running
+            # after the 420 s ppjoin drain). Any query whose ratio
+            # exceeds RETIME_RATIO gets ONE clean re-run after a GC,
+            # and the MIN is reported — bounded extra cost, honest
+            # super-linearity still shows (a genuinely super-linear
+            # plan is slow in isolation too).
+            RETIME_RATIO = 0.3
+            outliers = [
+                n for n in subset if n in stimes
+                and stimes[n] / max(base_times[n], 1e-9) / replicas
+                > RETIME_RATIO]
+            if outliers:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                retimes, _ = run_suite(outliers, out_dir,
+                                       tolerate_failures=True)
+                for n, t in retimes.items():
+                    stimes[n] = min(stimes[n], t)
             entry = {
                 "replicas": replicas,
                 "build_seconds": build_s,
                 "cold_caches": True,
                 "value": round(sum(stimes.values()), 3),
                 "queries": stimes,
+                "retimed": sorted(outliers),
                 "ratio_per_replica": {
                     n: round(stimes[n] / max(base_times[n], 1e-9)
                              / replicas, 3)

@@ -995,6 +995,112 @@ def knn_triangle_stats(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
                      .cast("bigint").alias("clustering_ppm")))
 
 
+GS_STEPS = 6
+
+
+def _graph_search_edges(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Bidirected k-NN edge set with the neighbor's vector attached —
+    the persisted navigation structure `ann_graph_search` walks (one
+    build, reused by every round; at most 2k·n edges)."""
+    g = knn_graph(embeddings, k).select("vec_id", "nbr_id")
+    und = (g.unionAll(g.select(F.col("nbr_id").alias("vec_id"),
+                               F.col("vec_id").alias("nbr_id")))
+            .distinct())
+    e = _vecs(embeddings).select(F.col("nbr_id").alias("_nid"),
+                                 F.col("v").alias("nv"),
+                                 F.col("v_norm").alias("n_norm"))
+    return tracked_persist(
+        und.join(e, und["nbr_id"] == e["_nid"])
+           .select(F.col("vec_id").alias("src"), "nbr_id", "nv", "n_norm"))
+
+
+def ann_graph_search(embeddings: DataFrame, steps: int = GS_STEPS,
+                     n_queries: int = N_QUERIES) -> DataFrame:
+    """Greedy graph-walk ANN — the navigable-graph rung of the index
+    ladder (the HNSW/DiskANN family's base mechanism, Malkov &
+    Yashunin 2018, stripped to its deterministic core): from a fixed
+    entry node, each round moves every query to the best-cosine
+    vertex among the current node and its k-NN-graph neighbors
+    (bidirected edges), for a fixed `steps` rounds — a hill-climb
+    whose state is one (node, cos) row per query. Emits
+    (query_id, found_id, cos_sim); `ann_graph_recall` scores it
+    against the exact top-k.
+
+    Scale shape: the navigation structure is the persisted bidirected
+    k-NN edge set (≤2k·n rows, vector payload attached once); each
+    round is ONE broadcast of the ≤n_queries current rows against the
+    edge relation plus a bounded per-query argmax — rounds × linear
+    scans, no pairwise stage, and the walk state never grows. The
+    argmax window partitions by query_id over ≤(k+1)·n_queries rows.
+
+    Determinism: fixed entry (vec 0; vec 1 for query 0), every argmax
+    ordered (cos DESC, lower cand id), raw cosines compared (rounding
+    only at emission) — the oracle replays each round as a chained
+    CTE."""
+    ev = _vecs(embeddings)
+    q = (ev.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")))
+    entry = F.when(F.col("query_id") == 0, F.lit(1)).otherwise(F.lit(0))
+    edges = _graph_search_edges(embeddings)
+    ent = q.withColumn("node", entry)
+    cur = (ev.join(F.broadcast(ent), ev["vec_id"] == ent["node"])
+             .select("query_id", "qv", "q_norm", "node",
+                     (dot(F.col("qv"), F.col("v"))
+                      / (F.col("q_norm") * F.col("v_norm")))
+                     .alias("cur_cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("cand_id"))
+    for _ in range(steps):
+        moved = (edges.join(F.broadcast(cur.select("query_id", "qv",
+                                                   "q_norm", "node")),
+                            edges["src"] == F.col("node"))
+                 .where(F.col("nbr_id") != F.col("query_id"))
+                 .select("query_id", "qv", "q_norm",
+                         F.col("nbr_id").alias("cand_id"),
+                         (dot(F.col("qv"), F.col("nv"))
+                          / (F.col("q_norm") * F.col("n_norm")))
+                         .alias("cos_raw")))
+        stay = cur.select("query_id", "qv", "q_norm",
+                          F.col("node").alias("cand_id"),
+                          F.col("cur_cos").alias("cos_raw"))
+        cur = (moved.unionByName(stay)
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select("query_id", "qv", "q_norm",
+                       F.col("cand_id").alias("node"),
+                       F.col("cos_raw").alias("cur_cos")))
+    return cur.select("query_id", F.col("node").alias("found_id"),
+                      F.round("cur_cos", 6).alias("cos_sim"))
+
+
+def ann_graph_recall(embeddings: DataFrame, steps: int = GS_STEPS,
+                     n_queries: int = N_QUERIES) -> DataFrame:
+    """Measured quality of the greedy graph walk vs the exact ranking
+    — the honesty row every index rung carries: for each query, is
+    the walk's endpoint the TRUE nearest neighbor (top-1) or at least
+    in the exact top-k? One summary row of exact integer counts (the
+    ppms are floor divisions both engines replay)."""
+    found = ann_graph_search(embeddings, steps, n_queries)
+    exact = ann_topk(embeddings).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"),
+        "rnk")
+    j = found.join(exact, (F.col("query_id") == F.col("eq"))
+                   & (F.col("found_id") == F.col("en")), "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).cast("int")
+         .alias("n_top1"),
+        F.sum(F.when(F.col("rnk").isNotNull(), 1).otherwise(0)).cast("int")
+         .alias("n_topk"),
+    ).select(
+        "n_queries", "n_top1", "n_topk",
+        F.expr("n_top1 * 1000000 div n_queries").cast("bigint")
+         .alias("top1_ppm"),
+        F.expr("n_topk * 1000000 div n_queries").cast("bigint")
+         .alias("topk_ppm"))
+
+
 def dedup_embedding_blocked(embeddings: DataFrame,
                             threshold: float = COS_THRESHOLD,
                             n_cells: int | None = None) -> DataFrame:

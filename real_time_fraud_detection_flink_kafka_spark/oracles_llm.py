@@ -2265,6 +2265,8 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # identical to _ivf_tail's arn=1; full table, no slice)
         "dedup_embedding_blocked": _blocked_pairs_sql(),
         "knn_graph": _knn_graph_sql(),
+        "ann_graph_search": _graph_search_sql(),
+        "ann_graph_recall": _graph_recall_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
         # edge, 3-corner unnest, exact ppm floor division
@@ -2358,6 +2360,84 @@ r AS (
 SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
        round(cos_raw, 6) AS cos_sim, CAST(cell AS BIGINT) AS cell
 FROM r WHERE rnk <= {KNN_K}""")
+
+
+def _graph_search_sql() -> str:
+    """Mirror of similarity.ann_graph_search: bidirected knn edges,
+    fixed entry (1 for query 0, else 0), each greedy round a chained
+    CTE — candidates = current node + its neighbors (query excluded),
+    argmax ordered (cos_raw DESC, lower cand id), raw cosines carried
+    between rounds, rounding only at emission."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        GS_STEPS,
+    )
+
+    rounds = []
+    for r in range(GS_STEPS):
+        rounds.append(f""",
+a{r} AS (
+  SELECT c.query_id, d.nbr_id AS cand_id,
+         {_cos_sql('q.qv', 'e.v')} AS cos_raw
+  FROM c{r} c
+  JOIN ed d ON d.src = c.node
+  JOIN qs q ON q.query_id = c.query_id
+  JOIN e ON e.vec_id = d.nbr_id
+  WHERE d.nbr_id <> c.query_id
+  UNION ALL
+  SELECT query_id, node, cur_cos FROM c{r}
+),
+c{r + 1} AS (
+  SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
+  WHERE rn = 1
+)""")
+    return (f"""
+WITH kg AS ({_knn_graph_sql()}),
+ed AS (SELECT vec_id AS src, nbr_id FROM kg
+       UNION SELECT nbr_id, vec_id FROM kg),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id < {N_QUERIES}),
+c0 AS (
+  SELECT q.query_id, s.node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
+  FROM (SELECT query_id,
+               CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS node
+        FROM qs) s
+  JOIN qs q USING (query_id) JOIN e ON e.vec_id = s.node
+)""" + "".join(rounds) + f"""
+SELECT query_id, node AS found_id, round(cur_cos, 6) AS cos_sim
+FROM c{GS_STEPS}""")
+
+
+def _graph_recall_sql() -> str:
+    """Mirror of similarity.ann_graph_recall: the walk's endpoint
+    LEFT-joined to the exact top-k ranking, integer counts + ppm."""
+    return f"""
+WITH f AS ({_graph_search_sql()}),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+),
+j AS (
+  SELECT f.query_id, x.rnk FROM f
+  LEFT JOIN x ON x.query_id = f.query_id AND x.neighbor_id = f.found_id
+)
+SELECT CAST(count(*) AS INTEGER) AS n_queries,
+       CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_top1,
+       CAST(sum(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_topk,
+       CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS top1_ppm,
+       CAST(sum(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS topk_ppm
+FROM j"""
 
 
 def _hier_assign_ctes(scale_aware: bool = False) -> str:

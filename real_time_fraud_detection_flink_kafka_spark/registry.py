@@ -295,6 +295,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_phases": lambda s, d: pipeline_ops.curriculum_phases(load_table(s, d, "documents")),
     "knn_graph": lambda s, d: similarity.knn_graph(load_table(s, d, "embeddings")),
     "knn_triangle_stats": lambda s, d: similarity.knn_triangle_stats(load_table(s, d, "embeddings")),
+    "ann_graph_search": lambda s, d: similarity.ann_graph_search(load_table(s, d, "embeddings")),
+    "ann_graph_recall": lambda s, d: similarity.ann_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
     "ivf_hier_agreement": lambda s, d: similarity.ivf_hier_agreement(load_table(s, d, "embeddings")),

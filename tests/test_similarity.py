@@ -649,3 +649,41 @@ def test_knn_graph_recall_accounting(spark, sf_dir):
     assert row["n_true_edges"] == row["n_vectors"] * KNN_K
     assert 0 < row["n_found"] <= row["n_true_edges"]
     assert row["recall"] == round(row["n_found"] / row["n_true_edges"], 6)
+
+
+def test_ann_graph_search_walk_improves_and_recall_bounds(spark, sf_dir):
+    """Structural contract of the greedy graph walk: one row per
+    query, the endpoint is never the query itself, and the endpoint's
+    cosine is >= the entry node's cosine (a hill-climb can stay put
+    but never move downhill). Recall row: n_top1 <= n_topk <=
+    n_queries and the ppms are exact floor divisions."""
+    import math
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ann_graph_recall,
+        ann_graph_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r["query_id"]: r for r in ann_graph_search(emb).collect()}
+    assert len(rows) == N_QUERIES
+    vecs = {r["vec_id"]: r["embedding"]
+            for r in emb.where(F.col("vec_id") <= max(N_QUERIES, 2))
+            .collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(x * x for x in b))
+
+    for qid, r in rows.items():
+        assert r["found_id"] != qid
+        entry = 1 if qid == 0 else 0
+        assert r["cos_sim"] >= round(cos(vecs[qid], vecs[entry]), 6) - 1e-6
+
+    rec = ann_graph_recall(emb).collect()[0]
+    assert rec["n_queries"] == N_QUERIES
+    assert 0 <= rec["n_top1"] <= rec["n_topk"] <= rec["n_queries"]
+    assert rec["top1_ppm"] == rec["n_top1"] * 1_000_000 // rec["n_queries"]
+    assert rec["topk_ppm"] == rec["n_topk"] * 1_000_000 // rec["n_queries"]
