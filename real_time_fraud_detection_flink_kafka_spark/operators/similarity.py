@@ -1006,7 +1006,7 @@ def _graph_search_edges(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
     und = (g.unionAll(g.select(F.col("nbr_id").alias("vec_id"),
                                F.col("vec_id").alias("nbr_id")))
             .distinct())
-    e = _vecs(embeddings).select(F.col("nbr_id").alias("_nid"),
+    e = _vecs(embeddings).select(F.col("vec_id").alias("_nid"),
                                  F.col("v").alias("nv"),
                                  F.col("v_norm").alias("n_norm"))
     return tracked_persist(
@@ -1037,6 +1037,8 @@ def ann_graph_search(embeddings: DataFrame, steps: int = GS_STEPS,
     ordered (cos DESC, lower cand id), raw cosines compared (rounding
     only at emission) — the oracle replays each round as a chained
     CTE."""
+    from pyspark.sql import Window
+
     ev = _vecs(embeddings)
     q = (ev.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
@@ -1064,12 +1066,21 @@ def ann_graph_search(embeddings: DataFrame, steps: int = GS_STEPS,
         stay = cur.select("query_id", "qv", "q_norm",
                           F.col("node").alias("cand_id"),
                           F.col("cur_cos").alias("cos_raw"))
+        # localCheckpoint the ≤n_queries-row walk state each round:
+        # `cur` is referenced twice per round (moved + stay), so an
+        # uncut lineage doubles per round and Catalyst re-analyzes
+        # the 2^steps tree — measured ~31 s of pure PLANNING overhead
+        # between steps 4 and 6 at ANY data size (a persist caches
+        # execution but not analysis; the checkpoint truncates the
+        # logical plan to a leaf). One tiny eager job per round over
+        # the persisted edge relation — rounds × linear, as designed.
         cur = (moved.unionByName(stay)
                .withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1)
                .select("query_id", "qv", "q_norm",
                        F.col("cand_id").alias("node"),
-                       F.col("cos_raw").alias("cur_cos")))
+                       F.col("cos_raw").alias("cur_cos"))
+               .localCheckpoint(eager=True))
     return cur.select("query_id", F.col("node").alias("found_id"),
                       F.round("cur_cos", 6).alias("cos_sim"))
 

@@ -2374,8 +2374,11 @@ def _graph_search_sql() -> str:
 
     rounds = []
     for r in range(GS_STEPS):
+        # AS MATERIALIZED: c{r} is referenced twice per round, so
+        # default CTE inlining doubles the plan tree per step
+        # (2^GS_STEPS copies of the knn-graph subquery = DuckDB OOM)
         rounds.append(f""",
-a{r} AS (
+a{r} AS MATERIALIZED (
   SELECT c.query_id, d.nbr_id AS cand_id,
          {_cos_sql('q.qv', 'e.v')} AS cos_raw
   FROM c{r} c
@@ -2386,20 +2389,20 @@ a{r} AS (
   UNION ALL
   SELECT query_id, node, cur_cos FROM c{r}
 ),
-c{r + 1} AS (
+c{r + 1} AS MATERIALIZED (
   SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
   WHERE rn = 1
 )""")
     return (f"""
-WITH kg AS ({_knn_graph_sql()}),
-ed AS (SELECT vec_id AS src, nbr_id FROM kg
+WITH kg AS MATERIALIZED ({_knn_graph_sql()}),
+ed AS MATERIALIZED (SELECT vec_id AS src, nbr_id FROM kg
        UNION SELECT nbr_id, vec_id FROM kg),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-qs AS (SELECT vec_id AS query_id, v AS qv FROM e
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
        WHERE vec_id < {N_QUERIES}),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT q.query_id, s.node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
   FROM (SELECT query_id,
                CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS node
@@ -2414,7 +2417,7 @@ def _graph_recall_sql() -> str:
     """Mirror of similarity.ann_graph_recall: the walk's endpoint
     LEFT-joined to the exact top-k ranking, integer counts + ppm."""
     return f"""
-WITH f AS ({_graph_search_sql()}),
+WITH f AS MATERIALIZED ({_graph_search_sql()}),
 ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 x AS (
   SELECT query_id, neighbor_id, rnk FROM (
