@@ -103,6 +103,7 @@ HEADLINE = [
     "domain_cap",             # per-source budget via histogram plan (r10)
     "knn_triangle_stats",     # wedge-join triangles over the k-NN graph (r10)
     "lm_quality_lift",        # bigram-vs-trigram ranking lift on fixtures (r10)
+    "ann_graph_recall",       # greedy graph-walk ANN + exact-topk scoring (r10)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -135,6 +136,8 @@ SCALE_SUBSET = [
     "knn_diversity_sample_hier",  # r10: the graph CONSUMER on the
                         # curve — two-star closure cost per replica
                         # is the open question the judge named
+    "ann_graph_search",  # r10: rounds × linear walk — the claim the
+                        # curve checks (state never grows)
     "vocab_topk",
     "decontaminate",
 ]
