@@ -125,10 +125,15 @@ SCALE_SUBSET = [
                       # overhead amortizes" is measured, not argued
     "dedup_substring",  # r8: the skew-hardened occurrence count, measured
     "dedup_ppjoin",     # r8: prefix filtering — the rare-token join, measured
-    "dedup_containment",  # r10: asymmetric near-subset join — no size
-                        # filter by construction, so its candidate
-                        # amplification under near-miss-rich replicas
-                        # is the measured story (0.37/replica at 30×)
+    "dedup_containment",  # r11: asymmetric near-subset join — no size
+                        # filter by construction; the r11 2-evidence
+                        # extended-prefix filter cut the r10 candidate
+                        # amplification (57M cands → ~1.3× verified)
+    "domain_cap",       # r11: per-source budget via histogram plan —
+                        # the boundary-bucket-only window claim on
+                        # the curve per the r10 verdict
+    "scd2_user_segments",  # r11: SCD2 history build — one keyed
+                        # exchange claim on the curve
     "knn_graph",        # r8: cell count scales with corpus — constant
                         # per-cell work is the claim, measured here
                         # (r10: default is scale-aware two-level
@@ -169,6 +174,9 @@ SCALE_SUBSET_BIG = [
     "knn_diversity_sample_hier",  # r10: the CONSUMER composition on
                        # the curve — strong edges → two-star closure
                        # → per-component argmax over the hier graph
+    "dedup_containment",  # r11: the asymmetric join's 100× row the
+                       # r10 verdict demanded — completes after the
+                       # 2-evidence extended-prefix rework
 ]
 
 
@@ -299,12 +307,23 @@ def main() -> None:
                     .count())
         stimes = run_suite(
             ["stream_fraud_detector", "stream_interval_join",
-             "stream_dedup_events", "stream_session_counts"],
+             "stream_dedup_events", "stream_session_counts",
+             "stream_scd2_segments"],
             sf_dir, reps=max(2, reps - 1))
+        # document-table drains are normalized by the documents row
+        # count, not events — tracked in the same eps dict
+        n_docs = (spark.read
+                  .parquet(os.path.join(sf_dir, "documents.parquet"))
+                  .count())
+        dtimes = run_suite(["stream_trigram_lm_score"], sf_dir,
+                           reps=max(2, reps - 1))
         eps = {n: round(n_events / t, 1) for n, t in stimes.items()}
+        eps.update({n: round(n_docs / t, 1) for n, t in dtimes.items()})
+        stimes.update(dtimes)
         prior_eps = _prior_stream_eps()
         result["streaming"] = {
             "input_events": n_events,
+            "input_docs": n_docs,
             "drain_sec": stimes,
             "events_per_sec": eps,
             "regressions": sorted(
@@ -326,7 +345,13 @@ def main() -> None:
         scale_only = [n for n in set(SCALE_SUBSET) | set(SCALE_SUBSET_BIG)
                       if n not in base_times]
         if scale_only:
-            base_times.update(run_suite(sorted(scale_only), sf_dir, reps=2))
+            # tolerant: one scale-only query failing at base sf must
+            # degrade to a missing-ratio row, never abort the artifact
+            bt, bfails = run_suite(sorted(scale_only), sf_dir, reps=2,
+                                   tolerate_failures=True)
+            base_times.update(bt)
+            if bfails:
+                result["base_failed"] = bfails
 
         result["scale"] = []
         for replicas in factors:
@@ -350,32 +375,36 @@ def main() -> None:
             # in-pass vs 60 s isolated at 100×, purely from running
             # after the 420 s ppjoin drain). Any query whose ratio
             # exceeds RETIME_RATIO gets ONE clean re-run after a GC,
-            # and the MIN is reported — bounded extra cost, honest
-            # super-linearity still shows (a genuinely super-linear
-            # plan is slow in isolation too).
+            # and the ISOLATED time replaces the in-pass one in BOTH
+            # directions (r11, was min(in-pass, isolated) — an
+            # asymmetric correction that could only lower the curve);
+            # both readings land in the artifact ("retimed") so the
+            # correction is auditable.
             RETIME_RATIO = 0.3
             outliers = [
-                n for n in subset if n in stimes
+                n for n in subset if n in stimes and n in base_times
                 and stimes[n] / max(base_times[n], 1e-9) / replicas
                 > RETIME_RATIO]
+            retimed: dict[str, dict[str, float]] = {}
             if outliers:
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 retimes, _ = run_suite(outliers, out_dir,
                                        tolerate_failures=True)
                 for n, t in retimes.items():
-                    stimes[n] = min(stimes[n], t)
+                    retimed[n] = {"inpass": stimes[n], "isolated": t}
+                    stimes[n] = t
             entry = {
                 "replicas": replicas,
                 "build_seconds": build_s,
                 "cold_caches": True,
                 "value": round(sum(stimes.values()), 3),
                 "queries": stimes,
-                "retimed": sorted(outliers),
+                "retimed": retimed,
                 "ratio_per_replica": {
                     n: round(stimes[n] / max(base_times[n], 1e-9)
                              / replicas, 3)
-                    for n in subset if n in stimes},
+                    for n in subset if n in stimes and n in base_times},
             }
             if sfails:  # no silent caps: dropped coverage is printed
                 entry["failed"] = sfails

@@ -1235,12 +1235,15 @@ def ppjoin_stats(documents: DataFrame,
                 .crossJoin(F.broadcast(c_vr))
                 .crossJoin(F.broadcast(c_ver)))
     return out.select(
-        F.col("n_sets").cast("int").alias("n_sets"),
+        # n_sets and the row counts are BIGINT (r11, was int32):
+        # r9 measured ~1e9 shingle rows at 100x — token/prefix rows
+        # and doc counts are not int32-safe widths at extreme SFs
+        F.col("n_sets").cast("bigint").alias("n_sets"),
         F.col("n_distinct_sets").cast("int").alias("n_distinct_sets"),
         F.col("max_clique").cast("int").alias("max_clique"),
         F.col("clique_pairs").cast("bigint").alias("clique_pairs"),
-        F.col("n_token_rows").cast("int").alias("n_token_rows"),
-        F.col("n_prefix_rows").cast("int").alias("n_prefix_rows"),
+        F.col("n_token_rows").cast("bigint").alias("n_token_rows"),
+        F.col("n_prefix_rows").cast("bigint").alias("n_prefix_rows"),
         F.expr("n_prefix_rows * 1000000 div n_token_rows")
          .cast("bigint").alias("prefix_ppm"),
         # pair counts are BIGINT: n_verified >= clique_pairs, which is
@@ -1251,6 +1254,98 @@ def ppjoin_stats(documents: DataFrame,
 
 
 CONTAIN_THRESHOLD = 0.9
+
+
+
+def _containment_parts(documents: DataFrame,
+                       threshold: float = CONTAIN_THRESHOLD) -> dict:
+    """Named stages of the canonicalize-first containment pipeline,
+    shared by `dedup_containment` (returns 'verified') and
+    `containment_stats` (counts every stage). See dedup_containment
+    for the completeness theorems; this is where they are encoded.
+
+    Candidate completeness (2-EVIDENCE extended prefix, r11): wlog
+    |A| <= |B|, c = ceil(tau*n_a) commons required. Order every
+    set's tokens under the one global (df, sh_h) order; let w1, w2 be
+    the globally FIRST and SECOND common tokens. Then
+    - w1 sits within A's p = n_a - c + 1 prefix (else all c commons
+      fit in the n_a - p = c - 1 suffix slots: contradiction) and
+      within B's first n_b - c + 1 positions (the other c - 1 commons
+      all rank after it in B);
+    - when c >= 2, w2 exists and sits within A's EXTENDED prefix of
+      p2 = p + 1 tokens (else the c - 1 commons besides w1 fit in
+      n_a - p2 = c - 2 slots) and within B's first n_b - c + 2
+      positions (c - 2 commons rank after it).
+    So the join of A's p2-prefix rows against B's full token rows,
+    row-filtered to rn_b <= n_b - c + 2, retains BOTH evidence rows
+    of every qualifying pair, and the pair-level filter can demand
+    ov >= min(2, c) matched rows with min(rn_b) <= n_b - c + 1.
+    The r10 plan's single-evidence filter (any shared prefix token,
+    positional bound from min positions) admitted every pair sharing
+    ONE rare token anywhere early in B — the measured ~57M-candidate
+    amplification for ~2M verified at 30x; demanding the second
+    evidence row kills exactly that one-shared-token noise while the
+    theorem above keeps exact completeness. c is computed from the
+    half-ulp-relaxed rational (_pp_rational), so completeness holds
+    against the ROUNDED verify contract."""
+    from pyspark.sql import Window
+
+    num, den = _pp_rational(threshold)
+
+    def ceil_t(col: str) -> str:
+        # ceil(num*col/den) over positive ints, SQL-exact
+        return f"(({num} * {col} + {den - 1}) div {den})"
+
+    cl = _set_cliques(documents)
+    grp, members, sh = cl["grp"], cl["members"], cl["sh"]
+    dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    shd = sh.join(dfr, "sh_h")
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+    ranked = tracked_persist(
+        shd.withColumn("rn", F.row_number().over(w))
+           .select("doc_id", "sh_h", "n_sh", "rn"))
+    # extended prefix p2 = n_sh - c + 2 (one token past the classic
+    # prefix), capped at the set size for 1-token sets
+    prefix2 = ranked.where(
+        F.col("rn") <= F.expr(f"least(n_sh, n_sh - {ceil_t('n_sh')} + 2)"))
+    a = prefix2.select(F.col("doc_id").alias("doc_a"), "sh_h",
+                       F.col("n_sh").alias("n_a"), F.col("rn").alias("rn_a"))
+    b = ranked.select(F.col("doc_id").alias("doc_b"), "sh_h",
+                      F.col("n_sh").alias("n_b"), F.col("rn").alias("rn_b"))
+    cand = (a.join(b, "sh_h")
+             .where((F.col("n_a") < F.col("n_b"))
+                    | ((F.col("n_a") == F.col("n_b"))
+                       & (F.col("doc_a") < F.col("doc_b"))))
+             # ROW-level B-position filter: both evidence rows satisfy
+             # rn_b <= n_b - c + 2 (w1 even <= n_b - c + 1); rows
+             # whose shared token sits deeper in B cannot be evidence
+             .where(F.expr(f"rn_b + {ceil_t('n_a')} <= n_b + 2"))
+             .groupBy("doc_a", "doc_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("ov"),
+                  F.min("rn_b").alias("j1"))
+             # PAIR-level: w1's row forces min(rn_b) <= n_b - c + 1,
+             # and when c >= 2 the pair must show BOTH evidence rows
+             .where(F.expr(f"j1 + {ceil_t('n_a')} <= n_b + 1")
+                    & (F.col("ov")
+                       >= F.least(F.lit(2), F.expr(ceil_t("n_a")))))
+             .select("doc_a", "doc_b", "n_a", "n_b"))
+    sa = grp.select(F.col("rep").alias("doc_a"),
+                    F.col("hset").alias("set_a"))
+    sb = grp.select(F.col("rep").alias("doc_b"),
+                    F.col("hset").alias("set_b"))
+    v = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("n_common",
+                         F.size(F.array_intersect("set_a", "set_b"))))
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    verified_reps = (
+        v.select(F.least("doc_a", "doc_b").alias("doc_a"),
+                 F.greatest("doc_a", "doc_b").alias("doc_b"),
+                 F.round(cont, 6).alias("containment"))
+         .where(F.col("containment") >= threshold))
+    verified = _expand_cliques(verified_reps, members, "containment", 1.0)
+    return {"grp": grp, "members": members, "sh": sh, "ranked": ranked,
+            "prefix2": prefix2, "cand": cand,
+            "verified_reps": verified_reps, "verified": verified}
 
 
 def dedup_containment(documents: DataFrame,
@@ -1267,79 +1362,73 @@ def dedup_containment(documents: DataFrame,
     representative per distinct set, output expanded at the end —
     intra-clique pairs are containment 1.0 by identity).
 
-    Candidate completeness (prefix-on-the-smaller-set): wlog
-    |A| ≤ |B|; C ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so A's prefix — its
-    p = |A| − ⌈τ·|A|⌉ + 1 rarest tokens under the global (df, sh_h)
-    order — must contain a common token. Unlike the Jaccard join
-    there is NO size filter (that asymmetry is the point) and the
-    probe side must be B's FULL token set, so candidates come from
-    prefix(A) ⋈ all-tokens(B) with |A| ≤ |B| (ties broken by rep id).
-    Fan-out per prefix row is the token's full df, but prefix tokens
-    are the RAREST of each set by construction, so the join stays
-    rare-token-keyed. Verification is the row-local sorted-array
-    intersect of the two bounded candidate arrays.
+    Candidate generation is the 2-EVIDENCE extended-prefix join
+    (theorem in `_containment_parts`): A's prefix is ONE token longer
+    than the classic p = n_a − ⌈τ·n_a⌉ + 1, which buys the right to
+    demand TWO matched token rows per candidate pair (both
+    row-filtered to early-enough positions in B) whenever
+    ⌈τ·n_a⌉ ≥ 2. The asymmetric measure still admits no size filter
+    and the probe side is still B's FULL token set (|A| ≤ |B|, ties
+    by rep id) — that structural cost stands — but the r10
+    single-evidence plan's measured amplification (~57M candidates
+    for ~2M verified pairs at 30×, candidate×2-full-arrays verify
+    shuffle as the cost center) came almost entirely from pairs
+    sharing exactly ONE rare token, which the second evidence row
+    eliminates before any array is shuffled. `containment_stats`
+    measures every stage of exactly this pipeline.
 
     Determinism: containment is one IEEE division of exact integer
-    counts rounded to 6 dp, thresholded AFTER rounding.
+    counts rounded to 6 dp, thresholded AFTER rounding."""
+    return _containment_parts(documents, threshold)["verified"]
 
-    MEASURED (r10, 30× replica bench): 0.37/replica end-to-end —
-    sub-linear, but costlier than dedup_ppjoin's 0.047 for a
-    structural reason worth naming: the asymmetric measure admits no
-    size filter and only the one-sided prefix, so the near-miss-rich
-    replica workload yields ~57M candidates for ~2M verified pairs
-    (the B-side prefix condition exists mathematically but its
-    earliest-in-B common token need not lie in A's prefix, so
-    checking it on the matched rows would prune soundly-looking but
-    valid pairs — verified unsound, left out). The positional filter
-    (below) cuts what can be cut exactly (~18%); the verify join over
-    per-distinct-set candidates is the honest remaining cost."""
-    from pyspark.sql import Window
 
-    num, den = _pp_rational(threshold)
-    cl = _set_cliques(documents)
-    grp, members, sh = cl["grp"], cl["members"], cl["sh"]
-    dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    shd = sh.join(dfr, "sh_h")
-    w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
-    prefix_len = F.expr(
-        f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
-    ranked = tracked_persist(
-        shd.withColumn("rn", F.row_number().over(w))
-           .select("doc_id", "sh_h", "n_sh", "rn"))
-    prefix = ranked.where(F.col("rn") <= prefix_len)
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "sh_h",
-                      F.col("n_sh").alias("n_a"), F.col("rn").alias("rn_a"))
-    b = ranked.select(F.col("doc_id").alias("doc_b"), "sh_h",
-                      F.col("n_sh").alias("n_b"), F.col("rn").alias("rn_b"))
-    # POSITIONAL filter, containment form: min(rn_a) and min(rn_b)
-    # over the matched rows land on the same token — the globally
-    # FIRST common token w* (any earlier-ordered common token would
-    # sit inside A's prefix and have matched with smaller positions)
-    # — so |common| ≤ 1 + min(n_a − i*, n_b − j*), and C ≥ num/den
-    # needs den·|common| ≥ num·n_a (the smaller set is the
-    # denominator). Prunes pairs whose shared rare token sits deep in
-    # either ordering BEFORE the array-verify join.
-    cand = (a.join(b, "sh_h")
-             .where((F.col("n_a") < F.col("n_b"))
-                    | ((F.col("n_a") == F.col("n_b"))
-                       & (F.col("doc_a") < F.col("doc_b"))))
-             .groupBy("doc_a", "doc_b", "n_a", "n_b")
-             .agg(F.min("rn_a").alias("i1"), F.min("rn_b").alias("j1"))
-             .where(den * (1 + F.least(F.col("n_a") - F.col("i1"),
-                                       F.col("n_b") - F.col("j1")))
-                    >= num * F.col("n_a"))
-             .select("doc_a", "doc_b", "n_a", "n_b"))
-    sa = grp.select(F.col("rep").alias("doc_a"),
-                    F.col("hset").alias("set_a"))
-    sb = grp.select(F.col("rep").alias("doc_b"),
-                    F.col("hset").alias("set_b"))
-    v = (cand.join(sa, "doc_a").join(sb, "doc_b")
-             .withColumn("n_common",
-                         F.size(F.array_intersect("set_a", "set_b"))))
-    cont = F.col("n_common") / F.least("n_a", "n_b")
-    verified_reps = (
-        v.select(F.least("doc_a", "doc_b").alias("doc_a"),
-                 F.greatest("doc_a", "doc_b").alias("doc_b"),
-                 F.round(cont, 6).alias("containment"))
-         .where(F.col("containment") >= threshold))
-    return _expand_cliques(verified_reps, members, "containment", 1.0)
+def containment_stats(documents: DataFrame,
+                      threshold: float = CONTAIN_THRESHOLD) -> DataFrame:
+    """Pruning-evidence audit for the containment join — ppjoin_stats'
+    discipline applied to the asymmetric measure, so the candidate
+    amplification the r10 bench observed is a MEASURED, oracle-checked
+    number per workload rather than a docstring claim:
+
+    - n_sets / n_distinct_sets / max_clique / clique_pairs — the
+      canonicalize-first accounting (the quadratic-under-duplication
+      answer floor, shared shape with ppjoin_stats);
+    - n_token_rows vs n_prefix2_rows (prefix2_ppm) — the extended
+      prefix is the JOIN's build side, one token wider than PPJoin's;
+    - n_candidates → n_verified_reps → n_verified — the filter
+      cascade; candidates/verified_reps is the amplification factor
+      the 2-evidence filter exists to bound.
+
+    One summary row; every count an integer, fractions exact ppm
+    floor divisions; pair counts BIGINT (clique_pairs lower-bounds
+    n_verified and is quadratic under duplication), and the row
+    counts are BIGINT too — r9 measured ~1e9 shingle rows at 100×,
+    int32 is not a scale-safe width for token rows."""
+    p = _containment_parts(documents, threshold)
+    c_tok = p["sh"].agg(F.count(F.lit(1)).alias("n_token_rows"))
+    c_grp = p["grp"].agg(
+        F.count(F.lit(1)).alias("n_distinct_sets"),
+        F.sum("m").alias("n_sets"),
+        F.max("m").alias("max_clique"),
+        F.sum(F.expr("m * (m - 1) div 2")).alias("clique_pairs"))
+    c_pre = p["prefix2"].agg(F.count(F.lit(1)).alias("n_prefix2_rows"))
+    c_cand = p["cand"].agg(F.count(F.lit(1)).alias("n_candidates"))
+    c_vr = p["verified_reps"].agg(
+        F.count(F.lit(1)).alias("n_verified_reps"))
+    c_ver = p["verified"].agg(F.count(F.lit(1)).alias("n_verified"))
+    out = (c_grp.crossJoin(F.broadcast(c_tok))
+                .crossJoin(F.broadcast(c_pre))
+                .crossJoin(F.broadcast(c_cand))
+                .crossJoin(F.broadcast(c_vr))
+                .crossJoin(F.broadcast(c_ver)))
+    return out.select(
+        F.col("n_sets").cast("bigint").alias("n_sets"),
+        F.col("n_distinct_sets").cast("int").alias("n_distinct_sets"),
+        F.col("max_clique").cast("int").alias("max_clique"),
+        F.col("clique_pairs").cast("bigint").alias("clique_pairs"),
+        F.col("n_token_rows").cast("bigint").alias("n_token_rows"),
+        F.col("n_prefix2_rows").cast("bigint").alias("n_prefix2_rows"),
+        F.expr("n_prefix2_rows * 1000000 div n_token_rows")
+         .cast("bigint").alias("prefix2_ppm"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_verified_reps").cast("bigint").alias("n_verified_reps"),
+        F.col("n_verified").cast("bigint").alias("n_verified"))

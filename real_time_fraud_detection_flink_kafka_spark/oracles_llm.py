@@ -58,6 +58,8 @@ from real_time_fraud_detection_flink_kafka_spark.operators.textops import (
 _pp_n, _pp_d = _pp_rational(JACCARD_THRESHOLD)
 _pp_d_less1 = _pp_d - 1
 _pp_nd = _pp_n + _pp_d
+# containment join's rational (same relaxation, its own tau)
+_ct_n, _ct_d = _pp_rational(_CONTAIN_T)
 
 _SHINGLE_CTE = f"""w AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -445,16 +447,16 @@ vreps AS (
   JOIN grp ga ON ga.rep = c.doc_a JOIN grp gb ON gb.rep = c.doc_b
   WHERE round(len(list_intersect(ga.hset, gb.hset))
               / (c.n_a + c.n_b - len(list_intersect(ga.hset, gb.hset))),
-              6) >= 0.8
+              6) >= {JACCARD_THRESHOLD!r}
 ),
 ver AS (SELECT count(*) AS n_verified FROM ({_JACCARD_SQL}) q)
-SELECT CAST((SELECT sum(m) FROM grp) AS INTEGER) AS n_sets,
+SELECT CAST((SELECT sum(m) FROM grp) AS BIGINT) AS n_sets,
        CAST((SELECT count(*) FROM grp) AS INTEGER) AS n_distinct_sets,
        CAST((SELECT max(m) FROM grp) AS INTEGER) AS max_clique,
        CAST((SELECT sum(m * (m - 1) // 2) FROM grp) AS BIGINT)
          AS clique_pairs,
-       CAST((SELECT count(*) FROM rsh) AS INTEGER) AS n_token_rows,
-       CAST((SELECT count(*) FROM pre) AS INTEGER) AS n_prefix_rows,
+       CAST((SELECT count(*) FROM rsh) AS BIGINT) AS n_token_rows,
+       CAST((SELECT count(*) FROM pre) AS BIGINT) AS n_prefix_rows,
        CAST((SELECT count(*) FROM pre) * 1000000
             // (SELECT count(*) FROM rsh) AS BIGINT) AS prefix_ppm,
        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
@@ -1010,6 +1012,79 @@ p AS (
 )
 SELECT doc_a, doc_b, containment FROM p
 WHERE containment >= {_CONTAIN_T}""",
+        # mirrors dedup.containment_stats: clique accounting +
+        # extended-prefix construction replayed stage-by-stage for
+        # n_prefix2_rows/n_candidates, BUT n_verified_reps and
+        # n_verified are computed from the QUADRATIC contract (all
+        # rep pairs / all doc pairs) — so equality with the Spark
+        # side's candidate-derived counts IS the 2-evidence filter's
+        # completeness check, not a mirrored tautology. num/den come
+        # from the containment tau's own relaxed rational (_ct_n/
+        # _ct_d) — never hard-code a threshold here
+        "containment_stats": f"""
+WITH {_SHINGLE_CTE},
+shh AS (
+  SELECT doc_id, {md5_int60_sql('shingle')} AS sh_h FROM sh
+),
+hs AS (
+  SELECT doc_id, list_sort(list(sh_h)) AS hset FROM shh GROUP BY 1
+),
+grp AS (
+  SELECT hset, min(doc_id) AS rep, count(*) AS m FROM hs GROUP BY hset
+),
+rsh AS (
+  SELECT rep AS doc_id, len(hset) AS n_sh, unnest(hset) AS sh_h FROM grp
+),
+dfr AS (SELECT sh_h, count(*) AS df FROM rsh GROUP BY 1),
+rk AS (
+  SELECT r.doc_id, r.sh_h, r.n_sh,
+         row_number() OVER (PARTITION BY r.doc_id
+           ORDER BY d.df, r.sh_h) AS rn
+  FROM rsh r JOIN dfr d USING (sh_h)
+),
+pre2 AS (
+  SELECT * FROM rk
+  WHERE rn <= least(n_sh,
+                    n_sh - (({_ct_n} * n_sh + {_ct_d - 1}) // {_ct_d}) + 2)
+),
+cand AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.n_sh AS n_a, b.n_sh AS n_b,
+           count(*) AS ov, min(b.rn) AS j1
+    FROM pre2 a JOIN rk b ON a.sh_h = b.sh_h
+    WHERE (a.n_sh < b.n_sh OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id))
+      AND b.rn + (({_ct_n} * a.n_sh + {_ct_d - 1}) // {_ct_d}) <= b.n_sh + 2
+    GROUP BY 1, 2, 3, 4)
+  WHERE j1 + (({_ct_n} * n_a + {_ct_d - 1}) // {_ct_d}) <= n_b + 1
+    AND ov >= least(2, ({_ct_n} * n_a + {_ct_d - 1}) // {_ct_d})
+),
+vreps AS (
+  SELECT ga.rep AS doc_a, gb.rep AS doc_b
+  FROM grp ga JOIN grp gb
+    ON (len(ga.hset) < len(gb.hset)
+        OR (len(ga.hset) = len(gb.hset) AND ga.rep < gb.rep))
+  WHERE round(CAST(len(list_intersect(ga.hset, gb.hset)) AS DOUBLE)
+              / least(len(ga.hset), len(gb.hset)), 6) >= {_CONTAIN_T}
+),
+vall AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+              / least(len(a.hset), len(b.hset)), 6) >= {_CONTAIN_T}
+)
+SELECT CAST((SELECT sum(m) FROM grp) AS BIGINT) AS n_sets,
+       CAST((SELECT count(*) FROM grp) AS INTEGER) AS n_distinct_sets,
+       CAST((SELECT max(m) FROM grp) AS INTEGER) AS max_clique,
+       CAST((SELECT sum(m * (m - 1) // 2) FROM grp) AS BIGINT)
+         AS clique_pairs,
+       CAST((SELECT count(*) FROM rsh) AS BIGINT) AS n_token_rows,
+       CAST((SELECT count(*) FROM pre2) AS BIGINT) AS n_prefix2_rows,
+       CAST((SELECT count(*) FROM pre2) * 1000000
+            // (SELECT count(*) FROM rsh) AS BIGINT) AS prefix2_ppm,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM vreps) AS BIGINT) AS n_verified_reps,
+       CAST((SELECT count(*) FROM vall) AS BIGINT) AS n_verified""",
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents

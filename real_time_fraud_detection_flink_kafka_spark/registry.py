@@ -283,6 +283,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ppjoin": lambda s, d: dedup.dedup_ppjoin(load_table(s, d, "documents")),
     "ppjoin_stats": lambda s, d: dedup.ppjoin_stats(load_table(s, d, "documents")),
     "dedup_containment": lambda s, d: dedup.dedup_containment(load_table(s, d, "documents")),
+    "containment_stats": lambda s, d: dedup.containment_stats(load_table(s, d, "documents")),
     "apply_span_removal": lambda s, d: dedup.apply_span_removal(load_table(s, d, "documents")),
     "dedup_substring_incremental": lambda s, d: dedup.dedup_substring_incremental(load_table(s, d, "documents")),
     "dedup_winnow": lambda s, d: dedup.dedup_winnow(load_table(s, d, "documents")),

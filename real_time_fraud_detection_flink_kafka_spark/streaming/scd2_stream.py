@@ -51,6 +51,17 @@ def scd2_collapse(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     seg, vfrom, n, ver = (state.get if state.exists else (None, 0, 0, 0))
     rows = (pd.concat(list(pdfs), ignore_index=True)
             .sort_values(["ts_us", "event_id"]))  # event-time order
+    # ordering is guaranteed only WITHIN a micro-batch; an event
+    # arriving in a later batch with ts before the open version's
+    # start would silently corrupt the history (valid_to < valid_from)
+    # — fail loudly until watermark-delayed cross-batch buffering
+    # exists. availableNow over one parquet file never trips this.
+    if seg is not None and len(rows) and int(rows["ts_us"].iloc[0]) < vfrom:
+        raise ValueError(
+            f"scd2_collapse: out-of-order cross-batch event for user "
+            f"{user_id} (ts_us {int(rows['ts_us'].iloc[0])} < open "
+            f"version start {vfrom}); cross-batch reordering needs "
+            f"watermark-delayed buffering")
     out: list[dict] = []
     for r in rows.itertuples(index=False):
         ts_us = int(r.ts_us)

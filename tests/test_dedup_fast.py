@@ -506,6 +506,86 @@ def test_containment_catches_subset_pairs_jaccard_misses(spark):
     assert not any(4 in p for p in cont)  # unrelated never pairs
 
 
+def test_containment_two_evidence_completeness_edges(spark):
+    """The r11 2-evidence extended-prefix filter demands TWO matched
+    token rows per candidate pair — soundly only when ⌈τ·n_a⌉ ≥ 2.
+    Pin the theorem's boundary: (a) a 1-shingle doc (c = 1: only one
+    evidence row can exist) contained in a larger one must still
+    pair; (b) a 2-shingle doc (c = 2: both rows required and both
+    exist); (c) equivalence with the quadratic baseline on a mixed
+    corpus where near-miss pairs share exactly one rare shingle —
+    the noise class the filter exists to kill must be killed
+    CORRECTLY (those pairs are below τ, not merely pruned)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        dedup_containment,
+        shingle_sets,
+        spread,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
+    from pyspark.sql import functions as F
+
+    # (a) exactly 3 words -> 1 shingle; B extends A -> containment 1.0
+    # (b) 4 words -> 2 shingles; D extends C
+    base = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "pq rs tu vw"),
+        (4, "pq rs tu vw xy zz qq"),
+        # (c) noise: shares ONE shingle with doc 2's tail, plus
+        # enough novel content to sit far below tau
+        (5, "epsilon zeta eta TOTALLY different words here now ok"),
+        (6, "unrelated content entirely of its own kind"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in dedup_containment(docs).collect()}
+    assert got[(1, 2)] == 1.0     # c = 1 edge: single-evidence pair kept
+    assert got[(3, 4)] == 1.0     # c = 2: both evidence rows exist
+    # quadratic ground truth over the same shingle sets
+    hs = {r["doc_id"]: set(r["hset"]) for r in
+          shingle_sets(spread(docs)).select(
+              "doc_id",
+              F.transform("sh_set", lambda s: H.md5_int60(s)).alias("hset"))
+          .collect()}
+    truth = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not hs[a] or not hs[b]:
+                continue
+            c = round(len(hs[a] & hs[b]) / min(len(hs[a]), len(hs[b])), 6)
+            if c >= CONTAIN_THRESHOLD:
+                truth[(a, b)] = c
+    assert got == truth
+
+
+def test_containment_stats_filter_cascade(spark):
+    """containment_stats' candidate cascade must be internally
+    consistent: candidates ≥ verified_reps (completeness) and the
+    clique accounting must balance (n_verified = expanded reps +
+    clique pairs is NOT an identity here — inter-clique expansion
+    multiplies — but clique_pairs lower-bounds n_verified)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        containment_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))),
+         (2, " ".join([f"w{i}" for i in range(20)] + ["x1", "x2"])),
+         (3, " ".join(f"w{i}" for i in range(20))),   # clique twin of 1
+         (4, " ".join(f"y{i}" for i in range(15)))],
+        "doc_id long, text string")
+    row = containment_stats(docs).collect()[0]
+    assert row["n_sets"] == 4 and row["n_distinct_sets"] == 3
+    assert row["max_clique"] == 2 and row["clique_pairs"] == 1
+    assert row["n_candidates"] >= row["n_verified_reps"]
+    assert row["n_verified"] >= row["clique_pairs"]
+    # the fixture's two rep pairs (1,2),(... both subset pairs) verify
+    assert row["n_verified_reps"] == 1    # rep pair (1,2) only
+    assert row["n_verified"] == 3         # (1,2),(2,3) expanded + (1,3)
+
+
 def test_ppjoin_clique_expansion(spark):
     """Canonicalize-first must expand duplicate-set cliques exactly:
     3 identical docs (one clique) + 1 near-dup of them + 1 unrelated
