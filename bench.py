@@ -104,6 +104,8 @@ HEADLINE = [
     "knn_triangle_stats",     # wedge-join triangles over the k-NN graph (r10)
     "lm_quality_lift",        # bigram-vs-trigram ranking lift on fixtures (r10)
     "ann_graph_recall",       # greedy graph-walk ANN + exact-topk scoring (r10)
+    "knn_graph_nprobe",       # multi-probe navigable graph construction (r11)
+    "ann_beam_recall",        # greedy-vs-beam measured comparison row (r11)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -143,6 +145,9 @@ SCALE_SUBSET = [
                         # is the open question the judge named
     "ann_graph_search",  # r10: rounds × linear walk — the claim the
                         # curve checks (state never grows)
+    "knn_graph_nprobe",  # r11: multi-probe construction — candidate
+                        # rows scale by nprobe, not nprobe², is the
+                        # claim; same cell-keyed join as knn_graph
     "vocab_topk",
     "decontaminate",
 ]

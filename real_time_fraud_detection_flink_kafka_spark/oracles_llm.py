@@ -2342,6 +2342,11 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "knn_graph": _knn_graph_sql(),
         "ann_graph_search": _graph_search_sql(),
         "ann_graph_recall": _graph_recall_sql(),
+        # r11 navigable-graph rung: multi-probe construction + beam
+        # walk + the measured greedy-vs-beam comparison row
+        "knn_graph_nprobe": _knn_graph_nprobe_sql(),
+        "ann_beam_search": _beam_search_sql_default(),
+        "ann_beam_recall": _beam_recall_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
         # edge, 3-corner unnest, exact ppm floor division
@@ -2516,6 +2521,160 @@ SELECT CAST(count(*) AS INTEGER) AS n_queries,
        CAST(sum(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) * 1000000
             // count(*) AS BIGINT) AS topk_ppm
 FROM j"""
+
+
+def _probe_assign_ctes() -> str:
+    """CTE block ending in `passigned(vec_id, cell, prn)` — mirrors
+    similarity._ivf_probed: the scale-aware two-level candidate chain
+    of _hier_assign_ctes with a top-GRAPH_NPROBE row_number reducer
+    instead of the arn=1 argmax (prn=1 is that argmax to the bit)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        GRAPH_NPROBE,
+    )
+
+    base = _hier_assign_ctes(scale_aware=True)
+    head, _tail = base.split("hassigned AS (", 1)
+    return head + f"""passigned AS (
+  SELECT vec_id, cell, arn AS prn FROM (
+    SELECT vgrp.vec_id, cm.cell,
+           row_number() OVER (PARTITION BY vgrp.vec_id
+             ORDER BY {_cos_sql('ev.v', 'c2.cv')} DESC, cm.cell) AS arn
+    FROM vgrp
+    JOIN cm ON cm.g = vgrp.g
+    JOIN e ev ON ev.vec_id = vgrp.vec_id
+    JOIN c c2 ON c2.cell = cm.cell) t
+  WHERE arn <= {GRAPH_NPROBE}
+)"""
+
+
+def _knn_graph_nprobe_sql() -> str:
+    """Mirrors similarity.knn_graph_nprobe: multi-probe candidates
+    (each vector against the PRIMARY members of its GRAPH_NPROBE best
+    cells), per-vector top-k ordered (cos DESC, lower nbr id)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+    )
+
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+""" + _probe_assign_ctes() + f""",
+mem AS (SELECT vec_id AS nbr_id, cell FROM passigned WHERE prn = 1),
+j AS (
+  SELECT a.vec_id, m.nbr_id, {_cos_sql('ea.v', 'eb.v')} AS cos_raw
+  FROM passigned a JOIN mem m USING (cell)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = m.nbr_id
+  WHERE a.vec_id <> m.nbr_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_raw DESC, nbr_id) AS rnk
+  FROM j
+)
+SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
+       round(cos_raw, 6) AS cos_sim
+FROM r WHERE rnk <= {KNN_K}""")
+
+
+def _beam_search_sql(beam: int) -> str:
+    """Mirror of similarity.ann_beam_search at frontier width `beam`:
+    bidirected MULTI-PROBE knn edges, same fixed entry as the greedy
+    rung, each round a chained materialized CTE — expansion UNION ALL
+    stay, per-(query, cand) max dedup (duplicates are bit-identical),
+    top-beam ordered (cos_raw DESC, lower cand id), raw cosines
+    carried between rounds, rounding only at emission."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        GS_STEPS,
+    )
+
+    rounds = []
+    for r in range(GS_STEPS):
+        rounds.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT query_id, cand_id, max(cos_raw) AS cos_raw FROM (
+    SELECT c.query_id, d.nbr_id AS cand_id,
+           {_cos_sql('q.qv', 'e.v')} AS cos_raw
+    FROM c{r} c
+    JOIN ed d ON d.src = c.node
+    JOIN qs q ON q.query_id = c.query_id
+    JOIN e ON e.vec_id = d.nbr_id
+    WHERE d.nbr_id <> c.query_id
+    UNION ALL
+    SELECT query_id, node, cur_cos FROM c{r}) t
+  GROUP BY 1, 2
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
+  WHERE rn <= {beam}
+)""")
+    return (f"""
+WITH kg AS MATERIALIZED ({_knn_graph_nprobe_sql()}),
+ed AS MATERIALIZED (SELECT vec_id AS src, nbr_id FROM kg
+       UNION SELECT nbr_id, vec_id FROM kg),
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id < {N_QUERIES}),
+c0 AS MATERIALIZED (
+  SELECT q.query_id, s.node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
+  FROM (SELECT query_id,
+               CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS node
+        FROM qs) s
+  JOIN qs q USING (query_id) JOIN e ON e.vec_id = s.node
+)""" + "".join(rounds) + f"""
+SELECT query_id, node AS found_id, round(cur_cos, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cur_cos DESC, node) AS rn FROM c{GS_STEPS})
+WHERE rn = 1""")
+
+
+def _beam_search_sql_default() -> str:
+    """ann_beam_search's registered oracle — the default BEAM_B."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_B,
+    )
+
+    return _beam_search_sql(BEAM_B)
+
+
+def _beam_recall_sql() -> str:
+    """Mirror of similarity.ann_beam_recall: one labeled recall row
+    per method (greedy = beam 1, beam = BEAM_B) over the same graph
+    and exact top-k ranking."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_B,
+    )
+
+    def block(method: str, beam: int) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       CAST(count(*) AS INTEGER) AS n_queries,
+       CAST(sum(CASE WHEN x.rnk = 1 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_top1,
+       CAST(sum(CASE WHEN x.rnk IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_topk,
+       CAST(sum(CASE WHEN x.rnk = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS top1_ppm,
+       CAST(sum(CASE WHEN x.rnk IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS topk_ppm
+FROM ({_beam_search_sql(beam)}) f
+LEFT JOIN xk x ON x.query_id = f.query_id AND x.neighbor_id = f.found_id"""
+
+    return f"""
+WITH ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xk AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+)
+{block('greedy', 1)}
+UNION ALL
+{block('beam', BEAM_B)}"""
 
 
 def _hier_assign_ctes(scale_aware: bool = False) -> str:

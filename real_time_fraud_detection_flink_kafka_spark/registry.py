@@ -298,6 +298,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_triangle_stats": lambda s, d: similarity.knn_triangle_stats(load_table(s, d, "embeddings")),
     "ann_graph_search": lambda s, d: similarity.ann_graph_search(load_table(s, d, "embeddings")),
     "ann_graph_recall": lambda s, d: similarity.ann_graph_recall(load_table(s, d, "embeddings")),
+    "knn_graph_nprobe": lambda s, d: similarity.knn_graph_nprobe(load_table(s, d, "embeddings")),
+    "ann_beam_search": lambda s, d: similarity.ann_beam_search(load_table(s, d, "embeddings")),
+    "ann_beam_recall": lambda s, d: similarity.ann_beam_recall(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
     "ivf_hier_agreement": lambda s, d: similarity.ivf_hier_agreement(load_table(s, d, "embeddings")),
@@ -963,12 +966,17 @@ DRIVER_WINDOW: list[str] = [
     # driver-checked representative: ann_pq_rerank (PQ train + encode
     # + broadcast-ADC shortlist + exact re-rank — the end-to-end
     # compressed-index query a 100 TB deployment actually serves).
-    # The TPC-H family keeps 7 window rows + 15 §2b entries;
-    # q18 stays oracle-parity-gated past the window (and on the
-    # headline + scale benches).
+    # q10_returned_items yielded its slot in r11 to give the k-NN
+    # GRAPH family (knn_graph/_hier/_nprobe, triangles, diversity
+    # samplers, graph/beam walks — r8-r11's largest investment,
+    # previously zero driver rows) a driver-checked representative:
+    # knn_graph itself, the construction every consumer composes
+    # over. The TPC-H family keeps 6 window rows + 16 §2b entries;
+    # q10/q18 stay oracle-parity-gated past the window (q18 also on
+    # the headline + scale benches).
     "q1_pricing_summary", "q2_top_supplier_per_nation",
     "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
-    "merge_upsert", "q10_returned_items",
+    "merge_upsert", "knn_graph",
     "ann_pq_rerank", "q19_discounted_revenue",
     # event analytics
     "session_window_counts", "cube_orders", "event_value_percentiles",

@@ -687,3 +687,78 @@ def test_ann_graph_search_walk_improves_and_recall_bounds(spark, sf_dir):
     assert 0 <= rec["n_top1"] <= rec["n_topk"] <= rec["n_queries"]
     assert rec["top1_ppm"] == rec["n_top1"] * 1_000_000 // rec["n_queries"]
     assert rec["topk_ppm"] == rec["n_topk"] * 1_000_000 // rec["n_queries"]
+
+
+def test_probe1_is_auto_assignment_bitexact(spark, sf_dir):
+    """_ivf_probed's prn=1 row must be _ivf_assigned_auto's cell to
+    the bit — same candidate chain, same (cos DESC, lower cell)
+    order, only the reducer differs (row_number vs max_by)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        _ivf_assigned_auto,
+        _ivf_probed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    auto = _ivf_assigned_auto(emb).select("vec_id", "cell")
+    p1 = (_ivf_probed(emb).where(F.col("prn") == 1)
+          .select("vec_id", F.col("cell").alias("pcell")))
+    j = auto.join(p1, "vec_id")
+    assert j.count() == emb.count()
+    assert j.where(F.col("cell") != F.col("pcell")).count() == 0
+
+
+def test_knn_graph_nprobe_structure(spark, sf_dir):
+    """Multi-probe graph contract: per-vector ranks are 1..k dense
+    with no duplicate (vec, nbr) pair, no self-edge, and the edge set
+    is a SUPERSET-or-equal improvement in within-graph quality: every
+    vector's top-1 multi-probe neighbor cosine >= its top-1
+    single-probe neighbor cosine (the probe-1 candidates are a subset
+    of the probe-2 candidates)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_nprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_nprobe(emb)
+    rows = g.collect()
+    assert all(r["vec_id"] != r["nbr_id"] for r in rows)
+    seen = {(r["vec_id"], r["nbr_id"]) for r in rows}
+    assert len(seen) == len(rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r["vec_id"], []).append(r["rnk"])
+    for v, rnks in per.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+    top1_multi = {r["vec_id"]: r["cos_sim"] for r in rows if r["rnk"] == 1}
+    top1_single = {r["vec_id"]: r["cos_sim"]
+                   for r in knn_graph(emb).collect() if r["rnk"] == 1}
+    for v, c in top1_single.items():
+        assert top1_multi[v] >= c - 1e-9
+
+
+def test_beam_width_one_is_greedy_and_recall_lift(spark, sf_dir):
+    """ann_beam_search at beam=1 must equal the greedy walk over the
+    same multi-probe graph (ann_beam_recall's baseline row is exactly
+    that), and the recall relation the rung exists for must hold on
+    this corpus: beam >= greedy on BOTH counters. NOT a theorem — a
+    beam can in principle drop a mediocre node whose neighborhood
+    hides the answer — but it is the measured property the r11
+    verdict asked for; if a graph/walk change regresses it, this
+    test should go red."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ann_beam_recall,
+        ann_beam_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = sorted((r["query_id"], r["found_id"], r["cos_sim"])
+                 for r in ann_beam_search(emb, beam=1).collect())
+    assert len(one) == N_QUERIES
+    rec = {r["method"]: r for r in ann_beam_recall(emb).collect()}
+    assert set(rec) == {"greedy", "beam"}
+    for m in rec.values():
+        assert 0 <= m["n_top1"] <= m["n_topk"] <= m["n_queries"] == N_QUERIES
+    assert rec["beam"]["n_topk"] >= rec["greedy"]["n_topk"]
+    assert rec["beam"]["n_top1"] >= rec["greedy"]["n_top1"]
