@@ -1018,12 +1018,14 @@ def dedup_ppjoin(documents: DataFrame,
     Jaccard contract, next to the probabilistic `dedup_minhash_lsh`:
     any pair with Jaccard ≥ τ must share at least one token in each
     set's PREFIX (its p = s − ⌈τ·s⌉ + 1 rarest tokens under one
-    global total order), so candidates come from a self-join keyed
-    only on RARE tokens — the common tokens that make the naive
-    shingle self-join quadratic never enter the join. Identical
-    output to `dedup_ngram_jaccard` by the prefix-filtering
-    completeness theorem (equivalence pytest-pinned; shares its
-    oracle).
+    global total order) — and, since r11, at least TWO tokens in each
+    set's EXTENDED (p+1) prefix whenever the forced overlap
+    c_req = ⌈τ·(s_a+s_b)/(1+τ)⌉ is ≥ 2 (the 2-evidence theorem, see
+    `_ppjoin_parts`) — so candidates come from a self-join keyed only
+    on RARE tokens with the single-shared-rare-token noise pairs
+    filtered before any array is shuffled. Identical output to
+    `dedup_ngram_jaccard` by the prefix-filtering completeness
+    theorem (equivalence pytest-pinned; shares its oracle).
 
     Scale shape: token df is one vocab-bounded combinable groupBy;
     the global token order is (df, sh_h) — NO global rank/sort, each
@@ -1146,9 +1148,25 @@ def _ppjoin_parts(documents: DataFrame,
     dfr = sh.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
     shd = sh.join(dfr, "sh_h")
     w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
-    # p = s − ⌈τ·s⌉ + 1 with ⌈num·s/den⌉ = (num·s + den − 1) div den
+    # EXTENDED prefix (r11): p2 = p + 1 = s − ⌈τ·s⌉ + 2 (capped at s),
+    # with ⌈num·s/den⌉ = (num·s + den − 1) div den. One token past the
+    # classic PPJoin prefix buys the 2-EVIDENCE pair filter below —
+    # the same theorem that cut dedup_containment's measured candidate
+    # amplification: let c_req = ⌈num·(n_a+n_b)/(num+den)⌉ be the
+    # overlap Jaccard ≥ num/den forces, and w1 < w2 the globally
+    # first/second common tokens under the one (df, sh_h) order. The
+    # size filter gives num·n_x ≤ den·n_y both ways, so
+    # c_req ≥ ⌈num·n_x/den⌉ for BOTH sides; if w2 (exists iff
+    # c_req ≥ 2) were outside either EXTENDED prefix, the commons
+    # besides w1 would fit in that side's n − p2 = ⌈num·n/den⌉ − 2
+    # suffix slots — contradiction. So every qualifying pair shows
+    # BOTH evidence rows in the ext-prefix×ext-prefix join, and the
+    # pair filter may demand ov ≥ min(2, c_req) matched rows — which
+    # kills the pairs sharing exactly ONE rare token, the class the
+    # r10 100× bench measured as 71M candidates for 24.3M output
+    # pairs ahead of the array-verify shuffle (the 100× cost center).
     prefix_len = F.expr(
-        f"n_sh - (({num} * n_sh + {den - 1}) div {den}) + 1")
+        f"least(n_sh, n_sh - (({num} * n_sh + {den - 1}) div {den}) + 2)")
     prefix = (shd.withColumn("rn", F.row_number().over(w))
                  .where(F.col("rn") <= prefix_len)
                  .select("doc_id", "sh_h", "n_sh", "rn"))
@@ -1156,28 +1174,27 @@ def _ppjoin_parts(documents: DataFrame,
                       F.col("n_sh").alias("n_a"), F.col("rn").alias("rn_a"))
     b = prefix.select(F.col("doc_id").alias("doc_b"), "sh_h",
                       F.col("n_sh").alias("n_b"), F.col("rn").alias("rn_b"))
-    # POSITIONAL FILTER (Xiao et al. WWW'08 §3.2): both prefixes are
-    # sorted under the same (df, sh_h) global order, so the shared
-    # prefix token with MIN positions (i*, j*) — min(rn_a) and
-    # min(rn_b) land on the same token because both rankings restrict
-    # one total order — is the globally FIRST common token of the two
-    # sets; every other common token sits after it in BOTH lists,
-    # hence |common| ≤ 1 + min(n_a − i*, n_b − j*). Jaccard ≥ num/den
-    # needs |common|·(num+den) ≥ num·(n_a+n_b), so pairs whose bound
-    # can't reach it are pruned BEFORE the array-verify join — the
-    # stage whose candidate×2-arrays shuffle is the 100× cost center.
-    # The groupBy replaces the old `.distinct()` (same shuffle shape,
-    # hash-agg with map-side partial combine instead of sort-unique).
+    # POSITIONAL FILTER (Xiao et al. WWW'08 §3.2), unchanged: min
+    # matched positions land on the globally FIRST common token (both
+    # rankings restrict one total order, and w1 is matched — it sits
+    # inside both classic prefixes, hence both extended ones), so
+    # |common| ≤ 1 + min(n_a − i*, n_b − j*). The groupBy is the same
+    # map-side-combinable shuffle as before, now also counting the
+    # matched evidence rows (ov).
+    c_req = F.expr(f"(({num} * (n_a + n_b) + {num + den - 1})"
+                   f" div {num + den})")
     cand = (a.join(b, "sh_h")
              .where((F.col("doc_a") < F.col("doc_b"))
                     & (den * F.least("n_a", "n_b")
                        >= num * F.greatest("n_a", "n_b")))
              .groupBy("doc_a", "doc_b", "n_a", "n_b")
-             .agg(F.min("rn_a").alias("i1"), F.min("rn_b").alias("j1"))
-             .where((num + den)
-                    * (1 + F.least(F.col("n_a") - F.col("i1"),
-                                   F.col("n_b") - F.col("j1")))
-                    >= num * (F.col("n_a") + F.col("n_b")))
+             .agg(F.min("rn_a").alias("i1"), F.min("rn_b").alias("j1"),
+                  F.count(F.lit(1)).alias("ov"))
+             .where(((num + den)
+                     * (1 + F.least(F.col("n_a") - F.col("i1"),
+                                    F.col("n_b") - F.col("j1")))
+                     >= num * (F.col("n_a") + F.col("n_b")))
+                    & (F.col("ov") >= F.least(F.lit(2), c_req)))
              .select("doc_a", "doc_b", "n_a", "n_b"))
     sa = grp.select(F.col("rep").alias("doc_a"),
                     F.col("hset").alias("set_a"))
@@ -1204,9 +1221,11 @@ def ppjoin_stats(documents: DataFrame,
 
     - the per-distinct-set filter cost: n_token_rows vs n_prefix_rows
       (the candidate join only ever keys on the prefix fraction,
-      prefix_ppm) and n_candidates → n_verified_reps, all measured
-      over one representative per distinct shingle set — constant
-      per replica under content duplication;
+      prefix_ppm; since r11 the prefix is the EXTENDED p+1 prefix
+      that buys the 2-evidence pair filter) and n_candidates →
+      n_verified_reps, all measured over one representative per
+      distinct shingle set — constant per replica under content
+      duplication;
     - the OUTPUT-driven term: n_sets vs n_distinct_sets, max_clique,
       and clique_pairs = Σ C(m,2) — the exact-duplicate pair floor
       that grows quadratically in the copy count and lower-bounds

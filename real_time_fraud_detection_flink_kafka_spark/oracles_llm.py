@@ -428,18 +428,20 @@ pre AS (
            row_number() OVER (PARTITION BY r.doc_id
              ORDER BY d.df, r.sh_h) AS rn
     FROM rsh r JOIN dfr d USING (sh_h))
-  WHERE rn <= n_sh - (({_pp_n} * n_sh + {_pp_d_less1}) // {_pp_d}) + 1
+  WHERE rn <= least(n_sh,
+                    n_sh - (({_pp_n} * n_sh + {_pp_d_less1}) // {_pp_d}) + 2)
 ),
 cand AS (
   SELECT doc_a, doc_b, n_a, n_b
   FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.n_sh AS n_a, b.n_sh AS n_b,
-           min(a.rn) AS i1, min(b.rn) AS j1
+           min(a.rn) AS i1, min(b.rn) AS j1, count(*) AS ov
     FROM pre a JOIN pre b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
     WHERE {_pp_d} * least(a.n_sh, b.n_sh) >= {_pp_n} * greatest(a.n_sh, b.n_sh)
     GROUP BY 1, 2, 3, 4)
   WHERE {_pp_nd} * (1 + least(n_a - i1, n_b - j1)) >= {_pp_n} * (n_a + n_b)
+    AND ov >= least(2, ({_pp_n} * (n_a + n_b) + {_pp_nd} - 1) // {_pp_nd})
 ),
 vreps AS (
   SELECT c.doc_a, c.doc_b
