@@ -106,6 +106,7 @@ HEADLINE = [
     "ann_graph_recall",       # greedy graph-walk ANN + exact-topk scoring (r10)
     "knn_graph_nprobe",       # multi-probe navigable graph construction (r11)
     "ann_beam_recall",        # greedy-vs-beam measured comparison row (r11)
+    "ann_beam_topk_recall",   # beam-served top-k set recall@5 (r11)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -125,6 +126,9 @@ SCALE_SUBSET = [
     "ann_pq_rerank",
     "ann_sq8",        # r8: a quantizer on the curve — "Lloyd/train
                       # overhead amortizes" is measured, not argued
+    "lm_quality_lift",  # r11: two full split-trained scorers over the
+                        # fixture-union population — the r10 verdict
+                        # asked for its curve row
     "dedup_substring",  # r8: the skew-hardened occurrence count, measured
     "dedup_ppjoin",     # r8: prefix filtering — the rare-token join, measured
     "dedup_containment",  # r11: asymmetric near-subset join — no size

@@ -1232,36 +1232,13 @@ def _beam_nav_edges(embeddings: DataFrame, k: int = KNN_K,
            .select(F.col("vec_id").alias("src"), "nbr_id", "nv", "n_norm"))
 
 
-def ann_beam_search(embeddings: DataFrame, steps: int = GS_STEPS,
-                    n_queries: int = N_QUERIES,
-                    beam: int = BEAM_B) -> DataFrame:
-    """Deterministic BEAM graph-walk ANN — `ann_graph_search`'s greedy
-    hill-climb generalized to a width-`beam` frontier (what HNSW's
-    ef-search parameter buys, Malkov & Yashunin 2018 §4), walking the
-    MULTI-PROBE k-NN graph (`knn_graph_nprobe` — the connected
-    navigation structure; see there for why the single-cell graph
-    cannot be walked out of the entry's island): each round expands
-    every frontier node's neighbors, dedups candidates per query, and
-    keeps the `beam` best (cos DESC, lower id) — the search no longer
-    commits to one path, so single-step local maxima stop terminating
-    it. beam=1 is exactly the greedy walk over the same graph; that
-    IS the baseline row `ann_beam_recall` measures the lift against
-    (measured at sf0.01: greedy topk 5/10 -> beam=4 topk 10/10 with
-    ~15%% of the corpus scored).
-
-    Scale shape: identical to the greedy walk with the state beam×
-    larger — the navigation structure is one persisted bidirected
-    edge relation; each round is ONE broadcast of ≤ beam·n_queries
-    frontier rows against it plus a bounded per-query top-beam window
-    over ≤ beam·(2k+1)·n_queries candidate rows. Rounds × linear, and
-    the frontier never grows past beam·n_queries.
-
-    Determinism: same fixed entry as the greedy rung, candidate dedup
-    via per-(query, cand) max — duplicate rows carry bit-identical
-    cosines (pure function of the pair) so the max is the value
-    itself — every ranking ordered (cos_raw DESC, cand_id ASC), raw
-    cosines carried between rounds, rounding only at emission; the
-    oracle replays each round as a chained materialized CTE."""
+def _beam_frontier(embeddings: DataFrame, steps: int,
+                   n_queries: int, beam: int) -> DataFrame:
+    """The beam walk's final frontier — ≤ beam rows per query of
+    (query_id, qv, q_norm, node, cur_cos) after `steps` rounds over
+    the multi-probe navigation graph. Shared by `ann_beam_search`
+    (emits the best row) and `ann_beam_topk` (emits the k best —
+    the frontier IS the result heap, as in HNSW's ef-search)."""
     from pyspark.sql import Window
 
     ev = _vecs(embeddings)
@@ -1308,12 +1285,106 @@ def ann_beam_search(embeddings: DataFrame, steps: int = GS_STEPS,
                        F.col("cand_id").alias("node"),
                        F.col("cos_raw").alias("cur_cos"))
                .localCheckpoint(eager=True))
+    return cur
+
+
+def ann_beam_search(embeddings: DataFrame, steps: int = GS_STEPS,
+                    n_queries: int = N_QUERIES,
+                    beam: int = BEAM_B) -> DataFrame:
+    """Deterministic BEAM graph-walk ANN — `ann_graph_search`'s greedy
+    hill-climb generalized to a width-`beam` frontier (what HNSW's
+    ef-search parameter buys, Malkov & Yashunin 2018 §4), walking the
+    MULTI-PROBE k-NN graph (`knn_graph_nprobe` — the connected
+    navigation structure; see there for why the single-cell graph
+    cannot be walked out of the entry's island): each round expands
+    every frontier node's neighbors, dedups candidates per query, and
+    keeps the `beam` best (cos DESC, lower id) — the search no longer
+    commits to one path, so single-step local maxima stop terminating
+    it. beam=1 is exactly the greedy walk over the same graph; that
+    IS the baseline row `ann_beam_recall` measures the lift against
+    (measured at sf0.01: greedy topk 5/10 -> beam=4 topk 10/10 with
+    ~15%% of the corpus scored).
+
+    Scale shape: identical to the greedy walk with the state beam×
+    larger — the navigation structure is one persisted bidirected
+    edge relation; each round is ONE broadcast of ≤ beam·n_queries
+    frontier rows against it plus a bounded per-query top-beam window
+    over ≤ beam·(2k+1)·n_queries candidate rows. Rounds × linear, and
+    the frontier never grows past beam·n_queries.
+
+    Determinism: same fixed entry as the greedy rung, candidate dedup
+    via per-(query, cand) max — duplicate rows carry bit-identical
+    cosines (pure function of the pair) so the max is the value
+    itself — every ranking ordered (cos_raw DESC, cand_id ASC), raw
+    cosines carried between rounds, rounding only at emission; the
+    oracle replays each round as a chained materialized CTE."""
+    from pyspark.sql import Window
+
+    cur = _beam_frontier(embeddings, steps, n_queries, beam)
     wbest = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
                                                    F.asc("node"))
     return (cur.withColumn("_rn", F.row_number().over(wbest))
                .where(F.col("_rn") == 1)
                .select("query_id", F.col("node").alias("found_id"),
                        F.round("cur_cos", 6).alias("cos_sim")))
+
+
+BEAM_EF = 8
+
+
+def ann_beam_topk(embeddings: DataFrame, k: int = TOP_K,
+                  steps: int = GS_STEPS, n_queries: int = N_QUERIES,
+                  beam: int = BEAM_EF) -> DataFrame:
+    """TOP-K serving from the beam frontier — what an ANN index
+    actually answers (`ann_topk`'s schema, approximately): run the
+    beam walk with frontier width `beam` ≥ k (HNSW serves top-k from
+    its ef ≥ k result heap the same way, Malkov & Yashunin 2018
+    §Alg.5) and emit each query's k best frontier rows as
+    (query_id, neighbor_id, rnk, cos_sim). `ann_beam_topk_recall`
+    measures set recall@k against the exact ranking — the standard
+    ANN serving metric, not just best-endpoint membership.
+
+    Scale shape: exactly `ann_beam_search` (the frontier IS the
+    result heap — no extra pass); emission is one bounded per-query
+    window over ≤ beam·n_queries rows."""
+    from pyspark.sql import Window
+
+    if beam < k:
+        raise ValueError(f"beam ({beam}) must be >= k ({k})")
+    cur = _beam_frontier(embeddings, steps, n_queries, beam)
+    wbest = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
+                                                   F.asc("node"))
+    return (cur.withColumn("rnk", F.row_number().over(wbest))
+               .where(F.col("rnk") <= k)
+               .select("query_id", F.col("node").alias("neighbor_id"),
+                       F.col("rnk").cast("int").alias("rnk"),
+                       F.round("cur_cos", 6).alias("cos_sim")))
+
+
+def ann_beam_topk_recall(embeddings: DataFrame, k: int = TOP_K,
+                         steps: int = GS_STEPS,
+                         n_queries: int = N_QUERIES,
+                         beam: int = BEAM_EF) -> DataFrame:
+    """Set recall@k of the beam-served top-k vs the exact ranking:
+    |found ∩ exact top-k| summed over queries, as exact integers and
+    one ppm floor division — the honesty row the serving path owes
+    (best-endpoint membership alone overstates an index that finds
+    one good neighbor and pads the rest)."""
+    found = ann_beam_topk(embeddings, k, steps, n_queries, beam)
+    exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"))
+    hit = found.join(
+        exact, (F.col("query_id") == F.col("eq"))
+        & (F.col("neighbor_id") == F.col("en")), "left_semi")
+    n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    n_q = found.agg(
+        F.countDistinct("query_id").cast("int").alias("n_queries"))
+    return (n_hits.crossJoin(F.broadcast(n_q))
+            .select("n_queries",
+                    F.lit(int(k)).alias("k"),
+                    "n_hits",
+                    F.expr(f"n_hits * 1000000 div (n_queries * {int(k)})")
+                     .cast("bigint").alias("recall_ppm")))
 
 
 def _walk_recall(found: DataFrame, exact: DataFrame,

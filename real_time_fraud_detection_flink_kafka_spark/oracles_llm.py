@@ -2349,6 +2349,8 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "knn_graph_nprobe": _knn_graph_nprobe_sql(),
         "ann_beam_search": _beam_search_sql_default(),
         "ann_beam_recall": _beam_recall_sql(),
+        "ann_beam_topk": _beam_topk_sql(),
+        "ann_beam_topk_recall": _beam_topk_recall_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
         # edge, 3-corner unnest, exact ppm floor division
@@ -2578,13 +2580,15 @@ SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk,
 FROM r WHERE rnk <= {KNN_K}""")
 
 
-def _beam_search_sql(beam: int) -> str:
+def _beam_search_sql(beam: int, topk: int | None = None) -> str:
     """Mirror of similarity.ann_beam_search at frontier width `beam`:
     bidirected MULTI-PROBE knn edges, same fixed entry as the greedy
     rung, each round a chained materialized CTE — expansion UNION ALL
     stay, per-(query, cand) max dedup (duplicates are bit-identical),
     top-beam ordered (cos_raw DESC, lower cand id), raw cosines
-    carried between rounds, rounding only at emission."""
+    carried between rounds, rounding only at emission. With `topk`
+    set, mirrors ann_beam_topk instead: the k best frontier rows per
+    query as (query_id, neighbor_id, rnk, cos_sim)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         GS_STEPS,
     )
@@ -2625,10 +2629,67 @@ c0 AS MATERIALIZED (
         FROM qs) s
   JOIN qs q USING (query_id) JOIN e ON e.vec_id = s.node
 )""" + "".join(rounds) + f"""
+{_beam_emit_sql(topk)}""")
+
+
+def _beam_emit_sql(topk: int | None) -> str:
+    """Final emission clause for _beam_search_sql (f-string helper —
+    c{GS_STEPS} is the last round's frontier)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        GS_STEPS,
+    )
+
+    if topk is None:
+        return f"""
 SELECT query_id, node AS found_id, round(cur_cos, 6) AS cos_sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY cur_cos DESC, node) AS rn FROM c{GS_STEPS})
-WHERE rn = 1""")
+WHERE rn = 1"""
+    return f"""
+SELECT query_id, node AS neighbor_id, CAST(rn AS INTEGER) AS rnk,
+       round(cur_cos, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cur_cos DESC, node) AS rn FROM c{GS_STEPS})
+WHERE rn <= {topk}"""
+
+
+def _beam_topk_sql() -> str:
+    """ann_beam_topk's oracle: the BEAM_EF-wide frontier's TOP_K best
+    rows per query."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+    )
+
+    return _beam_search_sql(BEAM_EF, topk=TOP_K)
+
+
+def _beam_topk_recall_sql() -> str:
+    """ann_beam_topk_recall's oracle: set recall@k of the beam-served
+    top-k vs the exact ranking — integer hits + one ppm floor div."""
+    return f"""
+WITH f AS MATERIALIZED ({_beam_topk_sql()}),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+)
+SELECT CAST((SELECT count(DISTINCT query_id) FROM f) AS INTEGER)
+         AS n_queries,
+       {TOP_K} AS k,
+       CAST((SELECT count(*) FROM f
+             JOIN xk ON xk.query_id = f.query_id
+                    AND xk.neighbor_id = f.neighbor_id) AS INTEGER)
+         AS n_hits,
+       CAST((SELECT count(*) FROM f
+             JOIN xk ON xk.query_id = f.query_id
+                    AND xk.neighbor_id = f.neighbor_id) * 1000000
+            // ((SELECT count(DISTINCT query_id) FROM f) * {TOP_K})
+            AS BIGINT) AS recall_ppm"""
 
 
 def _beam_search_sql_default() -> str:

@@ -762,3 +762,46 @@ def test_beam_width_one_is_greedy_and_recall_lift(spark, sf_dir):
         assert 0 <= m["n_top1"] <= m["n_topk"] <= m["n_queries"] == N_QUERIES
     assert rec["beam"]["n_topk"] >= rec["greedy"]["n_topk"]
     assert rec["beam"]["n_top1"] >= rec["greedy"]["n_top1"]
+
+
+def test_beam_topk_serving_contract(spark, sf_dir):
+    """ann_beam_topk serves ann_topk's shape from the beam frontier:
+    k dense ranks per query ordered by cos, no self, no duplicate
+    neighbor; recall row counts |found ∩ exact| with an exact ppm;
+    and the best-endpoint consistency holds — rank-1 of the served
+    top-k IS ann_beam_search's found_id at the same width."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        N_QUERIES,
+        TOP_K,
+        ann_beam_search,
+        ann_beam_topk,
+        ann_beam_topk_recall,
+    )
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ann_beam_topk(emb).collect()
+    per = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per.setdefault(r["query_id"], []).append(r)
+    assert len(per) == N_QUERIES
+    for q, rs in per.items():
+        assert sorted(x["rnk"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x["neighbor_id"] for x in rs}) == len(rs)
+        ordered = sorted(rs, key=lambda x: x["rnk"])
+        assert all(a["cos_sim"] >= b["cos_sim"]
+                   for a, b in zip(ordered, ordered[1:]))
+    best = {r["query_id"]: r["neighbor_id"]
+            for r in rows if r["rnk"] == 1}
+    search = {r["query_id"]: r["found_id"]
+              for r in ann_beam_search(emb, beam=BEAM_EF).collect()}
+    assert best == search
+    rec = ann_beam_topk_recall(emb).collect()[0]
+    assert rec["k"] == TOP_K and rec["n_queries"] == N_QUERIES
+    assert 0 <= rec["n_hits"] <= rec["n_queries"] * rec["k"]
+    assert rec["recall_ppm"] == (rec["n_hits"] * 1_000_000
+                                 // (rec["n_queries"] * rec["k"]))
+    with pytest.raises(ValueError):
+        ann_beam_topk(emb, k=TOP_K, beam=TOP_K - 1)
