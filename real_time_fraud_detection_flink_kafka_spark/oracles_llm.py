@@ -2351,6 +2351,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "ann_beam_recall": _beam_recall_sql(),
         "ann_beam_topk": _beam_topk_sql(),
         "ann_beam_topk_recall": _beam_topk_recall_sql(),
+        "ann_beam_curve": _beam_curve_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
         # edge, 3-corner unnest, exact ppm floor division
@@ -2690,6 +2691,43 @@ SELECT CAST((SELECT count(DISTINCT query_id) FROM f) AS INTEGER)
                     AND xk.neighbor_id = f.neighbor_id) * 1000000
             // ((SELECT count(DISTINCT query_id) FROM f) * {TOP_K})
             AS BIGINT) AS recall_ppm"""
+
+
+def _beam_curve_sql() -> str:
+    """ann_beam_curve's oracle: one labeled recall row per beam width
+    (BEAM_CURVE) over the same graph and exact top-k ranking."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_CURVE,
+    )
+
+    def block(beam: int) -> str:
+        return f"""
+SELECT {beam} AS beam,
+       CAST(count(*) AS INTEGER) AS n_queries,
+       CAST(sum(CASE WHEN x.rnk = 1 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_top1,
+       CAST(sum(CASE WHEN x.rnk IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_topk,
+       CAST(sum(CASE WHEN x.rnk = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS top1_ppm,
+       CAST(sum(CASE WHEN x.rnk IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS topk_ppm
+FROM ({_beam_search_sql(beam)}) f
+LEFT JOIN xk x ON x.query_id = f.query_id AND x.neighbor_id = f.found_id"""
+
+    blocks = "\nUNION ALL\n".join(block(b) for b in BEAM_CURVE)
+    return f"""
+WITH ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xk AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+)
+{blocks}"""
 
 
 def _beam_search_sql_default() -> str:
