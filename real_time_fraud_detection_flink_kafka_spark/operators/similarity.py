@@ -1233,20 +1233,27 @@ def _beam_nav_edges(embeddings: DataFrame, k: int = KNN_K,
 
 
 def _beam_frontier(embeddings: DataFrame, steps: int,
-                   n_queries: int, beam: int) -> DataFrame:
+                   n_queries: int, beam: int,
+                   queries: DataFrame | None = None,
+                   edges: DataFrame | None = None) -> DataFrame:
     """The beam walk's final frontier — ≤ beam rows per query of
     (query_id, qv, q_norm, node, cur_cos) after `steps` rounds over
     the multi-probe navigation graph. Shared by `ann_beam_search`
-    (emits the best row) and `ann_beam_topk` (emits the k best —
-    the frontier IS the result heap, as in HNSW's ef-search)."""
+    (emits the best row), `ann_beam_topk` (emits the k best — the
+    frontier IS the result heap, as in HNSW's ef-search), and the
+    streaming serving twin (which passes each micro-batch's rows as
+    `queries` and the PREBUILT persisted edge relation as `edges` —
+    index construction must not re-run per batch)."""
     from pyspark.sql import Window
 
     ev = _vecs(embeddings)
-    q = (ev.where(F.col("vec_id") < n_queries)
+    q = (queries if queries is not None else
+         ev.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("v").alias("qv"), F.col("v_norm").alias("q_norm")))
     entry = F.when(F.col("query_id") == 0, F.lit(1)).otherwise(F.lit(0))
-    edges = _beam_nav_edges(embeddings)
+    if edges is None:
+        edges = _beam_nav_edges(embeddings)
     ent = q.withColumn("node", entry)
     cur = (ev.join(F.broadcast(ent), ev["vec_id"] == ent["node"])
              .select("query_id", "qv", "q_norm", "node",
@@ -1334,7 +1341,9 @@ BEAM_EF = 8
 
 def ann_beam_topk(embeddings: DataFrame, k: int = TOP_K,
                   steps: int = GS_STEPS, n_queries: int = N_QUERIES,
-                  beam: int = BEAM_EF) -> DataFrame:
+                  beam: int = BEAM_EF,
+                  queries: DataFrame | None = None,
+                  edges: DataFrame | None = None) -> DataFrame:
     """TOP-K serving from the beam frontier — what an ANN index
     actually answers (`ann_topk`'s schema, approximately): run the
     beam walk with frontier width `beam` ≥ k (HNSW serves top-k from
@@ -1351,7 +1360,8 @@ def ann_beam_topk(embeddings: DataFrame, k: int = TOP_K,
 
     if beam < k:
         raise ValueError(f"beam ({beam}) must be >= k ({k})")
-    cur = _beam_frontier(embeddings, steps, n_queries, beam)
+    cur = _beam_frontier(embeddings, steps, n_queries, beam,
+                         queries=queries, edges=edges)
     wbest = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
                                                    F.asc("node"))
     return (cur.withColumn("rnk", F.row_number().over(wbest))

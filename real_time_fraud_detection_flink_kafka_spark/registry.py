@@ -655,6 +655,24 @@ register("stream_mv_maintain", _stream_mv,
          _ANALYTICS_ORACLES["mv_maintain"])
 
 
+def _stream_beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_beam_serve_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_beam_serve_stream(
+        spark, sf_dir, query_name=f"beam_serve_{_STREAM_COUNTER['n']}")
+
+
+# index built once from the static corpus, query stream answered per
+# micro-batch via foreachBatch (the walk is iterative — see the
+# runner); per-query determinism makes the drain batching-invariant,
+# so it shares ann_beam_topk's oracle exactly
+register("stream_ann_beam_topk", _stream_beam_serve,
+         _LLM_ORACLES["ann_beam_topk"])
+
+
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_pii_scrub_stream,

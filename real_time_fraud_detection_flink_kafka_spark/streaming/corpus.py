@@ -557,3 +557,67 @@ def run_gopher_rules_stream(spark, sf_dir: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_beam_serve_stream(spark, sf_dir: str,
+                          query_name: str = "beam_serve_stream") -> DataFrame:
+    """Query-stream SERVING path for the navigable-graph ANN index —
+    what an index deployment actually runs: the multi-probe edge
+    relation is built ONCE from the static corpus (and stays
+    persisted across batches — construction never re-runs), then each
+    micro-batch of arriving query vectors is answered with the beam
+    walk's top-k.
+
+    The beam walk is ITERATIVE (rounds of broadcast joins with a
+    localCheckpoint per round), which Structured Streaming's
+    incremental planner cannot express as one streaming plan — so
+    this twin uses foreachBatch, the supported run-a-full-batch-plan-
+    per-micro-batch escape hatch (same shape as the alert router and
+    the JDBC sink), appending each batch's answers to a parquet sink.
+    The drained result equals batch `ann_beam_topk` exactly for the
+    same query set (shared oracle): the walk is per-query
+    deterministic, so batching queries differently cannot change any
+    row."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        _beam_nav_edges,
+        _vecs,
+        ann_beam_topk,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = _beam_nav_edges(emb)  # the INDEX: built once, persisted
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{query_name}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "answers")
+
+    def serve(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        qrel = _vecs(batch_df).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"), F.col("v_norm").alias("q_norm"))
+        (ann_beam_topk(emb, queries=qrel, edges=edges)
+         .write.mode("append").parquet(out_dir))
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir)
+              .where(F.col("vec_id") < N_QUERIES))
+    q = (stream.writeStream.foreachBatch(serve)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "_chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -90,3 +90,26 @@ def test_scd2_stream_equals_batch_closed_rows(spark, sf_dir):
     n_users = batch.select("user_id").distinct().count()
     assert n_open == n_users  # exactly one open version per user
     assert n_users_closed <= n_users
+
+
+def test_beam_serve_stream_equals_batch(spark, sf_dir):
+    """The query-stream serving drain must equal batch ann_beam_topk
+    row-for-row: the index is static, the walk is per-query
+    deterministic, so batching cannot change any answer."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_beam_topk,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_beam_serve_stream,
+    )
+
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+        for r in run_beam_serve_stream(spark, sf_dir,
+                                       "beam_serve_eqtest").collect())
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+        for r in ann_beam_topk(load_table(spark, sf_dir,
+                                          "embeddings")).collect())
+    assert got == want and len(got) > 0

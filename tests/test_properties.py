@@ -76,3 +76,88 @@ def test_fsum_partition_invariant_and_engine_exact(spark, micros):
         "FROM t").fetchone()[0]
     con.close()
     assert one == many == want
+
+
+# ---------------------------------------------------------------------------
+# 2-evidence prefix-filter completeness (r11): the extended-prefix
+# candidate filters in dedup_ppjoin and dedup_containment must be
+# COMPLETE against the quadratic contract on adversarial corpora —
+# dense shared vocab (lots of near-miss pairs), tiny sets (the
+# c_req < 2 edges), exact duplicates (clique expansion), and ties.
+
+_WORDS = [f"w{i}" for i in range(12)]  # small vocab => dense sharing
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for i in range(n_docs):
+        n_words = draw(st.integers(min_value=3, max_value=10))
+        words = [ _WORDS[draw(st.integers(0, len(_WORDS) - 1))]
+                  for _ in range(n_words) ]
+        docs.append((i, " ".join(words)))
+    if draw(st.booleans()) and len(docs) >= 2:
+        # plant an exact duplicate set (clique path)
+        docs[-1] = (docs[-1][0], docs[0][1])
+    return docs
+
+
+def _truth_pairs(spark, docs, measure):
+    """Quadratic ground truth over the same shingle-hash sets."""
+    from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        shingle_sets,
+        spread,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hs = {r["doc_id"]: set(r["hset"]) for r in
+          shingle_sets(spread(df)).select(
+              "doc_id",
+              F.transform("sh_set", lambda s: H.md5_int60(s)).alias("hset"))
+          .collect()}
+    out = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not hs[a] or not hs[b]:
+                continue
+            inter = len(hs[a] & hs[b])
+            if measure == "jaccard":
+                sim = round(inter / (len(hs[a]) + len(hs[b]) - inter), 6)
+                from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+                    JACCARD_THRESHOLD as tau,
+                )
+            else:
+                sim = round(inter / min(len(hs[a]), len(hs[b])), 6)
+                from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+                    CONTAIN_THRESHOLD as tau,
+                )
+            if sim >= tau:
+                out[(a, b)] = sim
+    return out
+
+
+@given(_corpus())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_evidence_filters_complete_on_random_corpora(spark, docs):
+    """dedup_ppjoin == Jaccard quadratic truth and dedup_containment
+    == containment quadratic truth on hypothesis-generated corpora
+    with dense vocabulary sharing — the adversarial class for prefix
+    filtering (many pairs share exactly one or two rare tokens, sets
+    are tiny enough to hit every c_req edge case)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ppjoin,
+    )
+
+    got_j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup_ppjoin(spark.createDataFrame(
+                 docs, "doc_id long, text string")).collect()}
+    assert got_j == _truth_pairs(spark, docs, "jaccard")
+    got_c = {(r["doc_a"], r["doc_b"]): r["containment"]
+             for r in dedup_containment(spark.createDataFrame(
+                 docs, "doc_id long, text string")).collect()}
+    assert got_c == _truth_pairs(spark, docs, "containment")
