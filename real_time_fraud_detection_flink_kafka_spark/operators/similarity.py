@@ -1221,6 +1221,46 @@ def knn_graph_nprobe(embeddings: DataFrame, k: int = KNN_K,
                     F.round("cos_raw", 6).alias("cos_sim")))
 
 
+def nav_graph_stats(embeddings: DataFrame, k: int = KNN_K,
+                    nprobe: int = GRAPH_NPROBE) -> DataFrame:
+    """The navigability claim as a MEASURED, oracle-checked row: the
+    r10 single-probe graph failed because no edge crossed a cell
+    boundary (walks were trapped on the entry's island); multi-probe
+    construction exists to create those crossings. This row counts
+    them instead of asserting them: per graph (single-probe
+    `knn_graph` vs multi-probe `knn_graph_nprobe`), the edge count
+    and how many edges join vectors whose PRIMARY cells differ —
+    cross_ppm = 0 for single-probe BY CONSTRUCTION (both endpoints
+    share the candidate cell), > 0 for multi-probe or the fix isn't
+    real. Joins each edge to the auto assignment twice (cell lookup
+    per endpoint) — corpus-keyed equi-joins, one combinable agg."""
+    assigned = tracked_persist(
+        _ivf_assigned_auto(embeddings).select("vec_id", "cell"))
+    ca = assigned.select(F.col("vec_id").alias("_va"),
+                         F.col("cell").alias("cell_a"))
+    cb = assigned.select(F.col("vec_id").alias("_vb"),
+                         F.col("cell").alias("cell_b"))
+
+    def row(name: str, edges: DataFrame) -> DataFrame:
+        e = (edges.join(ca, edges["vec_id"] == ca["_va"])
+                  .join(cb, edges["nbr_id"] == cb["_vb"]))
+        return e.agg(
+            F.lit(name).alias("graph"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(F.when(F.col("cell_a") != F.col("cell_b"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_cross_cell"),
+        ).select(
+            "graph", "n_edges", "n_cross_cell",
+            F.expr("n_cross_cell * 1000000 div n_edges")
+             .cast("bigint").alias("cross_ppm"))
+
+    single = row("single_probe", knn_graph(embeddings, k)
+                 .select("vec_id", "nbr_id"))
+    multi = row("multi_probe", knn_graph_nprobe(embeddings, k, nprobe)
+                .select("vec_id", "nbr_id"))
+    return single.unionByName(multi)
+
+
 def _beam_nav_edges(embeddings: DataFrame, k: int = KNN_K,
                     nprobe: int = GRAPH_NPROBE) -> DataFrame:
     """Bidirected multi-probe k-NN edge set with the neighbor's vector

@@ -2352,6 +2352,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "ann_beam_topk": _beam_topk_sql(),
         "ann_beam_topk_recall": _beam_topk_recall_sql(),
         "ann_beam_curve": _beam_curve_sql(),
+        "nav_graph_stats": _nav_graph_stats_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
         # edge, 3-corner unnest, exact ppm floor division
@@ -2728,6 +2729,34 @@ xk AS MATERIALIZED (
   WHERE rnk <= {TOP_K}
 )
 {blocks}"""
+
+
+def _nav_graph_stats_sql() -> str:
+    """Mirror of similarity.nav_graph_stats: edge + cross-primary-cell
+    counts per graph (single-probe vs multi-probe), cells from the
+    scale-aware auto assignment."""
+    return ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+""" + _hier_assign_ctes(scale_aware=True) + f""",
+g1 AS MATERIALIZED ({_knn_graph_sql()}),
+g2 AS MATERIALIZED ({_knn_graph_nprobe_sql()})
+SELECT 'single_probe' AS graph,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_cell,
+       CAST(sum(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS cross_ppm
+FROM g1 JOIN hassigned a ON a.vec_id = g1.vec_id
+        JOIN hassigned b ON b.vec_id = g1.nbr_id
+UNION ALL
+SELECT 'multi_probe' AS graph,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_cell,
+       CAST(sum(CASE WHEN a.cell <> b.cell THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS cross_ppm
+FROM g2 JOIN hassigned a ON a.vec_id = g2.vec_id
+        JOIN hassigned b ON b.vec_id = g2.nbr_id""")
 
 
 def _beam_search_sql_default() -> str:

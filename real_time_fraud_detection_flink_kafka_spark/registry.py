@@ -304,6 +304,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_beam_topk": lambda s, d: similarity.ann_beam_topk(load_table(s, d, "embeddings")),
     "ann_beam_topk_recall": lambda s, d: similarity.ann_beam_topk_recall(load_table(s, d, "embeddings")),
     "ann_beam_curve": lambda s, d: similarity.ann_beam_curve(load_table(s, d, "embeddings")),
+    "nav_graph_stats": lambda s, d: similarity.nav_graph_stats(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
     "ivf_hier_agreement": lambda s, d: similarity.ivf_hier_agreement(load_table(s, d, "embeddings")),

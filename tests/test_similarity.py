@@ -805,3 +805,23 @@ def test_beam_topk_serving_contract(spark, sf_dir):
                                  // (rec["n_queries"] * rec["k"]))
     with pytest.raises(ValueError):
         ann_beam_topk(emb, k=TOP_K, beam=TOP_K - 1)
+
+
+def test_nav_graph_stats_cross_cell_claim(spark, sf_dir):
+    """The navigability fix's load-bearing numbers: the single-probe
+    graph has ZERO cross-primary-cell edges by construction (the r10
+    trapped-walk defect), the multi-probe graph has a nonzero share,
+    and the ppm is the exact floor division."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        nav_graph_stats,
+    )
+
+    rows = {r["graph"]: r for r in nav_graph_stats(
+        load_table(spark, sf_dir, "embeddings")).collect()}
+    assert set(rows) == {"single_probe", "multi_probe"}
+    assert rows["single_probe"]["n_cross_cell"] == 0
+    assert rows["multi_probe"]["n_cross_cell"] > 0
+    for r in rows.values():
+        assert 0 < r["n_edges"]
+        assert r["cross_ppm"] == (r["n_cross_cell"] * 1_000_000
+                                  // r["n_edges"])
