@@ -107,6 +107,7 @@ HEADLINE = [
     "knn_graph_nprobe",       # multi-probe navigable graph construction (r11)
     "ann_beam_recall",        # greedy-vs-beam measured comparison row (r11)
     "ann_beam_topk_recall",   # beam-served top-k set recall@5 (r11)
+    "ann_beam_pq_recall",     # DiskANN rung: exact-vs-PQ-scored walk (r11)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per
@@ -152,6 +153,10 @@ SCALE_SUBSET = [
     "knn_graph_nprobe",  # r11: multi-probe construction — candidate
                         # rows scale by nprobe, not nprobe², is the
                         # claim; same cell-keyed join as knn_graph
+    "ann_beam_pq_topk",  # r11 DiskANN rung: rounds × linear walk over
+                        # PQ-code edges (PQ_M ints, not DIM doubles) +
+                        # bounded exact rerank — the compressed-state
+                        # claim on the curve
     "vocab_topk",
     "decontaminate",
 ]

@@ -212,6 +212,51 @@ def stratified_sample(documents: DataFrame,
                      .select("doc_id", "lang", bucket.alias("sample_bucket")))
 
 
+ES_SAMPLE_K = 200   # exact sample size (without replacement)
+_TWO60 = float(1 << 60)
+
+
+def weighted_sample_es(documents: DataFrame,
+                       k: int = ES_SAMPLE_K) -> DataFrame:
+    """EXACTLY-k weighted sampling WITHOUT replacement, proportional
+    to token count — the Efraimidis-Spirakis A-ES algorithm (IPL
+    2006): each doc draws key = ln(u)/w with u ~ U(0,1] and weight w,
+    and the k LARGEST keys are a weight-proportional sample without
+    replacement. The corpus-prep primitive the hash-GATE samplers
+    (`stratified_sample`, `dsir_resample`) can't express: those fix a
+    RATE (sample size varies with the corpus), this fixes the SIZE —
+    "draw exactly k docs, long docs proportionally more often", the
+    token-budgeted draw a training-mix builder runs.
+
+    Deterministic: u = (md5(doc_id)+1)/2^60 — the repo's portable
+    hash gate turned into a uniform variate, so the same doc draws
+    the same key across runs, engines, retries and partitionings
+    (rand() would be none of those). ln(u)/w ranks identically to
+    the paper's u^(1/w) (monotone transform; both engines evaluate
+    the same token sequence, no pow).
+
+    Scale shape: ONE row-local projection (tokenize, hash, one ln)
+    and a global top-k — which Spark plans as TakeOrderedAndProject:
+    per-partition heap of k, then a k·n_partitions merge on one
+    reducer. NO full sort, NO shuffle of the corpus; the only data
+    movement is k rows per partition. The rank window runs on the
+    ≤ k merged rows, not the corpus."""
+    ws = _words(F.col("text"))
+    w_tok = (F.size(ws) + 1).cast("bigint")
+    u = ((md5_int60(F.col("doc_id").cast("string")) + 1) / F.lit(_TWO60))
+    key = F.log(u) / F.col("w_tokens").cast("double")
+    top = (documents
+           .select("doc_id", w_tok.alias("w_tokens"))
+           .select("doc_id", "w_tokens", key.alias("es_key"))
+           .orderBy(F.desc("es_key"), F.asc("doc_id"))
+           .limit(k))
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("es_key"), F.asc("doc_id")))
+    return top.select("doc_id", "w_tokens",
+                      rnk.cast("int").alias("rnk"),
+                      F.round("es_key", 6).alias("es_key"))
+
+
 # --- sequence chunking ------------------------------------------------------
 
 CHUNK_LEN = 128   # tokens per training sequence

@@ -2107,6 +2107,242 @@ def ann_ivfpq(embeddings: DataFrame, k: int = TOP_K,
                          F.col("rnk").cast("int").alias("rnk")))
 
 
+# --- DiskANN-style compressed-domain graph walk ------------------------------
+# The composition a disk-resident graph index actually runs (Jayaram
+# Subramanya et al., NeurIPS'19 "DiskANN"): navigate the beam walk
+# with CHEAP compressed distances — PQ code positions ride the edge
+# relation, PQ_M small ints per neighbor instead of DIM doubles, so
+# the walk's working set shrinks ~(DIM·8)/(PQ_M·4)-fold and the
+# navigation structure stays memory-resident at 100 TB — then re-rank
+# ONLY the final frontier with exact full-precision vectors (the
+# "fetch from SSD" step, bounded by beam·n_queries rows, never the
+# corpus). Integer fixed-point ADC scores also make every walk
+# ranking tie-break EXACT across engines: no float-order question
+# anywhere inside the rounds.
+
+
+def _pq_cb_pos(cb: DataFrame) -> DataFrame:
+    """Codebook with a DENSE per-subspace position (row_number over
+    code, 0-based): Lloyd can drop a code that loses all its members
+    (`pq_codebooks_rel`), leaving code ids SPARSE, so positional
+    array lookups must go through this rank — the per-query tables
+    and the per-vector code arrays both index by `pos`, derived from
+    the same (sub, code) ordering in both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sub").orderBy("code")
+    return cb.select("sub", "code", "cv",
+                     (F.row_number().over(w) - 1).alias("pos"))
+
+
+def _pq_pos_arrays(embeddings: DataFrame, cbp: DataFrame) -> DataFrame:
+    """(vec_id, pcodes: array<int>[PQ_M]) — each vector's PQ code
+    POSITIONS ordered by subspace: the compressed payload the edge
+    relation carries. Stateless encode (broadcast codebook, row-local
+    argmin) + one tiny broadcast join to the dense position; the
+    groupBy packs PQ_M rows per vector (array_sort on struct(sub, …)
+    makes collect_list arrival order irrelevant; subs are unique)."""
+    enc = pq_encode(embeddings, cbp.select("sub", "code", "cv"))
+    j = enc.join(F.broadcast(cbp.select(F.col("sub").cast("int").alias("sub"),
+                                        F.col("code").cast("int").alias("code"),
+                                        "pos")),
+                 ["sub", "code"])
+    return (j.groupBy("vec_id")
+             .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("sub", "pos"))),
+                  lambda s: s["pos"]).alias("pcodes")))
+
+
+def _pq_query_tabs(embeddings: DataFrame, cbp: DataFrame,
+                   n_queries: int) -> DataFrame:
+    """(query_id, tabs: array<array<bigint>>) — the per-query ADC
+    lookup table as ONE nested array row: tabs[sub][pos] =
+    round(dot(q_sub, c_{sub,pos}) · PQ_SCALE). ≤ n_queries rows of
+    PQ_M·PQ_K ints; broadcasts into every walk round."""
+    e = _subvectors(embeddings)
+    q = (e.where(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"), "sub",
+                  F.col("sv").alias("qsv")))
+    d = (q.join(F.broadcast(cbp), "sub")
+          .select("query_id", "sub", "pos",
+                  F.round(dot(F.col("qsv"), F.col("cv")) * PQ_SCALE)
+                   .cast("bigint").alias("fp")))
+    per_sub = (d.groupBy("query_id", "sub")
+                .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "fp"))),
+                     lambda s: s["fp"]).alias("tab")))
+    return (per_sub.groupBy("query_id")
+                   .agg(F.transform(
+                        F.array_sort(F.collect_list(F.struct("sub", "tab"))),
+                        lambda s: s["tab"]).alias("tabs")))
+
+
+def _adc_fp(tabs: Column, pcodes: Column) -> Column:
+    """Σ_m tabs[m][pcodes[m]] as one UNROLLED codegen expression —
+    PQ_M integer adds per candidate row, no HOF (the measured r11
+    anti-lesson in `_ivf_probed`: interpreted HOFs lose when the
+    arithmetic dominates). element_at is 1-based; pos is 0-based."""
+    terms = [F.element_at(F.element_at(tabs, m + 1),
+                          F.element_at(pcodes, m + 1) + 1)
+             for m in range(PQ_M)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _beam_pq_edges(und_graph: DataFrame, pa: DataFrame) -> DataFrame:
+    """(src, nbr_id, pcodes) — the bidirected multi-probe navigation
+    edges with the NEIGHBOR'S code positions attached instead of its
+    raw vector: the DiskANN layout. ≤ 2k·n edges of PQ_M ints each
+    (vs `_beam_nav_edges`' DIM doubles)."""
+    return tracked_persist(
+        und_graph.join(pa.select(F.col("vec_id").alias("_nid"), "pcodes"),
+                       und_graph["nbr_id"] == F.col("_nid"))
+                 .select("src", "nbr_id", "pcodes"))
+
+
+def _beam_pq_frontier(embeddings: DataFrame, steps: int,
+                      n_queries: int, beam: int) -> DataFrame:
+    """(query_id, node, cur_fp) after `steps` beam rounds ranked by
+    fixed-point ADC score — `_beam_frontier` with the exact dot
+    replaced by PQ_M integer table lookups. The per-(query, cand)
+    dedup max is over bit-identical INTEGERS (pure function of the
+    codes), so cross-engine determinism needs no float argument at
+    all inside the walk."""
+    from pyspark.sql import Window
+
+    cbp = tracked_persist(_pq_cb_pos(pq_codebooks_rel(embeddings)))
+    pa = tracked_persist(_pq_pos_arrays(embeddings, cbp))
+    g = knn_graph_nprobe(embeddings).select("vec_id", "nbr_id")
+    und = (g.unionAll(g.select(F.col("nbr_id").alias("vec_id"),
+                               F.col("vec_id").alias("nbr_id")))
+            .distinct()
+            .select(F.col("vec_id").alias("src"), "nbr_id"))
+    edges = _beam_pq_edges(und, pa)
+    tabs = _pq_query_tabs(embeddings, cbp, n_queries)
+    ent = tabs.withColumn(
+        "node", F.when(F.col("query_id") == 0, F.lit(1)).otherwise(F.lit(0)))
+    cur = (pa.join(F.broadcast(ent), pa["vec_id"] == ent["node"])
+             .select("query_id", "tabs", "node",
+                     _adc_fp(F.col("tabs"), F.col("pcodes")).alias("cur_fp")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("fp_raw"),
+                                               F.asc("cand_id"))
+    for _ in range(steps):
+        moved = (edges.join(F.broadcast(cur.select("query_id", "tabs",
+                                                   "node")),
+                            edges["src"] == F.col("node"))
+                 .where(F.col("nbr_id") != F.col("query_id"))
+                 .select("query_id", "tabs",
+                         F.col("nbr_id").alias("cand_id"),
+                         _adc_fp(F.col("tabs"), F.col("pcodes"))
+                          .alias("fp_raw")))
+        stay = cur.select("query_id", "tabs",
+                          F.col("node").alias("cand_id"),
+                          F.col("cur_fp").alias("fp_raw"))
+        cur = (moved.unionByName(stay)
+               .groupBy("query_id", "cand_id")
+               .agg(F.max("fp_raw").alias("fp_raw"),
+                    F.first("tabs").alias("tabs"))
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= beam)
+               .select("query_id", "tabs",
+                       F.col("cand_id").alias("node"),
+                       F.col("fp_raw").alias("cur_fp"))
+               .localCheckpoint(eager=True))
+    return cur
+
+
+def ann_beam_pq_topk(embeddings: DataFrame, k: int = TOP_K,
+                     steps: int = GS_STEPS, n_queries: int = N_QUERIES,
+                     beam: int = BEAM_EF) -> DataFrame:
+    """DiskANN-style serving (Jayaram Subramanya et al., NeurIPS'19):
+    beam-walk the multi-probe graph scoring candidates ONLY in the
+    compressed PQ domain — edges carry PQ_M code positions, each
+    candidate costs PQ_M integer adds against a broadcast per-query
+    table — then re-rank the ≤ beam·n_queries final frontier rows
+    with exact full-precision cosine and emit each query's k best as
+    (query_id, neighbor_id, rnk, cos_sim), `ann_beam_topk`'s schema.
+
+    Scale shape: identical to `ann_beam_topk` except the payload the
+    walk joins and checkpoints per round is PQ_M ints instead of a
+    DIM-double vector (~16× less navigation state at DIM=64/PQ_M=4 —
+    the change that keeps the graph memory-resident at 100 TB), plus
+    ONE bounded rerank join: broadcast the frontier ids onto a single
+    corpus scan to fetch raw vectors (DiskANN's SSD fetch), exact
+    cosine over ≤ beam·n_queries rows. `ann_beam_pq_recall` measures
+    what compressed navigation costs vs the exact-scored walk."""
+    from pyspark.sql import Window
+
+    if beam < k:
+        raise ValueError(f"beam ({beam}) must be >= k ({k})")
+    cur = _beam_pq_frontier(embeddings, steps, n_queries, beam)
+    e = _vecs(embeddings)
+    qv = (e.where(F.col("vec_id") < n_queries)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("v").alias("qv"),
+                   F.col("v_norm").alias("q_norm")))
+    cand = (e.join(F.broadcast(cur.select("query_id", "node")),
+                   e["vec_id"] == F.col("node"))
+             .select("query_id", F.col("node").alias("neighbor_id"),
+                     "v", "v_norm"))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("q_norm") * F.col("v_norm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"),
+                                               F.asc("neighbor_id"))
+    return (cand.join(F.broadcast(qv), "query_id")
+                .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rnk").cast("int").alias("rnk"),
+                        F.round("cos_raw", 6).alias("cos_sim")))
+
+
+def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
+                       steps: int = GS_STEPS, n_queries: int = N_QUERIES,
+                       beam: int = BEAM_EF) -> DataFrame:
+    """What compressed-domain NAVIGATION costs, measured: one labeled
+    set-recall@k row for the exact-scored beam serve (`ann_beam_topk`)
+    and one for the PQ-scored walk + exact rerank
+    (`ann_beam_pq_topk`), both against the same exact ranking over
+    the same graph, entry, rounds and width — so the delta is exactly
+    the reconstruction bias's effect on ROUTING (the rerank already
+    removes its effect on the final ordering). The index-tuning row a
+    DiskANN deployment keeps next to its ef-search curve.
+
+    MEASURED at sf0.01: exact_walk 41/50, pq_walk 15/50 — and 0.30
+    is exactly `ann_pq_recall`'s pure-ADC recall on this corpus: on
+    random-uniform (incompressible) vectors, compressed routing
+    inherits the full reconstruction bias; the rerank can't recover
+    candidates the walk never visited. Real embedding distributions
+    (low intrinsic dimension) and production PQ_M sit far above this
+    floor — the relation exists to MEASURE that gap, not to hide
+    it."""
+    exact = tracked_persist(
+        ann_topk(embeddings, k=k, n_queries=n_queries)
+        .select(F.col("query_id").alias("eq"),
+                F.col("neighbor_id").alias("en")))
+
+    def row(method: str, found: DataFrame) -> DataFrame:
+        hit = found.join(exact, (F.col("query_id") == F.col("eq"))
+                         & (F.col("neighbor_id") == F.col("en")),
+                         "left_semi")
+        n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+        n_q = found.agg(F.countDistinct("query_id").cast("int")
+                        .alias("n_queries"))
+        return (n_hits.crossJoin(F.broadcast(n_q))
+                .select(F.lit(method).alias("method"), "n_queries",
+                        F.lit(int(k)).cast("int").alias("k"), "n_hits",
+                        F.expr(f"n_hits * 1000000 div (n_queries * {int(k)})")
+                         .cast("bigint").alias("recall_ppm")))
+
+    ex = row("exact_walk",
+             ann_beam_topk(embeddings, k, steps, n_queries, beam))
+    pq = row("pq_walk",
+             ann_beam_pq_topk(embeddings, k, steps, n_queries, beam))
+    return ex.unionByName(pq)
+
+
 # --- scalar quantization (SQ8) ----------------------------------------------
 # The FOURTH production ANN index family next to sign-LSH, IVF, and
 # PQ: per-dimension linear quantization to one byte (FAISS

@@ -891,6 +891,7 @@ def _pipeline_oracles() -> dict[str, str]:
         CAL_KEEP_PPM as _CAL_KEEP_PPM,
         DOMAIN_CAP_K as _DOMAIN_CAP_K,
         PACK_SHARDS,
+        ES_SAMPLE_K,
         SAMPLE_MOD,
         SAMPLE_RATES_BP,
         TOP_TOK_MAX,
@@ -1123,6 +1124,21 @@ FROM per""",
         "stratified_sample": f"""
 SELECT doc_id, lang, {bucket} AS sample_bucket
 FROM documents WHERE {bucket} < {rate}""",
+        # mirrors pipeline.weighted_sample_es: A-ES keys ln(u)/w from
+        # the portable md5 uniform, global top-k, rank on the k rows
+        "weighted_sample_es": f"""
+WITH keyed AS (
+  SELECT doc_id, len({WS}) + 1 AS w_tokens,
+         ln(({md5_int60_sql("CAST(doc_id AS VARCHAR)")} + 1)
+            / {float(1 << 60)!r})
+           / CAST(len({WS}) + 1 AS DOUBLE) AS es_key
+  FROM documents
+)
+SELECT doc_id, w_tokens, CAST(rnk AS INTEGER) AS rnk,
+       round(es_key, 6) AS es_key
+FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed)
+WHERE rnk <= {ES_SAMPLE_K}""",
         # mirrors pipeline.mix_rebalance: N* = min(tokens_s / w_s),
         # rate_s = w_s·N*/tokens_s — identical-ordered IEEE doubles
         # from exact integer token counts, then the md5 keep gate
@@ -2352,6 +2368,10 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         "ann_beam_topk": _beam_topk_sql(),
         "ann_beam_topk_recall": _beam_topk_recall_sql(),
         "ann_beam_curve": _beam_curve_sql(),
+        # DiskANN rung: PQ-scored walk + exact rerank, and its
+        # exact-walk-vs-pq-walk recall comparison row
+        "ann_beam_pq_topk": _beam_pq_sql(),
+        "ann_beam_pq_recall": _beam_pq_recall_sql(),
         "nav_graph_stats": _nav_graph_stats_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
@@ -2729,6 +2749,139 @@ xk AS MATERIALIZED (
   WHERE rnk <= {TOP_K}
 )
 {blocks}"""
+
+
+def _beam_pq_sql() -> str:
+    """Mirror of similarity.ann_beam_pq_topk — the DiskANN rung: the
+    beam walk over the multi-probe graph scored by fixed-point PQ ADC
+    table lookups (integer scores: the per-(query, cand) dedup max
+    and every tie-break are EXACT, no float-order question inside the
+    rounds), then exact-cosine re-rank of the final frontier only.
+    Code positions are DENSE per-subspace ranks (row_number over
+    code) because Lloyd can drop codes — both engines index the
+    lookup arrays through the same (sub, code) ordering."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        GS_STEPS,
+        PQ_M,
+        PQ_SCALE,
+    )
+
+    pq, cb = _pq_ctes()  # defines e, s, pc{PQ_ITERS}
+    # replace the plain `e` with the MATERIALIZED one the walk reuses
+    pq = pq[1:]
+    d2 = ("(list_dot_product(c.cv, c.cv)"
+          " - 2 * list_dot_product(s.sv, c.cv))")
+    # DuckDB lists are 1-based; pos is 0-based
+    score = " + ".join(f"t.tabs[{m + 1}][p.pcodes[{m + 1}] + 1]"
+                       for m in range(PQ_M))
+    walk_ctes = [f"""cbp AS (
+  SELECT sub, code, cv,
+         row_number() OVER (PARTITION BY sub ORDER BY code) - 1 AS pos
+  FROM {cb}
+)""", f"""penc AS (
+  SELECT s.vec_id, s.sub, c.code
+  FROM s JOIN cbp c USING (sub)
+  QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.sub
+                             ORDER BY {d2}, c.code) = 1
+)""", """pa AS MATERIALIZED (
+  SELECT p.vec_id, list(c.pos ORDER BY p.sub) AS pcodes
+  FROM penc p JOIN cbp c USING (sub, code)
+  GROUP BY p.vec_id
+)""", f"""pq_q AS (
+  SELECT vec_id AS query_id, sub, sv AS qsv FROM s WHERE vec_id < {N_QUERIES}
+)""", f"""pd AS (
+  SELECT query_id, q.sub, c.pos,
+         CAST(round(list_dot_product(q.qsv, c.cv) * {PQ_SCALE}) AS BIGINT)
+           AS fp
+  FROM pq_q q JOIN cbp c USING (sub)
+)""", """pt1 AS (
+  SELECT query_id, sub, list(fp ORDER BY pos) AS tab FROM pd GROUP BY 1, 2
+)""", """ptabs AS MATERIALIZED (
+  SELECT query_id, list(tab ORDER BY sub) AS tabs FROM pt1 GROUP BY 1
+)""", f"""c0 AS MATERIALIZED (
+  SELECT t.query_id, s0.node, {score} AS cur_fp
+  FROM (SELECT query_id,
+               CASE WHEN query_id = 0 THEN 1 ELSE 0 END AS node
+        FROM ptabs) s0
+  JOIN ptabs t USING (query_id)
+  JOIN pa p ON p.vec_id = s0.node
+)"""]
+    for r in range(GS_STEPS):
+        walk_ctes.append(f"""a{r} AS MATERIALIZED (
+  SELECT query_id, cand_id, max(fp_raw) AS fp_raw FROM (
+    SELECT c.query_id, d.nbr_id AS cand_id, {score} AS fp_raw
+    FROM c{r} c
+    JOIN ed d ON d.src = c.node
+    JOIN ptabs t ON t.query_id = c.query_id
+    JOIN pa p ON p.vec_id = d.nbr_id
+    WHERE d.nbr_id <> c.query_id
+    UNION ALL
+    SELECT query_id, node, cur_fp FROM c{r}) u
+  GROUP BY 1, 2
+)""")
+        walk_ctes.append(f"""c{r + 1} AS MATERIALIZED (
+  SELECT query_id, cand_id AS node, fp_raw AS cur_fp FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY fp_raw DESC, cand_id) AS rn FROM a{r})
+  WHERE rn <= {BEAM_EF}
+)""")
+    walk_ctes.append(f"""rr AS (
+  SELECT f.query_id, f.node AS neighbor_id,
+         {_cos_sql('qe.v', 'ne.v')} AS cos_raw
+  FROM c{GS_STEPS} f
+  JOIN e qe ON qe.vec_id = f.query_id
+  JOIN e ne ON ne.vec_id = f.node
+)""")
+    head = [f"""kg AS MATERIALIZED ({_knn_graph_nprobe_sql()})""",
+            """ed AS MATERIALIZED (SELECT vec_id AS src, nbr_id FROM kg
+       UNION SELECT nbr_id, vec_id FROM kg)""",
+            """e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""]
+    return ("WITH " + ",\n".join(head + pq + walk_ctes) + f"""
+SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rnk,
+       round(cos_raw, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id) AS rn FROM rr)
+WHERE rn <= {TOP_K}""")
+
+
+def _beam_pq_recall_sql() -> str:
+    """ann_beam_pq_recall's oracle: one labeled set-recall@k row for
+    the exact-scored beam serve and one for the PQ-scored walk +
+    exact rerank, both vs the exact ranking."""
+    def row(method: str, rel: str) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       CAST((SELECT count(DISTINCT query_id) FROM {rel}) AS INTEGER)
+         AS n_queries,
+       {TOP_K} AS k,
+       CAST((SELECT count(*) FROM {rel}
+             JOIN xk ON xk.query_id = {rel}.query_id
+                    AND xk.neighbor_id = {rel}.neighbor_id) AS INTEGER)
+         AS n_hits,
+       CAST((SELECT count(*) FROM {rel}
+             JOIN xk ON xk.query_id = {rel}.query_id
+                    AND xk.neighbor_id = {rel}.neighbor_id) * 1000000
+            // ((SELECT count(DISTINCT query_id) FROM {rel}) * {TOP_K})
+            AS BIGINT) AS recall_ppm"""
+
+    return f"""
+WITH g AS MATERIALIZED ({_beam_topk_sql()}),
+f AS MATERIALIZED ({_beam_pq_sql()}),
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+)
+{row('exact_walk', 'g')}
+UNION ALL
+{row('pq_walk', 'f')}"""
 
 
 def _nav_graph_stats_sql() -> str:

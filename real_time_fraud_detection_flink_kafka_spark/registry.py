@@ -251,6 +251,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_fuzzy": lambda s, d: pipeline_ops.decontaminate_fuzzy(load_table(s, d, "documents")),
     "vocab_topk": lambda s, d: pipeline_ops.vocab_topk(load_table(s, d, "documents")),
     "stratified_sample": lambda s, d: pipeline_ops.stratified_sample(load_table(s, d, "documents")),
+    "weighted_sample_es": lambda s, d: pipeline_ops.weighted_sample_es(load_table(s, d, "documents")),
     "chunk_documents": lambda s, d: pipeline_ops.chunk_documents(load_table(s, d, "documents")),
     # n_shards pinned: pack assignment depends on the shard count and
     # the recursive-CTE oracle replays the fold at PACK_SHARDS; the
@@ -304,6 +305,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_beam_topk": lambda s, d: similarity.ann_beam_topk(load_table(s, d, "embeddings")),
     "ann_beam_topk_recall": lambda s, d: similarity.ann_beam_topk_recall(load_table(s, d, "embeddings")),
     "ann_beam_curve": lambda s, d: similarity.ann_beam_curve(load_table(s, d, "embeddings")),
+    "ann_beam_pq_topk": lambda s, d: similarity.ann_beam_pq_topk(load_table(s, d, "embeddings")),
+    "ann_beam_pq_recall": lambda s, d: similarity.ann_beam_pq_recall(load_table(s, d, "embeddings")),
     "nav_graph_stats": lambda s, d: similarity.nav_graph_stats(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),

@@ -1274,3 +1274,33 @@ def test_compact_small_files_greedy_invariants(spark, sf_dir):
                     t, r["bin_id"], cum)
         total_manifest += cum
     assert total_manifest > 0
+
+
+def test_weighted_sample_es_contract(spark, sf_dir):
+    """A-ES weighted sampling: exactly k rows, dense ranks ordered by
+    key, PARTITIONING-INVARIANT (same draw after repartition — the
+    hash-not-rand claim), and weight-proportional in aggregate: the
+    sample's mean token weight must exceed the corpus mean (long docs
+    draw larger keys in expectation; on this fixed corpus the gap is
+    deterministic, so a regression in the key formula goes red)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        ES_SAMPLE_K,
+        weighted_sample_es,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_es(docs).collect()
+    assert len(out) == min(ES_SAMPLE_K, docs.count())
+    assert sorted(r["rnk"] for r in out) == list(range(1, len(out) + 1))
+    ordered = sorted(out, key=lambda r: r["rnk"])
+    assert all(a["es_key"] >= b["es_key"]
+               for a, b in zip(ordered, ordered[1:]))
+    assert len({r["doc_id"] for r in out}) == len(out)  # w/o replacement
+    again = weighted_sample_es(docs.repartition(7)).collect()
+    assert ({(r["doc_id"], r["rnk"]) for r in again}
+            == {(r["doc_id"], r["rnk"]) for r in out})
+    mean_w_sample = sum(r["w_tokens"] for r in out) / len(out)
+    mean_w_corpus = (docs.select(
+        F.avg(F.size(F.split(F.trim("text"), " ")) + 1).alias("m"))
+        .collect()[0]["m"])
+    assert mean_w_sample > mean_w_corpus

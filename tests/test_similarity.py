@@ -825,3 +825,108 @@ def test_nav_graph_stats_cross_cell_claim(spark, sf_dir):
         assert 0 < r["n_edges"]
         assert r["cross_ppm"] == (r["n_cross_cell"] * 1_000_000
                                   // r["n_edges"])
+
+
+def test_beam_pq_adc_lookup_equals_join_score(spark, sf_dir):
+    """The DiskANN rung's load-bearing encoding claim: the row-local
+    positional lookup Σ_m tabs[m][pcodes[m]] must equal the
+    (sub, code)-equijoin ADC sum for every (query, vector) pair —
+    this is exactly the sparse-code robustness the dense `pos` rank
+    exists for (Lloyd can drop a code, leaving code ids sparse; a
+    code-VALUE-indexed table would silently misalign)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_M,
+        PQ_SCALE,
+        _adc_fp,
+        _pq_cb_pos,
+        _pq_pos_arrays,
+        _pq_query_tabs,
+        _subvectors,
+        dot,
+        pq_codebooks_rel,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    cb = pq_codebooks_rel(emb)
+    cbp = _pq_cb_pos(cb)
+    pa = _pq_pos_arrays(emb, cbp)
+    tabs = _pq_query_tabs(emb, cbp, N_QUERIES)
+    # positions are dense per subspace and the arrays are PQ_M long
+    for r in pa.collect():
+        assert len(r["pcodes"]) == PQ_M
+        assert all(p >= 0 for p in r["pcodes"])
+    # join-based reference: encode -> dtab equijoin -> per-pair sum
+    enc = pq_encode(emb, cb)
+    q = (_subvectors(emb)
+         .where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "sub",
+                 F.col("sv").alias("qsv")))
+    dtab = (q.join(cb, "sub")
+             .select("query_id", "sub", "code",
+                     F.round(dot(F.col("qsv"), F.col("cv")) * PQ_SCALE)
+                      .cast("bigint").alias("fp")))
+    ref = (enc.join(dtab, ["sub", "code"])
+              .groupBy("query_id", "vec_id")
+              .agg(F.sum("fp").alias("fp_ref")))
+    got = (pa.crossJoin(F.broadcast(tabs))
+             .select("query_id", "vec_id",
+                     _adc_fp(F.col("tabs"), F.col("pcodes")).alias("fp_got")))
+    j = ref.join(got, ["query_id", "vec_id"]).collect()
+    assert len(j) == 400 * N_QUERIES
+    assert all(r["fp_ref"] == r["fp_got"] for r in j)
+
+
+def test_beam_pq_serving_contract_and_rerank_exactness(spark, sf_dir):
+    """ann_beam_pq_topk serves ann_beam_topk's schema (dense ranks,
+    no self, no dup, cos descending) and its emitted cos_sim values
+    are EXACT cosines — the rerank step's whole point — verified by
+    recomputing each emitted pair full-precision. The recall row
+    labels both walks and its ppm is the exact floor division."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_beam_pq_recall,
+        ann_beam_pq_topk,
+        cosine,
+    )
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ann_beam_pq_topk(emb).collect()
+    per = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        per.setdefault(r["query_id"], []).append(r)
+    assert len(per) == N_QUERIES
+    for rs in per.values():
+        assert sorted(x["rnk"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x["neighbor_id"] for x in rs}) == len(rs)
+        ordered = sorted(rs, key=lambda x: x["rnk"])
+        assert all(a["cos_sim"] >= b["cos_sim"]
+                   for a, b in zip(ordered, ordered[1:]))
+    # rerank exactness: emitted cos == full-precision cosine
+    pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in rows}
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    import functools
+    cond = functools.reduce(
+        lambda acc, p: acc | ((F.col("qid") == p[0]) & (F.col("nid") == p[1])),
+        list(pairs), F.lit(False))
+    want = {(r["qid"], r["nid"]): r["c"] for r in
+            a.crossJoin(b).where(cond)
+             .select("qid", "nid",
+                     F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("c"))
+             .collect()}
+    assert want == pairs
+    rec = {r["method"]: r for r in ann_beam_pq_recall(emb).collect()}
+    assert set(rec) == {"exact_walk", "pq_walk"}
+    for m in rec.values():
+        assert m["k"] == TOP_K and m["n_queries"] == N_QUERIES
+        assert 0 <= m["n_hits"] <= m["n_queries"] * m["k"]
+        assert m["recall_ppm"] == (m["n_hits"] * 1_000_000
+                                   // (m["n_queries"] * m["k"]))
+    with pytest.raises(ValueError):
+        ann_beam_pq_topk(emb, k=TOP_K, beam=TOP_K - 1)
