@@ -108,6 +108,8 @@ HEADLINE = [
     "ann_beam_recall",        # greedy-vs-beam measured comparison row (r11)
     "ann_beam_topk_recall",   # beam-served top-k set recall@5 (r11)
     "ann_beam_pq_recall",     # DiskANN rung: exact-vs-PQ-scored walk (r11)
+    "knn_graph_insert",       # incremental graph maintenance: batch
+                              # insert via beam walk, no rebuild (r11)
 ]
 
 # representative subset re-run at REPLICAS× the base sf: one per

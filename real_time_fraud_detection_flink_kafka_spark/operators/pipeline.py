@@ -241,15 +241,33 @@ def weighted_sample_es(documents: DataFrame,
     reducer. NO full sort, NO shuffle of the corpus; the only data
     movement is k rows per partition. The rank window runs on the
     ≤ k merged rows, not the corpus."""
+    top = es_topk(es_keyed(documents), k)
+    return es_ranked(top)
+
+
+def es_keyed(documents: DataFrame) -> DataFrame:
+    """(doc_id, w_tokens, es_key RAW) — the A-ES key projection,
+    row-local. Raw keys (no rounding) so downstream top-k merges
+    stay exact; `es_ranked` rounds at emission only."""
     ws = _words(F.col("text"))
     w_tok = (F.size(ws) + 1).cast("bigint")
     u = ((md5_int60(F.col("doc_id").cast("string")) + 1) / F.lit(_TWO60))
     key = F.log(u) / F.col("w_tokens").cast("double")
-    top = (documents
-           .select("doc_id", w_tok.alias("w_tokens"))
-           .select("doc_id", "w_tokens", key.alias("es_key"))
-           .orderBy(F.desc("es_key"), F.asc("doc_id"))
-           .limit(k))
+    return (documents
+            .select("doc_id", w_tok.alias("w_tokens"))
+            .select("doc_id", "w_tokens", key.alias("es_key")))
+
+
+def es_topk(keyed: DataFrame, k: int = ES_SAMPLE_K) -> DataFrame:
+    """Global top-k of an A-ES key relation (TakeOrderedAndProject).
+    MERGEABLE: topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — what lets the
+    streaming reservoir append per-batch top-ks and merge at drain."""
+    return keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(k)
+
+
+def es_ranked(top: DataFrame) -> DataFrame:
+    """Final emission over a ≤k-row top relation: dense rank + the
+    6dp-rounded key (rank computed BEFORE rounding)."""
     rnk = F.row_number().over(
         Window.orderBy(F.desc("es_key"), F.asc("doc_id")))
     return top.select("doc_id", "w_tokens",

@@ -2372,6 +2372,11 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # exact-walk-vs-pq-walk recall comparison row
         "ann_beam_pq_topk": _beam_pq_sql(),
         "ann_beam_pq_recall": _beam_pq_recall_sql(),
+        # incremental graph maintenance: new 10% wired into the
+        # frozen 90% base graph via the beam walk, plus the
+        # insert-vs-rebuild edge capture measurement
+        "knn_graph_insert": _graph_insert_sql(),
+        "knn_graph_insert_recall": _graph_insert_recall_sql(),
         "nav_graph_stats": _nav_graph_stats_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
@@ -2573,16 +2578,20 @@ def _probe_assign_ctes() -> str:
 )"""
 
 
-def _knn_graph_nprobe_sql() -> str:
+def _knn_graph_nprobe_sql(e_where: str = "") -> str:
     """Mirrors similarity.knn_graph_nprobe: multi-probe candidates
     (each vector against the PRIMARY members of its GRAPH_NPROBE best
-    cells), per-vector top-k ordered (cos DESC, lower nbr id)."""
+    cells), per-vector top-k ordered (cos DESC, lower nbr id).
+    `e_where` optionally restricts the source relation (the insert
+    rung builds the base graph over the existing 90% only) — every
+    downstream CTE sources from `e`, so the filter is the whole
+    change."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         KNN_K,
     )
 
-    return ("""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return (f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{e_where}),
 """ + _probe_assign_ctes() + f""",
 mem AS (SELECT vec_id AS nbr_id, cell FROM passigned WHERE prn = 1),
 j AS (
@@ -2882,6 +2891,107 @@ xk AS (
 {row('exact_walk', 'g')}
 UNION ALL
 {row('pq_walk', 'f')}"""
+
+
+def _insert_cut_sql() -> str:
+    """The 90/10 split boundary as one scalar subquery (mirrors
+    similarity._insert_split's 1-row broadcast)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        INSERT_DEN,
+        INSERT_NUM,
+    )
+
+    return (f"(SELECT count(*) * {INSERT_NUM} // {INSERT_DEN}"
+            " FROM embeddings)")
+
+
+def _graph_insert_sql() -> str:
+    """Mirror of similarity.knn_graph_insert: the beam walk of
+    `_beam_search_sql` with the base graph built over the existing
+    90% only, the arriving 10% as the query relation, fixed entry
+    node 0, and per-query top-KNN_K emission as graph edges."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        GS_STEPS,
+        KNN_K,
+    )
+
+    cut = _insert_cut_sql()
+    e_where = f" WHERE vec_id < {cut}"
+    rounds = []
+    for r in range(GS_STEPS):
+        rounds.append(f""",
+a{r} AS MATERIALIZED (
+  SELECT query_id, cand_id, max(cos_raw) AS cos_raw FROM (
+    SELECT c.query_id, d.nbr_id AS cand_id,
+           {_cos_sql('q.qv', 'e.v')} AS cos_raw
+    FROM c{r} c
+    JOIN ed d ON d.src = c.node
+    JOIN qs q ON q.query_id = c.query_id
+    JOIN e ON e.vec_id = d.nbr_id
+    UNION ALL
+    SELECT query_id, node, cur_cos FROM c{r}) t
+  GROUP BY 1, 2
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
+  WHERE rn <= {BEAM_EF}
+)""")
+    return (f"""
+WITH kg AS MATERIALIZED ({_knn_graph_nprobe_sql(e_where)}),
+ed AS MATERIALIZED (SELECT vec_id AS src, nbr_id FROM kg
+       UNION SELECT nbr_id, vec_id FROM kg),
+e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < {cut}),
+qs AS MATERIALIZED (SELECT vec_id AS query_id,
+       CAST(embedding AS DOUBLE[]) AS qv
+       FROM embeddings WHERE vec_id >= {cut}),
+c0 AS MATERIALIZED (
+  SELECT q.query_id, 0 AS node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
+  FROM qs q JOIN e ON e.vec_id = 0
+)""" + "".join(rounds) + f"""
+SELECT query_id AS vec_id, node AS nbr_id, CAST(rn AS INTEGER) AS rnk,
+       round(cur_cos, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cur_cos DESC, node) AS rn FROM c{GS_STEPS})
+WHERE rn <= {KNN_K}""")
+
+
+def _graph_insert_recall_sql() -> str:
+    """knn_graph_insert_recall's oracle: the sampled inserted nodes'
+    walk-adopted edges vs their exact k-NN against the base corpus."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+    )
+
+    cut = _insert_cut_sql()
+    return f"""
+WITH ins AS MATERIALIZED ({_graph_insert_sql()}),
+ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sq AS (SELECT vec_id AS sid, v AS sv FROM ee
+       WHERE vec_id >= {cut} AND vec_id < {cut} + {N_QUERIES}),
+xk AS (
+  SELECT sid, vec_id FROM (
+    SELECT sq.sid, ee.vec_id,
+           row_number() OVER (PARTITION BY sq.sid
+             ORDER BY {_cos_sql('sq.sv', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM sq, ee WHERE ee.vec_id < {cut})
+  WHERE rnk <= {KNN_K}
+),
+got AS (SELECT * FROM ins WHERE vec_id IN (SELECT sid FROM sq))
+SELECT CAST((SELECT count(DISTINCT vec_id) FROM got) AS INTEGER)
+         AS n_inserted,
+       CAST({KNN_K} AS INTEGER) AS k,
+       CAST((SELECT count(*) FROM got
+             JOIN xk ON xk.sid = got.vec_id
+                    AND xk.vec_id = got.nbr_id) AS INTEGER) AS n_hits,
+       CAST((SELECT count(*) FROM got
+             JOIN xk ON xk.sid = got.vec_id
+                    AND xk.vec_id = got.nbr_id) * 1000000
+            // ((SELECT count(DISTINCT vec_id) FROM got) * {KNN_K})
+            AS BIGINT) AS recall_ppm"""
 
 
 def _nav_graph_stats_sql() -> str:

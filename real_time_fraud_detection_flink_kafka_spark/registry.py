@@ -307,6 +307,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_beam_curve": lambda s, d: similarity.ann_beam_curve(load_table(s, d, "embeddings")),
     "ann_beam_pq_topk": lambda s, d: similarity.ann_beam_pq_topk(load_table(s, d, "embeddings")),
     "ann_beam_pq_recall": lambda s, d: similarity.ann_beam_pq_recall(load_table(s, d, "embeddings")),
+    "knn_graph_insert": lambda s, d: similarity.knn_graph_insert(load_table(s, d, "embeddings")),
+    "knn_graph_insert_recall": lambda s, d: similarity.knn_graph_insert_recall(load_table(s, d, "embeddings")),
     "nav_graph_stats": lambda s, d: similarity.nav_graph_stats(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
@@ -675,6 +677,24 @@ def _stream_beam_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so it shares ann_beam_topk's oracle exactly
 register("stream_ann_beam_topk", _stream_beam_serve,
          _LLM_ORACLES["ann_beam_topk"])
+
+
+def _stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_weighted_sample_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_weighted_sample_stream(
+        spark, sf_dir, query_name=f"weighted_sample_{_STREAM_COUNTER['n']}")
+
+
+# A-ES top-k is a mergeable summary (topk(A∪B) = topk(topk(A)∪topk(B)))
+# over deterministic hash keys, so the appended per-batch top-ks merge
+# to the batch answer for ANY batching — shares weighted_sample_es's
+# oracle exactly
+register("stream_weighted_sample", _stream_weighted_sample,
+         _LLM_ORACLES["weighted_sample_es"])
 
 
 def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -621,3 +621,50 @@ def run_beam_serve_stream(spark, sf_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_weighted_sample_stream(spark, sf_dir: str,
+                               query_name: str = "weighted_sample_stream"
+                               ) -> DataFrame:
+    """Streaming A-ES reservoir — exactly-k weight-proportional
+    sampling WITHOUT replacement maintained over an unbounded
+    document stream (the streaming face of
+    `pipeline.weighted_sample_es`). The reservoir never needs
+    mutable state: the A-ES top-k is a MERGEABLE summary —
+    topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — so each micro-batch
+    appends only its LOCAL top-k (≤ k rows per trigger, whatever the
+    batch size) and the drain's global top-k over the ≤ k·n_batches
+    appended rows IS the batch answer for ANY batching. Because the
+    keys are deterministic per-doc hash draws, this is an algebraic
+    identity, not a determinism-of-execution argument — the strongest
+    drained-equals-batch claim in the streaming suite. foreachBatch
+    because per-batch top-k (sort + limit) isn't an incremental
+    streaming plan; shares `weighted_sample_es`'s oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        es_keyed,
+        es_ranked,
+        es_topk,
+    )
+
+    ensure_session_confs(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{query_name}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "reservoir")
+
+    def absorb(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        es_topk(es_keyed(batch_df)).write.mode("append").parquet(out_dir)
+
+    q = (_documents_stream(spark, sf_dir)
+         .writeStream.foreachBatch(absorb)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "_chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return es_ranked(es_topk(spark.read.parquet(out_dir)))

@@ -113,3 +113,41 @@ def test_beam_serve_stream_equals_batch(spark, sf_dir):
         for r in ann_beam_topk(load_table(spark, sf_dir,
                                           "embeddings")).collect())
     assert got == want and len(got) > 0
+
+
+def test_weighted_sample_stream_equals_batch_and_merges(spark, sf_dir):
+    """The streaming A-ES reservoir drain must equal batch
+    weighted_sample_es row-for-row, and the mergeability identity it
+    rides on — topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — must hold on
+    an explicit 3-way split of the corpus (what multi-batch intake
+    does to the data)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        es_keyed,
+        es_ranked,
+        es_topk,
+        weighted_sample_es,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_weighted_sample_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        (r["doc_id"], r["w_tokens"], r["rnk"], r["es_key"])
+        for r in weighted_sample_es(docs).collect())
+    got = sorted(
+        (r["doc_id"], r["w_tokens"], r["rnk"], r["es_key"])
+        for r in run_weighted_sample_stream(
+            spark, sf_dir, "weighted_sample_eqtest").collect())
+    assert got == want and len(got) > 0
+    # mergeability on an explicit split (the multi-batch shape)
+    keyed = es_keyed(docs)
+    parts = [keyed.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+             for i in range(3)]
+    merged = es_topk(es_topk(parts[0])
+                     .unionByName(es_topk(parts[1]))
+                     .unionByName(es_topk(parts[2])))
+    via_parts = sorted(
+        (r["doc_id"], r["w_tokens"], r["rnk"], r["es_key"])
+        for r in es_ranked(merged).collect())
+    assert via_parts == want

@@ -930,3 +930,42 @@ def test_beam_pq_serving_contract_and_rerank_exactness(spark, sf_dir):
                                    // (m["n_queries"] * m["k"]))
     with pytest.raises(ValueError):
         ann_beam_pq_topk(emb, k=TOP_K, beam=TOP_K - 1)
+
+
+def test_knn_graph_insert_contract(spark, sf_dir):
+    """Incremental insert: every new node gets exactly k dense-ranked
+    edges, every edge points INTO the base corpus (vec_id >= cutoff,
+    nbr_id < cutoff — the walk can only reach indexed nodes), cos
+    descending per node, and the recall row's accounting is exact.
+    The split is the 90/10 boundary the operator derives itself."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        INSERT_DEN,
+        INSERT_NUM,
+        KNN_K,
+        N_QUERIES,
+        knn_graph_insert,
+        knn_graph_insert_recall,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cutoff = emb.count() * INSERT_NUM // INSERT_DEN
+    rows = knn_graph_insert(emb).collect()
+    per = {}
+    for r in rows:
+        assert r["vec_id"] >= cutoff      # only new nodes emit edges
+        assert r["nbr_id"] < cutoff       # edges point into the base
+        per.setdefault(r["vec_id"], []).append(r)
+    n_new = emb.count() - cutoff
+    assert len(per) == n_new
+    for rs in per.values():
+        assert sorted(x["rnk"] for x in rs) == list(range(1, KNN_K + 1))
+        assert len({x["nbr_id"] for x in rs}) == KNN_K
+        ordered = sorted(rs, key=lambda x: x["rnk"])
+        assert all(a["cos_sim"] >= b["cos_sim"]
+                   for a, b in zip(ordered, ordered[1:]))
+    rec = knn_graph_insert_recall(emb).collect()[0]
+    assert rec["n_inserted"] == min(N_QUERIES, n_new)
+    assert rec["k"] == KNN_K
+    assert 0 <= rec["n_hits"] <= rec["n_inserted"] * KNN_K
+    assert rec["recall_ppm"] == (rec["n_hits"] * 1_000_000
+                                 // (rec["n_inserted"] * KNN_K))
