@@ -331,7 +331,8 @@ def main() -> None:
         n_docs = (spark.read
                   .parquet(os.path.join(sf_dir, "documents.parquet"))
                   .count())
-        dtimes = run_suite(["stream_trigram_lm_score"], sf_dir,
+        dtimes = run_suite(["stream_trigram_lm_score",
+                            "stream_weighted_sample"], sf_dir,
                            reps=max(2, reps - 1))
         eps = {n: round(n_events / t, 1) for n, t in stimes.items()}
         eps.update({n: round(n_docs / t, 1) for n, t in dtimes.items()})

@@ -45,7 +45,13 @@ def get_spark(app_name: str = "rtfd-spark", shuffle_partitions: int | None = Non
         # testdata parquet uses TIMESTAMP(NANOS): read as long ns,
         # normalized to micros timestamps in sources/files.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] means 32 concurrent tasks INSIDE this one JVM:
+        # 8g gave each task ~250 MB of heap and the r11 bench OOM'd
+        # mid-scale-pass once the walk/PQ relations joined the 30x
+        # curve. 20g (~600 MB/task) on the 128 GiB box is the honest
+        # sizing — on a real cluster this is per-executor memory, not
+        # a single shared heap.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

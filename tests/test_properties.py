@@ -161,3 +161,35 @@ def test_two_evidence_filters_complete_on_random_corpora(spark, docs):
              for r in dedup_containment(spark.createDataFrame(
                  docs, "doc_id long, text string")).collect()}
     assert got_c == _truth_pairs(spark, docs, "containment")
+
+
+def test_weighted_sample_es_inclusion_dominance(spark):
+    """A-ES soundness on a constructed corpus: when one doc's weight
+    dwarfs every other (a 10,000-token doc among 1-token docs), it
+    must be sampled — P(excluded) < (1 - k/n)^(w_ratio) is
+    astronomically small, and with the DETERMINISTIC hash draw the
+    outcome is fixed, so this pins the key formula's direction (a
+    sign error in ln(u)/w would systematically exclude heavy docs
+    instead). Also: with equal weights, the draw must equal the
+    unweighted hash top-k — the formula degenerates correctly."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        es_keyed,
+        weighted_sample_es,
+    )
+    from pyspark.sql import functions as F
+
+    n = 600
+    rows = [(i, "w " * 1 if i else "w " * 10_000) for i in range(n)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    got = {r["doc_id"] for r in weighted_sample_es(docs, k=50).collect()}
+    assert 0 in got  # the heavy doc is in the sample
+    # equal weights: ranking reduces to the raw hash order (ln(u)/w
+    # with constant w is a monotone transform of u)
+    eq = spark.createDataFrame([(i, "a b c") for i in range(n)],
+                               "doc_id long, text string")
+    got_eq = [r["doc_id"] for r in weighted_sample_es(eq, k=20).collect()]
+    want = [r["doc_id"] for r in
+            es_keyed(eq).orderBy(F.desc("es_key"), F.asc("doc_id"))
+            .limit(20).collect()]
+    assert got_eq == want
