@@ -152,9 +152,20 @@ SCALE_SUBSET = [
                         # is the open question the judge named
     "ann_graph_search",  # r10: rounds × linear walk — the claim the
                         # curve checks (state never grows)
-    "knn_graph_nprobe",  # r11: multi-probe construction — candidate
-                        # rows scale by nprobe, not nprobe², is the
-                        # claim; same cell-keyed join as knn_graph
+    "knn_graph_nprobe_fast",  # r11: multi-probe construction via the
+                        # bit-identical Arrow twin — the path every
+                        # beam-walk consumer rides (_nprobe_und).
+                        # Measured at 30×: 0.09/replica vs the
+                        # expression path's 1.028 — the two-level
+                        # assignment's hot cell (max occ 1054 vs avg
+                        # 128) makes the codegen pair stage occ²-
+                        # super-linear in ONE partition, while the
+                        # kernel eats it as one numpy matrix and
+                        # emits only k rows per probe. The expr path
+                        # stays headline- and oracle-checked at base
+                        # sf (flat regime — identical there); its
+                        # skewed-regime reading is recorded here and
+                        # in SURVEY rather than re-timed every round
     "ann_beam_pq_topk",  # r11 DiskANN rung: rounds × linear walk over
                         # PQ-code edges (PQ_M ints, not DIM doubles) +
                         # bounded exact rerank — the compressed-state

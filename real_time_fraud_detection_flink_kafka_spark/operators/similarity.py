@@ -54,10 +54,18 @@ IVF_DIV = 128        # target occupancy: one cell per IVF_DIV vectors
 # ~1562 cells (0.933 vs 0.209 per replica) with edge recall unchanged
 # (0.197 vs 0.198) — so past ~a thousand cells the exact argmax buys
 # nothing but the quadratic term. Below the threshold flat assignment
-# costs ≤ HIER_CELLS_MIN cos-folds per vector (comparable to the
-# within-cell join itself) and stays the bit-exact default. At
-# IVF_DIV=128 the switch engages at ≥131,072 vectors.
-HIER_CELLS_MIN = 1024
+# costs ≤ HIER_CELLS_MIN cos-folds per vector and stays the
+# bit-exact default.
+# r11 RE-TUNED 1024 → 256: the 30×-bracket measurement the r10
+# setting never had. At 468 cells (60k vectors — below the old
+# threshold) the flat candidate relation is n·cells ≈ 28M folds and
+# _ivf_probed ALONE read 22-25 s — the whole knn_graph_nprobe
+# construction's measured cost center and the scale curve's worst
+# row (0.51/replica at 30×). Two-level at 468 cells is n·(√cells +
+# occupancy) ≈ 2.6M folds. 256 keeps flat exact where it is
+# genuinely cheap (≤ 256 folds/vector, ≤ 32k vectors at IVF_DIV=128)
+# and engages the hier path at ≥ 32,768 vectors.
+HIER_CELLS_MIN = 256
 
 
 def ivf_cells_for(n: int) -> int:
@@ -1221,6 +1229,97 @@ def knn_graph_nprobe(embeddings: DataFrame, k: int = KNN_K,
                     F.round("cos_raw", 6).alias("cos_sim")))
 
 
+def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
+                          nprobe: int = GRAPH_NPROBE) -> DataFrame:
+    """Arrow-vectorized twin of `knn_graph_nprobe` — BIT-IDENTICAL
+    output (the ann_topk_fast discipline: dim-SEQUENTIAL numpy
+    accumulation reproduces the expression fold's float64 op
+    sequence exactly, so it shares the value oracle), attacking the
+    curve's measured worst row (construction read 0.51-0.58 per
+    replica at 10-30×; the docstring'd cost center is the ~2·occ·n
+    codegen'd 64-dim folds plus the candidate-relation window).
+
+    Two changes vs the expression path, both inside one per-cell
+    Arrow kernel (`applyInPandas` over the probe relation grouped by
+    cell — members are exactly the prn=1 subset of the group, so ONE
+    grouped pass sees both roles):
+    1. scoring is one vectorized seq-dot per cell (probes × members)
+       instead of 64 codegen'd array lookups per pair;
+    2. the per-(probe, cell) PARTIAL top-k happens in-kernel (full
+       lexsort per probe row — (cos DESC, nbr ASC), exact ties), so
+       the merge window sees ≤ nprobe·k rows per vector instead of
+       ~nprobe·occupancy — global top-k over partial top-ks is exact
+       by mergeability (pairs are unique across cells: a member's
+       primary cell is unique).
+
+    Scale shape: the ONLY corpus-sized exchange left is the probe
+    relation's groupBy(cell); the merge window's input is
+    nprobe·k·n skinny rows. Also SKEW-ROBUST: the two-level
+    assignment can overload a cell ~8× (measured max 1054 vs avg 128
+    at 30×), which costs the expression path occ² codegen'd folds +
+    window rows in one partition, while here the hot cell is one
+    numpy matrix and still emits only k rows per probe. MEASURED at
+    30× (60k vectors, post-HIER_CELLS_MIN-retune): 4.3 s vs the
+    expression path's 30.2 s warm — 7×; the shared `_ivf_probed`
+    is 2.0 s of both."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    def _seq_dot(A, B):
+        S = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            S += A[:, j][:, None] * B[:, j][None, :]
+        return S
+
+    kk = int(k)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        vn = pdf["v_norm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mmask = pdf["prn"].to_numpy() == 1
+        if not mmask.any():
+            return pd.DataFrame({"vec_id": [], "nbr_id": [],
+                                 "cos_raw": []})
+        M, mn, mids = V[mmask], vn[mmask], ids[mmask]
+        # members sorted by id: a STABLE argsort of -S then breaks
+        # score ties by lower nbr_id automatically (no per-row loop)
+        morder = np.argsort(mids, kind="stable")
+        M, mn, mids = M[morder], mn[morder], mids[morder]
+        S = _seq_dot(V, M) / (vn[:, None] * mn[None, :])
+        # self-exclusion: a probe's own row appears iff this is its
+        # primary cell; mids is sorted, so locate by searchsorted
+        pos = np.searchsorted(mids, ids)
+        pos_c = np.minimum(pos, len(mids) - 1)
+        selfmask = mids[pos_c] == ids
+        Sx = S.copy()
+        Sx[np.arange(len(ids))[selfmask], pos_c[selfmask]] = -np.inf
+        take = min(kk, len(mids))
+        order = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(len(ids)), take)
+        cols = order.ravel()
+        keep = Sx[rows, cols] != -np.inf
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, take)[keep],
+            "nbr_id": mids[cols][keep],
+            # emit the ORIGINAL scores: the -inf copy only ranks
+            "cos_raw": S[rows, cols][keep],
+        })
+
+    probes = _ivf_probed(embeddings, nprobe)
+    partial = (probes.groupBy("cell")
+               .applyInPandas(kernel,
+                              "vec_id bigint, nbr_id bigint, cos_raw double"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"),
+                                             F.asc("nbr_id"))
+    return (partial.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("vec_id", "nbr_id",
+                    F.col("rnk").cast("int").alias("rnk"),
+                    F.round("cos_raw", 6).alias("cos_sim")))
+
+
 def nav_graph_stats(embeddings: DataFrame, k: int = KNN_K,
                     nprobe: int = GRAPH_NPROBE) -> DataFrame:
     """The navigability claim as a MEASURED, oracle-checked row: the
@@ -1267,7 +1366,11 @@ def _nprobe_und(embeddings: DataFrame, k: int = KNN_K,
     graph CONSTRUCTION, the expensive part, factored out so
     compositions that walk the same graph twice (exact-scored vs
     PQ-scored in `ann_beam_pq_recall`) build it once."""
-    g = knn_graph_nprobe(embeddings, k, nprobe).select("vec_id", "nbr_id")
+    # the Arrow twin is BIT-IDENTICAL (pytest-pinned at base SFs and
+    # verified at 30×) and 7× faster at scale, so every beam-walk
+    # consumer rides it; oracles are unaffected by construction
+    g = knn_graph_nprobe_fast(embeddings, k, nprobe).select(
+        "vec_id", "nbr_id")
     return (g.unionAll(g.select(F.col("nbr_id").alias("vec_id"),
                                 F.col("vec_id").alias("nbr_id")))
              .distinct()

@@ -300,6 +300,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_graph_search": lambda s, d: similarity.ann_graph_search(load_table(s, d, "embeddings")),
     "ann_graph_recall": lambda s, d: similarity.ann_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_nprobe": lambda s, d: similarity.knn_graph_nprobe(load_table(s, d, "embeddings")),
+    "knn_graph_nprobe_fast": lambda s, d: similarity.knn_graph_nprobe_fast(load_table(s, d, "embeddings")),
     "ann_beam_search": lambda s, d: similarity.ann_beam_search(load_table(s, d, "embeddings")),
     "ann_beam_recall": lambda s, d: similarity.ann_beam_recall(load_table(s, d, "embeddings")),
     "ann_beam_topk": lambda s, d: similarity.ann_beam_topk(load_table(s, d, "embeddings")),
@@ -342,6 +343,9 @@ _LLM_ORACLES["ann_lsh_fast"] = _LLM_ORACLES["ann_lsh"]
 # dim-sequential Arrow kernel (r7): same float64 op sequence as the
 # expression fold, so the exact path's oracle applies bit-for-bit
 _LLM_ORACLES["ann_topk_fast"] = _LLM_ORACLES["ann_topk"]
+# bit-identical Arrow twin (dim-sequential kernel + in-kernel partial
+# top-k) — shares the expression path's value oracle exactly
+_LLM_ORACLES["knn_graph_nprobe_fast"] = _LLM_ORACLES["knn_graph_nprobe"]
 _LLM_ORACLES["dedup_clusters_twostar"] = _LLM_ORACLES["dedup_clusters"]
 for _name, _fn in _LLM_BUILDERS.items():
     register(_name, _fn, _LLM_ORACLES.get(_name))

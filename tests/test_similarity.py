@@ -969,3 +969,23 @@ def test_knn_graph_insert_contract(spark, sf_dir):
     assert 0 <= rec["n_hits"] <= rec["n_inserted"] * KNN_K
     assert rec["recall_ppm"] == (rec["n_hits"] * 1_000_000
                                  // (rec["n_inserted"] * KNN_K))
+
+
+def test_knn_graph_nprobe_fast_is_bit_identical(spark, sf_dir):
+    """The Arrow twin (dim-sequential kernel, in-kernel partial
+    top-k, stable-argsort tie-breaks over id-sorted members) must
+    reproduce the expression path ROW-FOR-ROW including cos values —
+    what lets it share the value oracle and serve as the beam
+    family's construction base (`_nprobe_und` rides it)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        knn_graph_nprobe,
+        knn_graph_nprobe_fast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (knn_graph_nprobe(emb).toPandas()
+         .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+    b = (knn_graph_nprobe_fast(emb).toPandas()
+         .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+    assert a.shape == b.shape
+    assert (a.values == b.values).all()
