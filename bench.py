@@ -170,6 +170,9 @@ SCALE_SUBSET = [
                         # PQ-code edges (PQ_M ints, not DIM doubles) +
                         # bounded exact rerank — the compressed-state
                         # claim on the curve
+    "weighted_sample_es",  # r12: exactly-k A-ES draw — the
+                        # TakeOrderedAndProject no-full-sort claim
+                        # (k rows per partition is the only movement)
     "vocab_topk",
     "decontaminate",
 ]
@@ -204,6 +207,13 @@ SCALE_SUBSET_BIG = [
     "dedup_containment",  # r11: the asymmetric join's 100× row the
                        # r10 verdict demanded — completes after the
                        # 2-evidence extended-prefix rework
+    # r12 additions per the r11 verdict (task 7): the r11 rungs'
+    # 100×-scale claims, measured not argued
+    "ann_beam_pq_topk",  # beam serving: per-round state ≤ beam·n_q
+                       # rows of PQ_M ints — THE 100 TB serving claim
+    "weighted_sample_es",  # TakeOrderedAndProject: k rows/partition
+    "domain_cap",      # boundary-bucket-only window claim at 100×
+    "scd2_user_segments",  # one keyed exchange claim at 100×
 ]
 
 
@@ -533,6 +543,99 @@ def _bench_components_engines(spark) -> dict:
             "twostar_wins_at_depth": crossover}
 
 
+# --- SURVEY sync: measured numbers have ONE source ---------------------------
+# The r10 and r11 verdicts both flagged SURVEY prose quoting "measured"
+# numbers that the shipped BENCH_DETAIL.json contradicted (the prose
+# was hand-transcribed mid-round, then the final clean re-bench shifted
+# every number). Fix: the per-query scale table, stream eps and suite
+# totals are RENDERED from the artifact into a delimited SURVEY block
+# on every bench run (and re-renderable offline via
+# `python bench.py --sync-survey`), and a pytest regenerates the block
+# from the committed artifact and asserts byte-equality — prose may
+# only reference the block, never re-quote numbers.
+
+SURVEY_BEGIN = ("<!-- BENCH_GENERATED_BEGIN: rendered by bench.py from "
+                "BENCH_DETAIL.json — do not hand-edit -->")
+SURVEY_END = "<!-- BENCH_GENERATED_END -->"
+
+
+def render_bench_block(result: dict) -> str:
+    """The measured-numbers block SURVEY.md §2c embeds — every figure
+    read straight from the bench artifact dict."""
+    L = [SURVEY_BEGIN]
+    nq = len(result.get("queries", {}))
+    L.append(f"Headline suite: **{result['value']} s / {nq} queries** "
+             f"at sf{result['sf']} (min over {result.get('reps', '?')} "
+             "interleaved passes).")
+    if "window" in result:
+        w = result["window"]
+        regs = ([r["name"] for r in w.get("regressions", [])]
+                if w.get("regressions") else [])
+        L.append(f"Driver-window pass: **{w['value']} s / "
+                 f"{len(w.get('queries', {}))} slots**, regressions: "
+                 f"{regs if regs else '[] (empty gate)'}.")
+    if "streaming" in result:
+        st = result["streaming"]
+        eps = ", ".join(f"{n} {v:,.0f}" for n, v in
+                        sorted(st.get("events_per_sec", {}).items(),
+                               key=lambda kv: -kv[1]))
+        L.append(f"Streaming drains (events/s or docs/s): {eps}; "
+                 f"regressions: {st.get('regressions', []) or '[] (empty gate)'}.")
+    scale = result.get("scale", [])
+    if scale:
+        L.append("")
+        L.append("Scale curve — ratio_per_replica = t_scaled / t_base "
+                 "/ replicas (1.0 = perfectly linear; lower is better):")
+        L.append("")
+        factors = [s["replicas"] for s in scale]
+        names = sorted({n for s in scale for n in s["ratio_per_replica"]})
+        L.append("| query | " + " | ".join(f"{f}×" for f in factors) + " |")
+        L.append("|---|" + "---|" * len(factors))
+        for n in names:
+            cells = []
+            for s in scale:
+                r = s["ratio_per_replica"].get(n)
+                f = s.get("failed", {}).get(n)
+                cells.append("FAILED" if f else
+                             (f"{r:.3f}" if r is not None else "—"))
+            L.append(f"| {n} | " + " | ".join(cells) + " |")
+        med = []
+        for s in scale:
+            rs = sorted(s["ratio_per_replica"].values())
+            if rs:
+                worst = max(s["ratio_per_replica"].items(),
+                            key=lambda kv: kv[1])
+                med.append(f"{s['replicas']}× median "
+                           f"{rs[len(rs) // 2]:.3f} (pass {s['value']} s, "
+                           f"worst {worst[0]} {worst[1]:.3f})")
+        if med:
+            L.append("")
+            L.append("Medians: " + "; ".join(med) + ".")
+        fails = {s["replicas"]: sorted(s["failed"])
+                 for s in scale if s.get("failed")}
+        if fails:
+            L.append(f"Failed at scale: {fails}.")
+    L.append(SURVEY_END)
+    return "\n".join(L)
+
+
+def sync_survey(result: dict) -> bool:
+    """Replace the delimited block in SURVEY.md with a fresh render.
+    Returns True if the file changed. No-op (False) when SURVEY.md or
+    the markers are missing — the bench must never fail on doc sync."""
+    p = Path(__file__).resolve().parent / "SURVEY.md"
+    try:
+        text = p.read_text()
+        i, j = text.index(SURVEY_BEGIN), text.index(SURVEY_END)
+    except (OSError, ValueError):
+        return False
+    new = text[:i] + render_bench_block(result) + text[j + len(SURVEY_END):]
+    if new == text:
+        return False
+    p.write_text(new)
+    return True
+
+
 # the grading driver keeps only the LAST ~2000 chars of stdout and
 # parses the JSON line out of that window — r6's full result grew
 # past it (scale sections + 29 headline rows) and the driver recorded
@@ -545,6 +648,7 @@ STDOUT_BUDGET = 1900
 def emit(result: dict) -> None:
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(result, indent=1) + "\n")
+    sync_survey(result)
 
     compact = {
         "metric": result["metric"],
@@ -588,4 +692,11 @@ def emit(result: dict) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sync-survey" in sys.argv:
+        # offline re-render from the committed artifact (no bench run)
+        detail = json.loads(
+            (Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+            .read_text())
+        print("survey block changed:", sync_survey(detail))
+    else:
+        main()

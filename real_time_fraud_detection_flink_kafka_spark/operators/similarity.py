@@ -889,14 +889,105 @@ def _knn_from_assigned(assigned: DataFrame, k: int) -> DataFrame:
                          F.col("cell").cast("long").alias("cell")))
 
 
-def knn_graph_hier(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
+def _knn_from_assigned_arrow(assigned: DataFrame, k: int) -> DataFrame:
+    """BIT-IDENTICAL Arrow twin of `_knn_from_assigned` — the scale
+    path the r11 curve demanded (the knn_graph_nprobe_fast finding
+    applied to the single-assignment construction): the two-level
+    coarse assignment skews cell occupancy (measured max 1054 vs avg
+    128 at 30×), and the expression pair stage pays occ² codegen'd
+    64-dim folds PLUS occ² window rows in ONE partition for the hot
+    cell — the r11 100× curve's worst row (knn_graph 0.322/replica,
+    RISING 0.286→0.295→0.322 across the curve). Here each cell is one
+    numpy matrix inside a per-cell `applyInPandas` kernel and emits
+    only k rows per member, so the hot cell costs one vectorized
+    seq-dot instead of a single-task quadratic window.
+
+    Bit-identity discipline (shared with `knn_graph_nprobe_fast`, so
+    the expression path's value oracle transfers):
+    - dim-SEQUENTIAL numpy accumulation reproduces the expression
+      fold's float64 op sequence exactly (S += A[:,j]·B[:,j] for
+      j = 0..DIM-1 is the same adds in the same order per element);
+    - one division by the na·nb product, exactly like the pair site;
+    - members sorted by vec_id, then a STABLE argsort of -S breaks
+      cosine ties by lower nbr_id — row_number's (cos DESC, nbr ASC);
+    - cos_sim rounded Spark-side with the same F.round(…, 6).
+    Because every vector's candidates live entirely inside its one
+    cell group, the in-kernel top-k IS the final ranking — no merge
+    window, and the groupBy(cell) exchange is the plan's ONLY
+    corpus-sized shuffle (the expression path shuffles the pair
+    relation, occupancy× larger). Equality is pytest-pinned row-for-
+    row including cos values (test_knn_graph_arrow_is_bit_identical).
+
+    Precondition (shared with the nprobe kernel): finite, non-zero
+    vector norms — numpy argsort places NaN last while Spark DESC
+    treats NaN as greatest, so a degenerate corpus must fail loudly
+    rather than silently diverge from the shared oracle; asserted
+    in-kernel."""
+    import numpy as np
+    import pandas as pd
+
+    kk = int(k)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n <= 1:  # singleton cells emit no rows (degree-0 contract)
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "nbr_id": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int32"),
+                "cos_raw": pd.Series([], dtype="float64"),
+                "cell": pd.Series([], dtype="int64")})
+        V = np.array(list(pdf["v"]), dtype=np.float64)
+        vn = pdf["v_norm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        cell = np.int64(pdf["cell"].iloc[0])
+        # id-sort once: members and probes are the same rows here, and
+        # id-sorted members make the stable argsort break score ties
+        # by lower nbr_id with no per-row loop
+        order = np.argsort(ids, kind="stable")
+        V, vn, ids = V[order], vn[order], ids[order]
+        S = np.zeros((n, n))
+        for j in range(V.shape[1]):  # dim-sequential: the fold's order
+            S += V[:, j][:, None] * V[:, j][None, :]
+        S = S / (vn[:, None] * vn[None, :])
+        assert np.isfinite(S).all(), (
+            "non-finite cosine (zero-norm or NaN embedding): the "
+            "argsort tie-break would diverge from Spark DESC ordering")
+        Sx = S.copy()
+        np.fill_diagonal(Sx, -np.inf)  # self-exclusion
+        take = min(kk, n - 1)  # one -inf per row → top take all finite
+        topk = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(n), take)
+        cols = topk.ravel()
+        return pd.DataFrame({
+            "vec_id": ids[rows],
+            "nbr_id": ids[cols],
+            "rnk": np.tile(np.arange(1, take + 1, dtype=np.int32), n),
+            "cos_raw": S[rows, cols],
+            "cell": np.full(n * take, cell, dtype=np.int64)})
+
+    part = (assigned.groupBy("cell")
+            .applyInPandas(kernel, "vec_id bigint, nbr_id bigint, "
+                                   "rnk int, cos_raw double, cell bigint"))
+    return part.select("vec_id", "nbr_id", "rnk",
+                       F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                       "cell")
+
+
+def knn_graph_hier(embeddings: DataFrame, k: int = KNN_K,
+                   impl: str = "arrow") -> DataFrame:
     """`knn_graph` over the TWO-LEVEL assignment — the 100-TB-shaped
     construction: total work O(n·√cells) for assignment plus the same
-    within-cell pair join, instead of flat assignment's O(n·cells).
+    within-cell pair stage, instead of flat assignment's O(n·cells).
     Same output contract; the blocking differs only where the
     two-level argmax picks a different cell (`ivf_hier_agreement`
-    measures that rate, oracle-checked)."""
-    return _knn_from_assigned(_ivf_assigned_hier(embeddings), k)
+    measures that rate, oracle-checked). Pair stage defaults to the
+    bit-identical Arrow kernel (see `_knn_from_assigned_arrow`);
+    ``impl="expr"`` keeps the expression twin for the equality pin."""
+    assigned = _ivf_assigned_hier(embeddings)
+    if impl == "expr":
+        return _knn_from_assigned(assigned, k)
+    return _knn_from_assigned_arrow(assigned, k)
 
 
 def ivf_hier_agreement(embeddings: DataFrame) -> DataFrame:
@@ -918,7 +1009,8 @@ def ivf_hier_agreement(embeddings: DataFrame) -> DataFrame:
 
 
 def knn_graph(embeddings: DataFrame, k: int = KNN_K,
-              n_cells: int | None = None) -> DataFrame:
+              n_cells: int | None = None,
+              impl: str = "arrow") -> DataFrame:
     """k-NN graph over the embedding corpus, cell-blocked: each
     vector's top-`k` cosine neighbors WITHIN its IVF cell — the
     construction step for graph-based curation (SemDeDup cluster
@@ -946,10 +1038,22 @@ def knn_graph(embeddings: DataFrame, k: int = KNN_K,
     (`ivf_hier_agreement` quantifies the assignment drift; edge
     recall measured unchanged, 0.197 vs 0.198). An explicit
     `n_cells` pins the flat argmax at that cell count (the bounded
-    slice/debug path — the caller asserted the count is small)."""
-    if n_cells is None:
-        return _knn_from_assigned(_ivf_assigned_auto(embeddings), k)
-    return _knn_from_assigned(_ivf_assigned(embeddings, n_cells), k)
+    slice/debug path — the caller asserted the count is small).
+
+    r12: the PAIR STAGE ships the bit-identical Arrow kernel
+    (`_knn_from_assigned_arrow`) — the r11 100× curve measured the
+    expression pair stage as the curve's worst row (0.322/replica,
+    rising 0.286→0.295→0.322: two-level assignment skews cell
+    occupancy ~8×, and the hot cell pays occ² codegen folds + occ²
+    window rows in ONE partition), while the bit-identical kernel
+    measured 0.09/replica on the sibling nprobe construction. The
+    expression twin stays behind ``impl="expr"`` for the row-for-row
+    equality pin; both share one value oracle."""
+    assigned = (_ivf_assigned_auto(embeddings) if n_cells is None
+                else _ivf_assigned(embeddings, n_cells))
+    if impl == "expr":
+        return _knn_from_assigned(assigned, k)
+    return _knn_from_assigned_arrow(assigned, k)
 
 
 def knn_triangle_stats(embeddings: DataFrame, k: int = KNN_K) -> DataFrame:
@@ -1148,12 +1252,25 @@ def _ivf_probed(embeddings: DataFrame,
     products cost more than shuffling the 10M-row candidate relation
     through the codegen'd window — the exchange is not this plan's
     bottleneck, the scoring arithmetic is, and codegen wins it."""
+    return _ivf_probed_rel(embeddings, _vecs(embeddings), nprobe)
+
+
+def _ivf_probed_rel(base: DataFrame, probes: DataFrame,
+                    nprobe: int = GRAPH_NPROBE) -> DataFrame:
+    """`_ivf_probed` generalized to rank the BASE corpus's cells for
+    an arbitrary probe relation (vec_id, v, v_norm) — cells, anchors
+    and the scale-aware switch all come from `base`; only the ranked
+    rows come from `probes`. `_ivf_probed(e)` is exactly
+    `_ivf_probed_rel(e, _vecs(e))` (the refactor is plan-identical —
+    the bit-identity pins on prn=1 are unaffected). The insert rung
+    probes the ARRIVING vectors against the frozen base's cells to
+    seed their walks (see `_insert_seeds`)."""
     from pyspark.sql import Window
 
-    e = _vecs(embeddings)
-    params = ivf_cell_params(embeddings)
-    seeds = (e.crossJoin(F.broadcast(params))
-              .where(F.col("vec_id") < F.col("_cells")))
+    e = probes
+    params = ivf_cell_params(base)
+    seeds = (_vecs(base).crossJoin(F.broadcast(params))
+             .where(F.col("vec_id") < F.col("_cells")))
     nl1 = (F.when(F.col("_cells") < HIER_CELLS_MIN, F.lit(1))
             .otherwise(F.expr(
                 "greatest(1, cast(floor(sqrt(_cells)) as int))")))
@@ -1252,6 +1369,13 @@ def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
        by mergeability (pairs are unique across cells: a member's
        primary cell is unique).
 
+    Precondition: finite, non-zero vector norms — numpy argsort
+    places NaN last while Spark's DESC ordering treats NaN as
+    greatest, and the -inf sentinel/keep-mask logic assumes finite
+    scores, so a zero-norm/NaN embedding would silently diverge from
+    the expression twin; asserted in-kernel so a degenerate corpus
+    fails loudly instead.
+
     Scale shape: the ONLY corpus-sized exchange left is the probe
     relation's groupBy(cell); the merge window's input is
     nprobe·k·n skinny rows. Also SKEW-ROBUST: the two-level
@@ -1288,6 +1412,9 @@ def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
         morder = np.argsort(mids, kind="stable")
         M, mn, mids = M[morder], mn[morder], mids[morder]
         S = _seq_dot(V, M) / (vn[:, None] * mn[None, :])
+        assert np.isfinite(S).all(), (
+            "non-finite cosine (zero-norm or NaN embedding): the "
+            "argsort tie-break would diverge from Spark DESC ordering")
         # self-exclusion: a probe's own row appears iff this is its
         # primary cell; mids is sorted, so locate by searchsorted
         pos = np.searchsorted(mids, ids)
@@ -1397,7 +1524,9 @@ def _beam_nav_edges(embeddings: DataFrame, k: int = KNN_K,
 def _beam_frontier(embeddings: DataFrame, steps: int,
                    n_queries: int, beam: int,
                    queries: DataFrame | None = None,
-                   edges: DataFrame | None = None) -> DataFrame:
+                   edges: DataFrame | None = None,
+                   seeds: DataFrame | None = None,
+                   beam_rel: DataFrame | None = None) -> DataFrame:
     """The beam walk's final frontier — ≤ beam rows per query of
     (query_id, qv, q_norm, node, cur_cos) after `steps` rounds over
     the multi-probe navigation graph. Shared by `ann_beam_search`
@@ -1405,7 +1534,22 @@ def _beam_frontier(embeddings: DataFrame, steps: int,
     frontier IS the result heap, as in HNSW's ef-search), and the
     streaming serving twin (which passes each micro-batch's rows as
     `queries` and the PREBUILT persisted edge relation as `edges` —
-    index construction must not re-run per batch)."""
+    index construction must not re-run per batch).
+
+    `seeds` (query_id, node), optional: per-query walk ENTRY points
+    replacing the fixed entry node — the insert rung seeds each
+    arriving vector's walk from its own multi-probe cells
+    (`_insert_seeds`), which puts round 0 inside the query's
+    neighborhood instead of wherever node 0 happens to sit. Must be
+    distinct per (query_id, node); the initial frontier is ≤
+    |seeds-per-query| rows and round 1's per-(query, cand) dedup +
+    top-beam applies as usual.
+
+    `beam_rel` (1-row `_beam` int), optional: a DATA-DEPENDENT
+    frontier width riding the DAG as a broadcast (the insert rung's
+    log2-scaled ef, `insert_beam_params`) — overrides the `beam`
+    int; each round's top filter cross-joins the 1-row relation
+    instead of comparing to a literal."""
     from pyspark.sql import Window
 
     ev = _vecs(embeddings)
@@ -1416,7 +1560,10 @@ def _beam_frontier(embeddings: DataFrame, steps: int,
     entry = F.when(F.col("query_id") == 0, F.lit(1)).otherwise(F.lit(0))
     if edges is None:
         edges = _beam_nav_edges(embeddings)
-    ent = q.withColumn("node", entry)
+    if seeds is not None:
+        ent = q.join(seeds, "query_id")
+    else:
+        ent = q.withColumn("node", entry)
     cur = (ev.join(F.broadcast(ent), ev["vec_id"] == ent["node"])
              .select("query_id", "qv", "q_norm", "node",
                      (dot(F.col("qv"), F.col("v"))
@@ -1443,13 +1590,18 @@ def _beam_frontier(embeddings: DataFrame, steps: int,
         # the value itself in both engines. localCheckpoint per round
         # cuts the doubled lineage exactly as the greedy walk does
         # (measured 2^steps Catalyst re-analysis otherwise).
-        cur = (moved.unionByName(stay)
-               .groupBy("query_id", "cand_id")
-               .agg(F.max("cos_raw").alias("cos_raw"),
-                    F.first("qv").alias("qv"),
-                    F.first("q_norm").alias("q_norm"))
-               .withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") <= beam)
+        ranked = (moved.unionByName(stay)
+                  .groupBy("query_id", "cand_id")
+                  .agg(F.max("cos_raw").alias("cos_raw"),
+                       F.first("qv").alias("qv"),
+                       F.first("q_norm").alias("q_norm"))
+                  .withColumn("_rn", F.row_number().over(w)))
+        if beam_rel is not None:
+            ranked = (ranked.crossJoin(F.broadcast(beam_rel))
+                      .where(F.col("_rn") <= F.col("_beam")))
+        else:
+            ranked = ranked.where(F.col("_rn") <= beam)
+        cur = (ranked
                .select("query_id", "qv", "q_norm",
                        F.col("cand_id").alias("node"),
                        F.col("cos_raw").alias("cur_cos"))
@@ -2242,7 +2394,14 @@ INSERT_NUM, INSERT_DEN = 9, 10  # existing : corpus = 9 : 10
 def _insert_split(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(existing, new) — the first ⌊9n/10⌋ vec_ids are the indexed
     base, the rest the arriving batch. The cutoff rides as a 1-row
-    broadcast (no driver-side count)."""
+    broadcast (no driver-side count).
+
+    Precondition (repo-wide id convention): vec_ids are DENSE
+    0..n-1 — the count-based cutoff assumes it (sparse ids would
+    skew the 90/10 split, and `knn_graph_insert_recall`'s sample
+    window `vec_id < cutoff + n_sample` could then select fewer than
+    n_sample nodes). The DuckDB oracle mirrors the same convention
+    exactly, so this is a documented assumption, not a divergence."""
     cut = embeddings.agg(
         F.expr(f"count(*) * {INSERT_NUM} div {INSERT_DEN}")
          .cast("bigint").alias("cutoff"))
@@ -2253,14 +2412,69 @@ def _insert_split(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return old, new
 
 
+def insert_beam_params(base: DataFrame) -> DataFrame:
+    """1-row (_beam int) relation: the insert walk's ef-construction
+    width scaled with the BASE size — beam = max(BEAM_EF,
+    2·⌊log2 n⌋), integer-exact in both engines via binary-string
+    length (the `lsh_bits_for` discipline; no float log anywhere).
+    Rationale is HNSW's ln-scaled ef: the r11 fixed-width walk's
+    MEASURED capture fell with corpus density (0.58 at sf0.001 →
+    0.34 at sf0.01 at beam 8) because a denser corpus packs more
+    near-ties into the same frontier; the r12 beam sweep measured
+    capture 0.34 → 0.58 → 0.80 at beam 8/16/32 over sf0.01 with
+    steps saturated at 6 — width, not depth, is the lever. At n=450
+    this gives beam 16; growth is logarithmic so the per-round
+    frontier broadcast stays ≤ 2⌊log2 n⌋·|batch| rows at any scale.
+    Rides the DAG as a broadcast (no driver collect); the oracle
+    replays it as `greatest(BEAM_EF, 2*(length(bin(count(*)))-1))`."""
+    bl = F.length(F.bin(F.expr("count(1)"))) - F.lit(1)
+    return base.agg(
+        F.greatest(F.lit(BEAM_EF), F.lit(2) * bl)
+         .cast("int").alias("_beam"))
+
+
+def _insert_seeds(old: DataFrame, newq: DataFrame,
+                  nprobe: int = GRAPH_NPROBE) -> DataFrame:
+    """(query_id, node): per arriving vector, its walk ENTRY points —
+    the minimum-id PRIMARY member of each of the vector's `nprobe`
+    best BASE cells (the coarse structure the index already
+    maintains: `_ivf_probed_rel` ranks the frozen base's cells for
+    the new vectors under the same scale-aware two-level scheme),
+    plus node 0 as the connectivity fallback (a probed cell can in
+    principle hold no primary member — the seed join must never
+    leave a query with an empty frontier). DISTINCT so the initial
+    frontier carries no duplicate (query, node) rows.
+
+    This is the r12 capture fix: seeding from the fixed entry made
+    every insert walk traverse from node 0's island outward, and the
+    measured capture fell with corpus density (0.58 at sf0.001 →
+    0.34 at sf0.01 at the same walk budget); cell-local seeds start
+    the walk inside the query's own neighborhood, which is exactly
+    HNSW's upper-layer descent shortcut expressed with the structure
+    an IVF-backed index already has."""
+    probes = _ivf_probed_rel(
+        old, newq.select(F.col("query_id").alias("vec_id"),
+                         F.col("qv").alias("v"),
+                         F.col("q_norm").alias("v_norm")), nprobe)
+    members = _ivf_assigned_auto(old).select("vec_id", "cell")
+    minm = members.groupBy("cell").agg(F.min("vec_id").alias("node"))
+    return (probes.select(F.col("vec_id").alias("query_id"), "cell")
+            .join(minm, "cell").select("query_id", "node")
+            .unionByName(newq.select(
+                "query_id", F.lit(0).cast("long").alias("node")))
+            .distinct())
+
+
 def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
                      steps: int = GS_STEPS,
-                     beam: int = BEAM_EF) -> DataFrame:
+                     beam: int | None = None) -> DataFrame:
     """INCREMENTAL INDEX MAINTENANCE: wire the arriving 10% of
     vectors into the multi-probe navigable graph built over the
     other 90% — beam-walk the frozen base graph from each new vector
-    (entry node 0, the walk machinery of `ann_beam_search` with the
-    new vectors as the query relation) and emit each node's k best
+    (the walk machinery of `ann_beam_search` with the new vectors as
+    the query relation, seeded from each vector's own multi-probe
+    cells per `_insert_seeds` — r12; the r11 fixed-entry walk's
+    capture fell with corpus density) and emit each node's k best
     walk endpoints as its out-edges (query_id→vec_id renamed:
     these ARE graph edges now, `knn_graph`'s schema). No rebuild:
     construction cost is ONE walk per new vector over the persisted
@@ -2272,15 +2486,33 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
     Scale shape: the base edge relation is built once and persisted
     (≤ 2k·0.9n rows); each round broadcasts ≤ beam·|batch| frontier
     rows against it. The insert batch never joins the corpus
-    directly — only the graph."""
+    directly — only the graph and the |cells|-bounded coarse
+    structure (seed selection).
+
+    `beam=None` (the default) scales the frontier width with the
+    base size (`insert_beam_params`: max(BEAM_EF, 2·⌊log2 n⌋) as a
+    1-row broadcast) — the r12 fix for the r11-measured capture
+    decay at fixed width (see `insert_beam_params` for the measured
+    sweep); an explicit int pins the width (the walk-budget debug
+    path)."""
     from pyspark.sql import Window
 
+    if beam is not None and beam < k:
+        raise ValueError(
+            f"beam ({beam}) must be >= k ({k}): the frontier holds at "
+            "most beam rows per inserted node, so beam < k would "
+            "silently emit fewer than k edges per node")
     old, new = _insert_split(embeddings)
     edges = _beam_nav_edges(old)
     newq = _vecs(new).select(F.col("vec_id").alias("query_id"),
                              F.col("v").alias("qv"),
                              F.col("v_norm").alias("q_norm"))
-    cur = _beam_frontier(old, steps, 0, beam, queries=newq, edges=edges)
+    beam_rel = (tracked_persist(insert_beam_params(old))
+                if beam is None else None)
+    cur = _beam_frontier(old, steps, 0, beam if beam is not None else 0,
+                         queries=newq, edges=edges,
+                         seeds=_insert_seeds(old, newq),
+                         beam_rel=beam_rel)
     w = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
                                                F.asc("node"))
     return (cur.withColumn("rnk", F.row_number().over(w))
@@ -2292,7 +2524,8 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
 
 
 def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
-                            steps: int = GS_STEPS, beam: int = BEAM_EF,
+                            steps: int = GS_STEPS,
+                            beam: int | None = None,
                             n_sample: int = N_QUERIES) -> DataFrame:
     """Insert-quality measurement: for the first `n_sample` inserted
     nodes, |walk-adopted edges ∩ exact k-NN vs the base corpus| —
@@ -2301,11 +2534,17 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
     computed ONLY for the sampled nodes (n_sample·|base| pairs — a
     measurement rung, never a corpus-quadratic join).
 
-    MEASURED: 29/50 (0.58) at sf0.001, 17/50 (0.34) at sf0.01 —
-    same walk budget over a 10x denser corpus captures less, the
-    expected trade (a deployment re-tunes beam/steps with corpus
-    growth; the row exists so that tuning is measured, not
-    guessed)."""
+    MEASURED (r12, after the multi-probe seeding + log2-scaled beam
+    rework): 32/50 (0.64) at sf0.001, 29/50 (0.58) at sf0.01, 19/50
+    (0.38) at sf0.1 — the r11 fixed-entry/fixed-width walk read 0.58
+    / 0.34 / unmeasured, so the rework bought +0.24 at sf0.01 at the
+    same asymptotic cost. The r12 sweep isolated WIDTH as the lever
+    (beam 8/16/32 → 0.34/0.58/0.80 at sf0.01; steps saturate at 6;
+    seeding alone moved nothing at fixed width) — the scaled default
+    (`insert_beam_params`) spends 2·⌊log2 n⌋, and the residual
+    density decay is the honest record of what logarithmic width
+    buys (a deployment wanting flat capture pays a larger constant —
+    beam 48 measured 0.64 at sf0.1)."""
     ins = knn_graph_insert(embeddings, k, steps, beam)
     old, new = _insert_split(embeddings)
     cut = embeddings.agg(
@@ -2581,6 +2820,74 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
              ann_beam_pq_topk(embeddings, k, steps, n_queries, beam,
                               und=und))
     return ex.unionByName(pq)
+
+
+# PQ-domain ef widths for the curve — DiskANN's actual serving lever
+# (its L defaults to 64-128 where the exact-domain family saturates
+# at 4-8); starts at BEAM_EF because serving k=5 needs beam >= k
+PQ_BEAM_CURVE = (8, 16, 32, 64)
+
+
+def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
+                      steps: int = GS_STEPS,
+                      n_queries: int = N_QUERIES) -> DataFrame:
+    """The COMPRESSED-DOMAIN ef-search trade-off curve — what beam
+    WIDTH buys back of the pure-ADC routing floor, measured (the r11
+    verdict's open question after `ann_beam_pq_recall` recorded
+    pq_walk 15/50 vs exact_walk 41/50 at the shared ef=8): one
+    labeled set-recall@k row per PQ-domain width in `PQ_BEAM_CURVE`,
+    plus the exact-scored walk at the ef=8 serving default as the
+    CROSSOVER reference — the row pair a DiskANN deployment reads to
+    pick L (its L defaults to 64-128 precisely because compressed
+    routing needs width to compensate reconstruction bias; the
+    exact-domain curve `ann_beam_curve` saturates at 4-8).
+
+    MEASURED at sf0.01: pq_walk set recall@5 rises MONOTONICALLY
+    with width — 15/50 → 25/50 → 32/50 → 42/50 over beam 8/16/32/64
+    — and CROSSES the exact walk's ef=8 reading (41/50) at width 64:
+    the reconstruction bias costs WIDTH, not reachability, on this
+    corpus, and the crossover lands exactly where DiskANN's default
+    L (64-128) says it should. A deployment picks: exact-domain
+    ef=8 (DIM-double edge payloads) or PQ-domain ef=64 (PQ_M-int
+    payloads, ~16× less navigation state) for the same recall.
+
+    Scale shape: one shared graph construction (`_nprobe_und`) for
+    all five walks; each PQ walk is rounds × (≤ beam·n_queries
+    broadcast rows of PQ_M ints) — the widest width multiplies only
+    the frontier, never the corpus-sized relations. Codebook
+    training re-runs per walk chain exactly as the oracle's
+    self-contained CTE blocks do (deterministic Lloyd — identical
+    results, and the retrain is query-table-sized)."""
+    exact = tracked_persist(
+        ann_topk(embeddings, k=k, n_queries=n_queries)
+        .select(F.col("query_id").alias("eq"),
+                F.col("neighbor_id").alias("en")))
+
+    def row(method: str, beam: int, found: DataFrame) -> DataFrame:
+        hit = found.join(exact, (F.col("query_id") == F.col("eq"))
+                         & (F.col("neighbor_id") == F.col("en")),
+                         "left_semi")
+        n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+        n_q = found.agg(F.countDistinct("query_id").cast("int")
+                        .alias("n_queries"))
+        return (n_hits.crossJoin(F.broadcast(n_q))
+                .select(F.lit(method).alias("method"),
+                        F.lit(int(beam)).cast("int").alias("beam"),
+                        "n_queries",
+                        F.lit(int(k)).cast("int").alias("k"), "n_hits",
+                        F.expr(f"n_hits * 1000000 div (n_queries * {int(k)})")
+                         .cast("bigint").alias("recall_ppm")))
+
+    und = tracked_persist(_nprobe_und(embeddings))
+    out = row("exact_walk", BEAM_EF,
+              ann_beam_topk(embeddings, k, steps, n_queries, BEAM_EF,
+                            edges=_beam_nav_edges(embeddings, und=und)))
+    for b in PQ_BEAM_CURVE:
+        out = out.unionByName(
+            row("pq_walk", b,
+                ann_beam_pq_topk(embeddings, k, steps, n_queries, b,
+                                 und=und)))
+    return out
 
 
 # --- scalar quantization (SQ8) ----------------------------------------------

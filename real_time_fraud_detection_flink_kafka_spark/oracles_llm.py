@@ -2372,6 +2372,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # exact-walk-vs-pq-walk recall comparison row
         "ann_beam_pq_topk": _beam_pq_sql(),
         "ann_beam_pq_recall": _beam_pq_recall_sql(),
+        "ann_beam_pq_curve": _beam_pq_curve_sql(),
         # incremental graph maintenance: new 10% wired into the
         # frozen 90% base graph via the beam walk, plus the
         # insert-vs-rebuild edge capture measurement
@@ -2760,7 +2761,7 @@ xk AS MATERIALIZED (
 {blocks}"""
 
 
-def _beam_pq_sql() -> str:
+def _beam_pq_sql(beam: int | None = None) -> str:
     """Mirror of similarity.ann_beam_pq_topk — the DiskANN rung: the
     beam walk over the multi-probe graph scored by fixed-point PQ ADC
     table lookups (integer scores: the per-(query, cand) dedup max
@@ -2768,13 +2769,17 @@ def _beam_pq_sql() -> str:
     rounds), then exact-cosine re-rank of the final frontier only.
     Code positions are DENSE per-subspace ranks (row_number over
     code) because Lloyd can drop codes — both engines index the
-    lookup arrays through the same (sub, code) ordering."""
+    lookup arrays through the same (sub, code) ordering. `beam`
+    parameterizes the frontier width (the PQ-domain ef curve)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         BEAM_EF,
         GS_STEPS,
         PQ_M,
         PQ_SCALE,
     )
+
+    if beam is None:
+        beam = BEAM_EF
 
     pq, cb = _pq_ctes()  # defines e, s, pc{PQ_ITERS}
     # replace the plain `e` with the MATERIALIZED one the walk reuses
@@ -2833,7 +2838,7 @@ def _beam_pq_sql() -> str:
   SELECT query_id, cand_id AS node, fp_raw AS cur_fp FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY fp_raw DESC, cand_id) AS rn FROM a{r})
-  WHERE rn <= {BEAM_EF}
+  WHERE rn <= {beam}
 )""")
     walk_ctes.append(f"""rr AS (
   SELECT f.query_id, f.node AS neighbor_id,
@@ -2893,6 +2898,54 @@ UNION ALL
 {row('pq_walk', 'f')}"""
 
 
+def _beam_pq_curve_sql() -> str:
+    """ann_beam_pq_curve's oracle: one labeled set-recall@k row per
+    PQ-domain width (PQ_BEAM_CURVE) plus the exact walk at the ef=8
+    serving default — each walk chain a self-contained MATERIALIZED
+    CTE block, all against one shared exact ranking."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        PQ_BEAM_CURVE,
+    )
+
+    def row(method: str, beam: int, rel: str) -> str:
+        return f"""
+SELECT '{method}' AS method, CAST({beam} AS INTEGER) AS beam,
+       CAST((SELECT count(DISTINCT query_id) FROM {rel}) AS INTEGER)
+         AS n_queries,
+       {TOP_K} AS k,
+       CAST((SELECT count(*) FROM {rel}
+             JOIN xk ON xk.query_id = {rel}.query_id
+                    AND xk.neighbor_id = {rel}.neighbor_id) AS INTEGER)
+         AS n_hits,
+       CAST((SELECT count(*) FROM {rel}
+             JOIN xk ON xk.query_id = {rel}.query_id
+                    AND xk.neighbor_id = {rel}.neighbor_id) * 1000000
+            // ((SELECT count(DISTINCT query_id) FROM {rel}) * {TOP_K})
+            AS BIGINT) AS recall_ppm"""
+
+    blocks = [f"g AS MATERIALIZED ({_beam_topk_sql()})"]
+    rows = [row("exact_walk", BEAM_EF, "g")]
+    for b in PQ_BEAM_CURVE:
+        blocks.append(f"f{b} AS MATERIALIZED ({_beam_pq_sql(b)})")
+        rows.append(row("pq_walk", b, f"f{b}"))
+    blocks_sql = ",\n".join(blocks)
+    rows_sql = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {blocks_sql},
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+xk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY {_cos_sql('qq.v', 'ee.v')} DESC, ee.vec_id) AS rnk
+    FROM ee qq, ee WHERE qq.vec_id < {N_QUERIES}
+      AND ee.vec_id <> qq.vec_id)
+  WHERE rnk <= {TOP_K}
+)
+{rows_sql}"""
+
+
 def _insert_cut_sql() -> str:
     """The 90/10 split boundary as one scalar subquery (mirrors
     similarity._insert_split's 1-row broadcast)."""
@@ -2908,10 +2961,15 @@ def _insert_cut_sql() -> str:
 def _graph_insert_sql() -> str:
     """Mirror of similarity.knn_graph_insert: the beam walk of
     `_beam_search_sql` with the base graph built over the existing
-    90% only, the arriving 10% as the query relation, fixed entry
-    node 0, and per-query top-KNN_K emission as graph edges."""
+    90% only, the arriving 10% as the query relation, walks SEEDED
+    from each new vector's multi-probe base cells (r12 —
+    `_insert_seeds`: the min-id primary member of each of its
+    GRAPH_NPROBE best cells under the base's scale-aware two-level
+    ranking, plus node 0 as the connectivity fallback, DISTINCT),
+    and per-query top-KNN_K emission as graph edges."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         BEAM_EF,
+        GRAPH_NPROBE,
         GS_STEPS,
         KNN_K,
     )
@@ -2937,7 +2995,7 @@ c{r + 1} AS MATERIALIZED (
   SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
-  WHERE rn <= {BEAM_EF}
+  WHERE rn <= (SELECT b FROM bm)
 )""")
     return (f"""
 WITH kg AS MATERIALIZED ({_knn_graph_nprobe_sql(e_where)}),
@@ -2948,9 +3006,33 @@ e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
 qs AS MATERIALIZED (SELECT vec_id AS query_id,
        CAST(embedding AS DOUBLE[]) AS qv
        FROM embeddings WHERE vec_id >= {cut}),
+""" + _hier_assign_ctes(scale_aware=True) + f""",
+qgrp AS (
+  SELECT query_id, g FROM (
+    SELECT qs.query_id, l1.g,
+           row_number() OVER (PARTITION BY qs.query_id
+             ORDER BY {_cos_sql('qs.qv', 'l1.gv')} DESC, l1.g) AS arn
+    FROM qs, l1) t WHERE arn = 1
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT qgrp.query_id, cm.cell,
+           row_number() OVER (PARTITION BY qgrp.query_id
+             ORDER BY {_cos_sql('q.qv', 'c2.cv')} DESC, cm.cell) AS arn
+    FROM qgrp
+    JOIN cm ON cm.g = qgrp.g
+    JOIN qs q ON q.query_id = qgrp.query_id
+    JOIN c c2 ON c2.cell = cm.cell) t
+  WHERE arn <= {GRAPH_NPROBE}
+),
+minm AS (SELECT cell, min(vec_id) AS node FROM hassigned GROUP BY cell),
+seeds AS (SELECT query_id, node FROM qprobe JOIN minm USING (cell)
+          UNION SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
+bm AS (SELECT greatest({BEAM_EF}, 2 * (length(bin(count(*))) - 1)) AS b
+       FROM e),
 c0 AS MATERIALIZED (
-  SELECT q.query_id, 0 AS node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
-  FROM qs q JOIN e ON e.vec_id = 0
+  SELECT q.query_id, s.node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
+  FROM seeds s JOIN qs q USING (query_id) JOIN e ON e.vec_id = s.node
 )""" + "".join(rounds) + f"""
 SELECT query_id AS vec_id, node AS nbr_id, CAST(rn AS INTEGER) AS rnk,
        round(cur_cos, 6) AS cos_sim FROM (

@@ -183,6 +183,7 @@ def run_trigram_lm_stream(spark, sf_dir: str,
     production path."""
     from pyspark.sql import functions as F
 
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
     from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
         TRI_TRAIN_MOD,
         doc_trigrams,
@@ -195,11 +196,30 @@ def run_trigram_lm_stream(spark, sf_dir: str,
     batch = load_table(spark, sf_dir, "documents")
     uni, big, tric = trigram_model(
         batch.where(F.col("doc_id") % TRI_TRAIN_MOD == 0))
-    v = uni.count()  # model metadata: vocabulary size
+    # the model is TRAINED ONCE, offline — persist the three count
+    # relations so the stream side never re-tokenizes the train half:
+    # unpersisted, each micro-batch plan rebuilt uni/big/tric from raw
+    # text, and `big` evaluates TWICE per batch (trigram-denominator
+    # join + the backoff relation derived from it). |V| rides as a
+    # broadcast 1-row agg exactly like the batch scorer — no blocking
+    # driver-side count before the stream starts.
+    #
+    # MEASURED FLOOR (r12, sf0.1 warm): the r11 bench read this drain
+    # at 1,596 docs/s — 30× below the event-keyed drains — but the
+    # denominator differs (5,000 docs vs 100,000 events) AND the
+    # complete-mode drain re-runs the FULL batch scoring plan, so the
+    # drain is lower-bounded by the batch `trigram_lm_score` wall time
+    # itself (~1.6 s at sf0.1 → ≤ ~3,100 docs/s on this host no matter
+    # what the stream side does). The persist + deferred-|V| rework
+    # cuts the duplicated model build; what remains IS the scorer.
+    uni, big, tric = (tracked_persist(uni), tracked_persist(big),
+                      tracked_persist(tric))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
     out = score_trigrams_with_lm(
-        doc_trigrams(_documents_stream(spark, sf_dir)),
-        uni, big, tric, F.lit(v), broadcast_model=True)
+        doc_trigrams(_documents_stream(spark, sf_dir))
+        .crossJoin(F.broadcast(vocab)),
+        uni, big, tric, F.col("v"), broadcast_model=True)
     q = (out.writeStream.format("memory").queryName(query_name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -667,4 +687,10 @@ def run_weighted_sample_stream(spark, sf_dir: str,
          .option("checkpointLocation", os.path.join(base, "_chk"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    if not os.path.exists(out_dir):
+        # absorb() skips empty batches, so a stream that never yields
+        # a non-empty batch leaves no sink — the drain of an empty
+        # stream is the empty reservoir, not an AnalysisException
+        return spark.createDataFrame(
+            [], "doc_id bigint, w_tokens bigint, rnk int, es_key double")
     return es_ranked(es_topk(spark.read.parquet(out_dir)))

@@ -971,6 +971,29 @@ def test_knn_graph_insert_contract(spark, sf_dir):
                                  // (rec["n_inserted"] * KNN_K))
 
 
+def test_knn_graph_arrow_is_bit_identical(spark, sf_dir):
+    """The r12 default pair stage (`_knn_from_assigned_arrow`) must
+    reproduce the expression path ROW-FOR-ROW including cos values —
+    what lets the shipped `knn_graph`/`knn_graph_hier` keep the
+    expression path's value oracle (driver slot 15 stays hash-green).
+    Checked over BOTH assignment regimes the dispatch serves: the
+    scale-aware auto default and an explicit flat n_cells."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        knn_graph,
+        knn_graph_hier,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for fn, kw in ((knn_graph, {}), (knn_graph, {"n_cells": 7}),
+                   (knn_graph_hier, {})):
+        a = (fn(emb, impl="expr", **kw).toPandas()
+             .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+        b = (fn(emb, **kw).toPandas()
+             .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+        assert a.shape == b.shape and list(a.columns) == list(b.columns)
+        assert (a.values == b.values).all(), (fn.__name__, kw)
+
+
 def test_knn_graph_nprobe_fast_is_bit_identical(spark, sf_dir):
     """The Arrow twin (dim-sequential kernel, in-kernel partial
     top-k, stable-argsort tie-breaks over id-sorted members) must

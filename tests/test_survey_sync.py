@@ -1,0 +1,41 @@
+"""SURVEY.md's measured numbers must equal the shipped bench artifact.
+
+The r10 and r11 verdicts both flagged SURVEY prose quoting "measured"
+scale/suite numbers that the committed BENCH_DETAIL.json contradicted
+(hand-transcription mid-round, then a final clean re-bench shifted
+every number). The fix has one moving part: bench.py renders the
+delimited §2c block from the artifact on every run, and this test
+regenerates the block from the COMMITTED artifact and asserts
+byte-equality — if either file changes without the other, the suite
+goes red before the round closes.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import bench
+
+ROOT = Path(bench.__file__).resolve().parent
+
+
+def test_survey_generated_block_matches_artifact():
+    detail = json.loads((ROOT / "BENCH_DETAIL.json").read_text())
+    survey = (ROOT / "SURVEY.md").read_text()
+    assert survey.count(bench.SURVEY_BEGIN) == 1, "exactly one block"
+    assert survey.count(bench.SURVEY_END) == 1
+    i = survey.index(bench.SURVEY_BEGIN)
+    j = survey.index(bench.SURVEY_END) + len(bench.SURVEY_END)
+    assert survey[i:j] == bench.render_bench_block(detail), (
+        "SURVEY §2c is stale — run `python bench.py --sync-survey` "
+        "(or a full bench) and commit both files together")
+
+
+def test_render_is_total_on_sparse_artifacts():
+    """The renderer must not assume optional sections exist — a
+    SPARK_GRAFT_SCALE=0 / _STREAM=0 / _WINDOW=0 run still syncs."""
+    block = bench.render_bench_block(
+        {"value": 1.0, "sf": 0.1, "reps": 1, "queries": {"q": 1.0}})
+    assert bench.SURVEY_BEGIN in block and bench.SURVEY_END in block
+    assert "1.0 s / 1 queries" in block
