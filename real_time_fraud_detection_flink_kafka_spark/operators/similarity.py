@@ -2625,15 +2625,24 @@ def _pq_pos_arrays(embeddings: DataFrame, cbp: DataFrame) -> DataFrame:
 
 
 def _pq_query_tabs(embeddings: DataFrame, cbp: DataFrame,
-                   n_queries: int) -> DataFrame:
+                   n_queries: int,
+                   queries: DataFrame | None = None) -> DataFrame:
     """(query_id, tabs: array<array<bigint>>) — the per-query ADC
     lookup table as ONE nested array row: tabs[sub][pos] =
     round(dot(q_sub, c_{sub,pos}) · PQ_SCALE). ≤ n_queries rows of
-    PQ_M·PQ_K ints; broadcasts into every walk round."""
-    e = _subvectors(embeddings)
-    q = (e.where(F.col("vec_id") < n_queries)
-          .select(F.col("vec_id").alias("query_id"), "sub",
-                  F.col("sv").alias("qsv")))
+    PQ_M·PQ_K ints; broadcasts into every walk round. With `queries`
+    (raw embedding schema — the streaming twin's micro-batch), the
+    table is built for exactly those rows instead of the id-filtered
+    corpus prefix."""
+    if queries is not None:
+        q = _subvectors(queries).select(
+            F.col("vec_id").alias("query_id"), "sub",
+            F.col("sv").alias("qsv"))
+    else:
+        e = _subvectors(embeddings)
+        q = (e.where(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"), "sub",
+                      F.col("sv").alias("qsv")))
     d = (q.join(F.broadcast(cbp), "sub")
           .select("query_id", "sub", "pos",
                   F.round(dot(F.col("qsv"), F.col("cv")) * PQ_SCALE)
@@ -2673,24 +2682,41 @@ def _beam_pq_edges(und_graph: DataFrame, pa: DataFrame) -> DataFrame:
                  .select("src", "nbr_id", "pcodes"))
 
 
+def pq_walk_index(embeddings: DataFrame,
+                  und: DataFrame | None = None):
+    """(cbp, pa, edges) — the DiskANN navigation INDEX built once
+    from the static corpus, all three persisted: dense-position
+    codebook, per-vector code arrays, and the bidirected multi-probe
+    edges carrying neighbor codes. The streaming serving twin builds
+    this outside its foreachBatch loop so construction never re-runs
+    per micro-batch (the `run_beam_serve_stream` discipline)."""
+    cbp = tracked_persist(_pq_cb_pos(pq_codebooks_rel(embeddings)))
+    pa = tracked_persist(_pq_pos_arrays(embeddings, cbp))
+    if und is None:
+        und = _nprobe_und(embeddings)
+    edges = _beam_pq_edges(und, pa)
+    return cbp, pa, edges
+
+
 def _beam_pq_frontier(embeddings: DataFrame, steps: int,
                       n_queries: int, beam: int,
-                      und: DataFrame | None = None) -> DataFrame:
+                      und: DataFrame | None = None,
+                      queries: DataFrame | None = None,
+                      index=None) -> DataFrame:
     """(query_id, node, cur_fp) after `steps` beam rounds ranked by
     fixed-point ADC score — `_beam_frontier` with the exact dot
     replaced by PQ_M integer table lookups. The per-(query, cand)
     dedup max is over bit-identical INTEGERS (pure function of the
     codes), so cross-engine determinism needs no float argument at
     all inside the walk. Pass `und` to reuse an already-built
-    (src, nbr_id) graph."""
+    (src, nbr_id) graph, `index` (from `pq_walk_index`) to reuse the
+    whole navigation structure, and `queries` (raw embedding schema)
+    to serve an arriving batch instead of the corpus prefix."""
     from pyspark.sql import Window
 
-    cbp = tracked_persist(_pq_cb_pos(pq_codebooks_rel(embeddings)))
-    pa = tracked_persist(_pq_pos_arrays(embeddings, cbp))
-    if und is None:
-        und = _nprobe_und(embeddings)
-    edges = _beam_pq_edges(und, pa)
-    tabs = _pq_query_tabs(embeddings, cbp, n_queries)
+    cbp, pa, edges = (index if index is not None
+                      else pq_walk_index(embeddings, und))
+    tabs = _pq_query_tabs(embeddings, cbp, n_queries, queries=queries)
     ent = tabs.withColumn(
         "node", F.when(F.col("query_id") == 0, F.lit(1)).otherwise(F.lit(0)))
     cur = (pa.join(F.broadcast(ent), pa["vec_id"] == ent["node"])
@@ -2726,7 +2752,9 @@ def _beam_pq_frontier(embeddings: DataFrame, steps: int,
 def ann_beam_pq_topk(embeddings: DataFrame, k: int = TOP_K,
                      steps: int = GS_STEPS, n_queries: int = N_QUERIES,
                      beam: int = BEAM_EF,
-                     und: DataFrame | None = None) -> DataFrame:
+                     und: DataFrame | None = None,
+                     queries: DataFrame | None = None,
+                     index=None) -> DataFrame:
     """DiskANN-style serving (Jayaram Subramanya et al., NeurIPS'19):
     beam-walk the multi-probe graph scoring candidates ONLY in the
     compressed PQ domain — edges carry PQ_M code positions, each
@@ -2742,17 +2770,28 @@ def ann_beam_pq_topk(embeddings: DataFrame, k: int = TOP_K,
     ONE bounded rerank join: broadcast the frontier ids onto a single
     corpus scan to fetch raw vectors (DiskANN's SSD fetch), exact
     cosine over ≤ beam·n_queries rows. `ann_beam_pq_recall` measures
-    what compressed navigation costs vs the exact-scored walk."""
+    what compressed navigation costs vs the exact-scored walk.
+
+    `queries` (raw embedding schema) + `index` (from `pq_walk_index`)
+    are the streaming serving twin's parameters: arriving micro-batch
+    rows walk the PREBUILT index — construction never re-runs per
+    batch."""
     from pyspark.sql import Window
 
     if beam < k:
         raise ValueError(f"beam ({beam}) must be >= k ({k})")
-    cur = _beam_pq_frontier(embeddings, steps, n_queries, beam, und=und)
+    cur = _beam_pq_frontier(embeddings, steps, n_queries, beam, und=und,
+                            queries=queries, index=index)
     e = _vecs(embeddings)
-    qv = (e.where(F.col("vec_id") < n_queries)
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("v").alias("qv"),
-                   F.col("v_norm").alias("q_norm")))
+    if queries is not None:
+        qv = _vecs(queries).select(F.col("vec_id").alias("query_id"),
+                                   F.col("v").alias("qv"),
+                                   F.col("v_norm").alias("q_norm"))
+    else:
+        qv = (e.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("v_norm").alias("q_norm")))
     cand = (e.join(F.broadcast(cur.select("query_id", "node")),
                    e["vec_id"] == F.col("node"))
              .select("query_id", F.col("node").alias("neighbor_id"),

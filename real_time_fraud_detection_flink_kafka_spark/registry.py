@@ -684,6 +684,26 @@ register("stream_ann_beam_topk", _stream_beam_serve,
          _LLM_ORACLES["ann_beam_topk"])
 
 
+def _stream_beam_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_beam_pq_serve_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_beam_pq_serve_stream(
+        spark, sf_dir, query_name=f"beam_pq_serve_{_STREAM_COUNTER['n']}")
+
+
+# the DiskANN serving rung's deployment twin: the whole compressed
+# navigation index (codebook positions, code arrays, code-carrying
+# edges) persists across batches, each micro-batch builds only its own
+# ADC tables and walks the frozen index; integer walk scores + per-
+# query determinism = batching invariance, shares ann_beam_pq_topk's
+# oracle exactly
+register("stream_ann_beam_pq_topk", _stream_beam_pq_serve,
+         _LLM_ORACLES["ann_beam_pq_topk"])
+
+
 def _stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_weighted_sample_stream,

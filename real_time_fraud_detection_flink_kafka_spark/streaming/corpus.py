@@ -643,6 +643,63 @@ def run_beam_serve_stream(spark, sf_dir: str,
     return spark.read.parquet(out_dir)
 
 
+def run_beam_pq_serve_stream(spark, sf_dir: str,
+                             query_name: str = "beam_pq_serve_stream"
+                             ) -> DataFrame:
+    """Query-stream SERVING for the DiskANN rung — `ann_beam_pq_topk`
+    deployed the way `run_beam_serve_stream` deploys the exact-scored
+    walk: the ENTIRE navigation index (dense-position codebook,
+    per-vector code arrays, PQ-code-carrying multi-probe edges —
+    `pq_walk_index`) is built ONCE from the static corpus and stays
+    persisted across batches; each micro-batch of arriving query
+    vectors builds only its own ADC tables (≤ batch rows of
+    PQ_M·PQ_K ints) and walks the frozen index, appending its top-k
+    answers via foreachBatch (the iterative walk cannot be an
+    incremental streaming plan). Integer fixed-point walk scores make
+    every in-walk tie-break exact, and the walk is per-query
+    deterministic, so the drain is batching-invariant and equals
+    batch `ann_beam_pq_topk` exactly (shared oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        N_QUERIES,
+        ann_beam_pq_topk,
+        pq_walk_index,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = pq_walk_index(emb)  # built once, persisted
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{query_name}")
+    shutil.rmtree(base, ignore_errors=True)
+    out_dir = os.path.join(base, "answers")
+
+    def serve(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        (ann_beam_pq_topk(emb, queries=batch_df, index=index)
+         .write.mode("append").parquet(out_dir))
+
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "embeddings.parquet")
+              .parquet(sf_dir)
+              .where(F.col("vec_id") < N_QUERIES))
+    q = (stream.writeStream.foreachBatch(serve)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "_chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_weighted_sample_stream(spark, sf_dir: str,
                                query_name: str = "weighted_sample_stream"
                                ) -> DataFrame:

@@ -115,6 +115,31 @@ def test_beam_serve_stream_equals_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_beam_pq_serve_stream_equals_batch(spark, sf_dir):
+    """The DiskANN serving drain must equal batch ann_beam_pq_topk
+    row-for-row: the compressed navigation index is static and
+    persisted across batches, walk scores are fixed-point integers,
+    and the walk is per-query deterministic — batching cannot change
+    any answer."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        ann_beam_pq_topk,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_beam_pq_serve_stream,
+    )
+
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+        for r in run_beam_pq_serve_stream(spark, sf_dir,
+                                          "beam_pq_serve_eqtest").collect())
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cos_sim"])
+        for r in ann_beam_pq_topk(load_table(spark, sf_dir,
+                                             "embeddings")).collect())
+    assert got == want and len(got) > 0
+
+
 def test_weighted_sample_stream_equals_batch_and_merges(spark, sf_dir):
     """The streaming A-ES reservoir drain must equal batch
     weighted_sample_es row-for-row, and the mergeability identity it
