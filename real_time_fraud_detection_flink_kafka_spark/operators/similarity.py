@@ -2857,7 +2857,7 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
                            edges=_beam_nav_edges(embeddings, und=und)))
     pq = row("pq_walk",
              ann_beam_pq_topk(embeddings, k, steps, n_queries, beam,
-                              und=und))
+                              index=pq_walk_index(embeddings, und)))
     return ex.unionByName(pq)
 
 
@@ -2890,13 +2890,14 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
     ef=8 (DIM-double edge payloads) or PQ-domain ef=64 (PQ_M-int
     payloads, ~16× less navigation state) for the same recall.
 
-    Scale shape: one shared graph construction (`_nprobe_und`) for
-    all five walks; each PQ walk is rounds × (≤ beam·n_queries
-    broadcast rows of PQ_M ints) — the widest width multiplies only
-    the frontier, never the corpus-sized relations. Codebook
-    training re-runs per walk chain exactly as the oracle's
-    self-contained CTE blocks do (deterministic Lloyd — identical
-    results, and the retrain is query-table-sized)."""
+    Scale shape: one shared graph construction (`_nprobe_und`) AND
+    one shared compressed index (`pq_walk_index` — codebook, code
+    arrays, code-carrying edges, all persisted) for all five walks;
+    each PQ walk is rounds × (≤ beam·n_queries broadcast rows of
+    PQ_M ints) — the widest width multiplies only the frontier,
+    never the corpus-sized relations. (The oracle's CTE blocks each
+    retrain the codebook — deterministic Lloyd, identical results,
+    so sharing engine-side changes nothing but time.)"""
     exact = tracked_persist(
         ann_topk(embeddings, k=k, n_queries=n_queries)
         .select(F.col("query_id").alias("eq"),
@@ -2918,6 +2919,7 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
                          .cast("bigint").alias("recall_ppm")))
 
     und = tracked_persist(_nprobe_und(embeddings))
+    index = pq_walk_index(embeddings, und)
     out = row("exact_walk", BEAM_EF,
               ann_beam_topk(embeddings, k, steps, n_queries, BEAM_EF,
                             edges=_beam_nav_edges(embeddings, und=und)))
@@ -2925,7 +2927,7 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
         out = out.unionByName(
             row("pq_walk", b,
                 ann_beam_pq_topk(embeddings, k, steps, n_queries, b,
-                                 und=und)))
+                                 index=index)))
     return out
 
 
