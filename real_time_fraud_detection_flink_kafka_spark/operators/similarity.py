@@ -2487,7 +2487,14 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
     (≤ 2k·0.9n rows); each round broadcasts ≤ beam·|batch| frontier
     rows against it. The insert batch never joins the corpus
     directly — only the graph and the |cells|-bounded coarse
-    structure (seed selection).
+    structure (seed selection). SCALE CONTRACT: the per-round
+    broadcast is bounded by beam·|batch|, so the INSERT BATCH SIZE is
+    the deployment's lever — a production intake bounds each batch
+    (say ≤1M rows into a 10B-vector base) and runs batches serially;
+    the 10% split here is the measurement fixture, not a claim that
+    an unbounded batch broadcasts (past broadcast limits, drop the
+    explicit broadcast hint and let AQE pick a shuffled join on
+    src — the walk stays rounds × linear either way).
 
     `beam=None` (the default) scales the frontier width with the
     base size (`insert_beam_params`: max(BEAM_EF, 2·⌊log2 n⌋) as a
