@@ -2585,6 +2585,37 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
                      .cast("bigint").alias("recall_ppm")))
 
 
+# fixed ef-construction widths for the insert curve — brackets the
+# log2-scaled default (16 at sf0.001's 450-vector base, 24 at sf0.01)
+INSERT_BEAM_CURVE = (8, 16, 32)
+
+
+def knn_graph_insert_curve(embeddings: DataFrame, k: int = KNN_K,
+                           steps: int = GS_STEPS,
+                           n_sample: int = N_QUERIES) -> DataFrame:
+    """The insert-tuning trade-off as ONE oracle-checked relation
+    (the `ann_beam_curve` discipline applied to index maintenance):
+    one labeled capture row per fixed ef-construction width in
+    `INSERT_BEAM_CURVE` — what an index operator reads to budget
+    insert cost against edge quality, and the formalization of the
+    r12 sweep that picked the shipped log2-scaled default (measured
+    0.34/0.58/0.80 at beam 8/16/32 over sf0.01; WIDTH is the capture
+    lever — steps saturate at 6 and seeding alone moves nothing at
+    fixed width; see `insert_beam_params`).
+
+    Scale shape: each width re-runs the full insert chain exactly as
+    the oracle's self-contained blocks do — a measurement rung run
+    at tuning time, never in the serving path."""
+    out = None
+    for b in INSERT_BEAM_CURVE:
+        r = (knn_graph_insert_recall(embeddings, k, steps, beam=b,
+                                     n_sample=n_sample)
+             .select(F.lit(int(b)).cast("int").alias("beam"),
+                     "n_inserted", "k", "n_hits", "recall_ppm"))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 # --- DiskANN-style compressed-domain graph walk ------------------------------
 # The composition a disk-resident graph index actually runs (Jayaram
 # Subramanya et al., NeurIPS'19 "DiskANN"): navigate the beam walk

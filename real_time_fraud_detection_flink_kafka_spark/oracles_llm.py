@@ -2378,6 +2378,7 @@ SELECT 'ivf_cell' AS generator, cos_band, n_true, ivf_f AS n_found,
         # insert-vs-rebuild edge capture measurement
         "knn_graph_insert": _graph_insert_sql(),
         "knn_graph_insert_recall": _graph_insert_recall_sql(),
+        "knn_graph_insert_curve": _graph_insert_curve_sql(),
         "nav_graph_stats": _nav_graph_stats_sql(),
         # mirrors similarity.knn_triangle_stats: undirected distinct
         # edges from the knn graph, a<b<c canonical wedge + closing
@@ -2958,7 +2959,7 @@ def _insert_cut_sql() -> str:
             " FROM embeddings)")
 
 
-def _graph_insert_sql() -> str:
+def _graph_insert_sql(beam: int | None = None) -> str:
     """Mirror of similarity.knn_graph_insert: the beam walk of
     `_beam_search_sql` with the base graph built over the existing
     90% only, the arriving 10% as the query relation, walks SEEDED
@@ -2966,7 +2967,9 @@ def _graph_insert_sql() -> str:
     `_insert_seeds`: the min-id primary member of each of its
     GRAPH_NPROBE best cells under the base's scale-aware two-level
     ranking, plus node 0 as the connectivity fallback, DISTINCT),
-    and per-query top-KNN_K emission as graph edges."""
+    and per-query top-KNN_K emission as graph edges. With `beam`
+    None the width is the log2-scaled default (`insert_beam_params`,
+    the bm scalar subquery); an int pins it (the insert curve)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         BEAM_EF,
         GRAPH_NPROBE,
@@ -2974,6 +2977,7 @@ def _graph_insert_sql() -> str:
         KNN_K,
     )
 
+    beam_sql = "(SELECT b FROM bm)" if beam is None else str(int(beam))
     cut = _insert_cut_sql()
     e_where = f" WHERE vec_id < {cut}"
     rounds = []
@@ -2995,7 +2999,7 @@ c{r + 1} AS MATERIALIZED (
   SELECT query_id, cand_id AS node, cos_raw AS cur_cos FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cos_raw DESC, cand_id) AS rn FROM a{r})
-  WHERE rn <= (SELECT b FROM bm)
+  WHERE rn <= {beam_sql}
 )""")
     return (f"""
 WITH kg AS MATERIALIZED ({_knn_graph_nprobe_sql(e_where)}),
@@ -3041,16 +3045,17 @@ SELECT query_id AS vec_id, node AS nbr_id, CAST(rn AS INTEGER) AS rnk,
 WHERE rn <= {KNN_K}""")
 
 
-def _graph_insert_recall_sql() -> str:
+def _graph_insert_recall_sql(beam: int | None = None) -> str:
     """knn_graph_insert_recall's oracle: the sampled inserted nodes'
-    walk-adopted edges vs their exact k-NN against the base corpus."""
+    walk-adopted edges vs their exact k-NN against the base corpus.
+    `beam` pins the walk width (the insert curve's blocks)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
         KNN_K,
     )
 
     cut = _insert_cut_sql()
     return f"""
-WITH ins AS MATERIALIZED ({_graph_insert_sql()}),
+WITH ins AS MATERIALIZED ({_graph_insert_sql(beam)}),
 ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sq AS (SELECT vec_id AS sid, v AS sv FROM ee
        WHERE vec_id >= {cut} AND vec_id < {cut} + {N_QUERIES}),
@@ -3074,6 +3079,21 @@ SELECT CAST((SELECT count(DISTINCT vec_id) FROM got) AS INTEGER)
                     AND xk.vec_id = got.nbr_id) * 1000000
             // ((SELECT count(DISTINCT vec_id) FROM got) * {KNN_K})
             AS BIGINT) AS recall_ppm"""
+
+
+def _graph_insert_curve_sql() -> str:
+    """knn_graph_insert_curve's oracle: one labeled capture row per
+    fixed ef-construction width — each block the full insert-recall
+    chain at a pinned beam, the `_beam_curve_sql` shape applied to
+    index maintenance."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        INSERT_BEAM_CURVE,
+    )
+
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({b} AS INTEGER) AS beam, * FROM "
+        f"({_graph_insert_recall_sql(b)})"
+        for b in INSERT_BEAM_CURVE)
 
 
 def _nav_graph_stats_sql() -> str:

@@ -311,6 +311,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_beam_pq_curve": lambda s, d: similarity.ann_beam_pq_curve(load_table(s, d, "embeddings")),
     "knn_graph_insert": lambda s, d: similarity.knn_graph_insert(load_table(s, d, "embeddings")),
     "knn_graph_insert_recall": lambda s, d: similarity.knn_graph_insert_recall(load_table(s, d, "embeddings")),
+    "knn_graph_insert_curve": lambda s, d: similarity.knn_graph_insert_curve(load_table(s, d, "embeddings")),
     "nav_graph_stats": lambda s, d: similarity.nav_graph_stats(load_table(s, d, "embeddings")),
     "knn_graph_recall": lambda s, d: similarity.knn_graph_recall(load_table(s, d, "embeddings")),
     "knn_graph_hier": lambda s, d: similarity.knn_graph_hier(load_table(s, d, "embeddings")),
