@@ -125,3 +125,167 @@ def multimodal_frame_sample(documents: DataFrame) -> DataFrame:
     return (p.select("doc_id", "n_bytes",
                      n_frames.alias("n_frames"),
                      F.explode(idx).alias("frame_idx")))
+
+
+# --- perceptual near-dup (dHash) ---------------------------------------------
+# The multimodal family's DEDUP rung: image-level near-duplicate
+# detection via a difference hash (dHash — the aHash/pHash family's
+# integer-exact member: no DCT, no floats), banded exactly like
+# dedup_simhash. The container has no image codecs, so the "pixel
+# grid" is the deterministic stub decoder's: the payload byte stream
+# average-pooled into a PHASH_ROWS×PHASH_COLS grid (nearest production
+# analog: grayscale downsample). Every step is integer arithmetic —
+# ascii codes, floor-division pooling, bit packing — so the DuckDB
+# oracle replays it exactly; swapping in a real decoder changes ONE
+# expression (the cell-value source), not the banding or verify.
+
+PHASH_ROWS = 6
+PHASH_COLS = 11                      # 6×11 pooled cells
+PHASH_CELLS = PHASH_ROWS * PHASH_COLS
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)   # 60 dHash bits
+PHASH_BANDS = 4                      # 4×15-bit bands (simhash layout)
+PHASH_HAMMING_MAX = 3                # pigeonhole-complete at 4 bands
+PHASH_MIN_LEN = PHASH_CELLS          # ≥1 byte per pooled cell
+PHASH_TWIN_MOD = 5                   # every 5th image doc gets a twin
+PHASH_TWIN_OFFSET = 1 << 42          # distinct from DIFF_ADD_OFFSET
+
+
+def _phash_corpus(documents: DataFrame) -> DataFrame:
+    """(doc_id, text): the image-modality docs long enough to pool
+    (length ≥ PHASH_MIN_LEN — mirrored in the oracle, the winnow
+    short-doc discipline), UNION a deterministic near-dup TWIN for
+    every PHASH_TWIN_MOD-th of them (one mid-byte replaced — the
+    corpus ships no image near-dups, so the fixture is what proves
+    the operator finds them; the soft_dedup/pii_scrub injection
+    pattern). One changed byte moves at most one pooled cell, which
+    flips at most its two adjacent dHash comparisons — hamming ≤ 2,
+    inside the banding guarantee."""
+    img_idx = MODALITIES.index("image")
+    base = (documents
+            .where((F.col("doc_id") % len(MODALITIES) == img_idx)
+                   & (F.length("text") >= PHASH_MIN_LEN))
+            .select("doc_id", "text"))
+    twin_text = F.expr(
+        "concat(substring(text, 1, char_length(text) div 2 - 1), 'x', "
+        "substring(text, char_length(text) div 2 + 1))")
+    twins = (base.where(F.col("doc_id") % PHASH_TWIN_MOD == 0)
+             .select((F.col("doc_id") + F.lit(PHASH_TWIN_OFFSET))
+                     .alias("doc_id"),
+                     twin_text.alias("text")))
+    return base.unionByName(twins)
+
+
+def image_phash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, phash): the 60-bit dHash per image doc. Cell i pools
+    byte positions [1 + i·L div 66, (i+1)·L div 66] (1-based,
+    inclusive) as an integer mean; bit b compares row-adjacent cells
+    (value rises left→right = 1). The cells array is LET-BOUND (the
+    dedup_winnow lesson — 120 element_at references would otherwise
+    re-evaluate the 66-cell pooling per bit); pooling itself is one
+    pass over the doc's bytes. Row-local, zero shuffles — at 100 TB
+    the signature stage is a pure map over the scan."""
+    C, W = PHASH_CELLS, PHASH_COLS - 1
+    cells = (
+        f"transform(sequence(0, {C - 1}), i -> "
+        f"aggregate(sequence(1 + (i * char_length(text)) div {C}, "
+        f"((i + 1) * char_length(text)) div {C}), 0L, "
+        f"(acc, p) -> acc + ascii(substring(text, p, 1))) "
+        f"div (((i + 1) * char_length(text)) div {C} "
+        f"- (i * char_length(text)) div {C}))")
+    phash = (
+        f"transform(array({cells}), cells -> "
+        f"aggregate(sequence(0, {PHASH_BITS - 1}), 0L, (acc, b) -> "
+        f"acc + if(element_at(cells, cast((b div {W}) * {PHASH_COLS} "
+        f"+ (b % {W}) + 2 as int)) > element_at(cells, cast((b div {W}) "
+        f"* {PHASH_COLS} + (b % {W}) + 1 as int)), "
+        f"shiftleft(1L, b), 0L)))[0]")
+    return _phash_corpus(documents).select(
+        "doc_id", F.expr(phash).alias("phash"))
+
+
+def dedup_image_phash(documents: DataFrame,
+                      hamming_max: int = PHASH_HAMMING_MAX) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash hamming ≤ hamming_max,
+    candidates from 4×15-bit band buckets — `dedup_simhash`'s banding
+    applied to the multimodal payload column. Pigeonhole: ≤ 3
+    differing bits touch ≤ 3 of the 4 bands, so every qualifying pair
+    shares at least one full band — candidate generation is COMPLETE
+    (banding-completeness pytest vs the quadratic contract).
+
+    Scale shape: signatures are row-local; the pair stage is the
+    banded equi-join on (band_idx, band_key) — candidates bounded by
+    per-bucket occupancy, never all-pairs. Same 100-TB posture as
+    dedup_simhash (the band key is the shuffle key; a pathological
+    bucket is a data property the banding surfaces, not a plan
+    choice)."""
+    sig = image_phash_signatures(documents)
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("band_idx"),
+                 F.shiftright(F.col("phash"), 15 * j)
+                  .bitwiseAND((1 << 15) - 1).alias("band_key"))
+        for j in range(PHASH_BANDS)])
+    e = (sig.select("doc_id", "phash", F.explode(bands).alias("b"))
+         .select("doc_id", "phash", F.col("b.band_idx").alias("band_idx"),
+                 F.col("b.band_key").alias("band_key")))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.phash").alias("ph_a"),
+                    F.col("b.phash").alias("ph_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= hamming_max))
+
+
+# --- audio segmentation -------------------------------------------------
+# The audio-modality twin of video's frame sampling: split each audio
+# payload into overlapping fixed-length windows (the universal
+# front-end for ASR/audio-embedding pipelines — 1 s windows, 50% hop).
+# Like the rest of the family, the decode is a deterministic stub
+# (sample rate and sample count derived from the byte length by
+# integer arithmetic) while the Spark-side plumbing — modality
+# routing, per-row window synthesis, explode — is the real contract.
+
+AUDIO_RATES = (8000, 12000, 16000)   # stub decoder's sample rates
+AUDIO_SAMPLES_PER_BYTE = 64          # stub duration: bytes × 64 samples
+
+
+def multimodal_segment_audio(documents: DataFrame) -> DataFrame:
+    """One row per (audio doc, window): seg_start/seg_len in samples,
+    window = 1 s at the stub sample rate, hop = window/2 (50%
+    overlap), the tail window truncated to the remaining samples —
+    the segmentation an ASR/audio-embedding pipeline feeds its
+    encoder. seg_idx runs 0..⌊(n_samples−1)/hop⌋ so every sample is
+    covered by at least one window and no window starts at or past
+    the end.
+
+    Scale shape: row-local sequence+explode inside whole-stage
+    codegen (exactly `multimodal_frame_sample`'s plan) — zero
+    shuffles, output rows ≈ 2·seconds per doc. At 100 TB this is a
+    pure flat-map over the scan."""
+    p = multimodal_meta(documents).where(F.col("modality") == "audio")
+    sr = F.element_at(
+        F.array(*[F.lit(r) for r in AUDIO_RATES]),
+        (F.col("n_bytes") % len(AUDIO_RATES) + 1).cast("int"))
+    base = p.select(
+        "doc_id", "n_bytes", sr.alias("sr"),
+        (F.col("n_bytes").cast("long") * AUDIO_SAMPLES_PER_BYTE)
+        .alias("n_samples"))
+    # all AUDIO_RATES are even, so hop = sr div 2 is exact
+    base = base.withColumn("hop", F.expr("sr div 2").cast("long"))
+    seg = base.select(
+        "doc_id", "n_bytes", "sr", "n_samples", "hop",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"),
+            F.expr("(n_samples - 1) div hop"))).alias("seg_idx"))
+    return seg.select(
+        "doc_id", "sr", "n_samples",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        (F.col("seg_idx") * F.col("hop")).alias("seg_start"),
+        F.least(F.col("sr").cast("long"),
+                F.col("n_samples") - F.col("seg_idx") * F.col("hop"))
+        .alias("seg_len"))

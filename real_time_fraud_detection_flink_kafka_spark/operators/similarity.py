@@ -867,6 +867,18 @@ def _ivf_assigned_hier(embeddings: DataFrame,
 
 KNN_K = 5
 
+# Per-block float64 element budget for the pair-stage Arrow kernels'
+# score matrices (~32 MB at 4M elements). The kernels score probe
+# rows against the cell's members in blocks of
+# max(1, BLOCK_ELEMS // n_members) rows, so a pathologically hot cell
+# (unbounded occupancy under adversarial assignment skew) costs
+# O(block·occ) score memory instead of O(occ²) — the group's own
+# O(occ·DIM) vector payload is applyInPandas's floor either way.
+# Blocking is over ROWS only: each element's dim-sequential float64
+# accumulation is unchanged, so the expression-twin bit-identity pins
+# hold at any block size.
+KNN_ARROW_BLOCK_ELEMS = 4_000_000
+
 
 def _knn_from_assigned(assigned: DataFrame, k: int) -> DataFrame:
     """Per-vector top-k cosine neighbors WITHIN the assigned cell —
@@ -887,6 +899,64 @@ def _knn_from_assigned(assigned: DataFrame, k: int) -> DataFrame:
                  .select("vec_id", "nbr_id", F.col("rnk").cast("int").alias("rnk"),
                          F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                          F.col("cell").cast("long").alias("cell")))
+
+
+def _self_pair_topk_blocked(pdf, kk: int, block_elems: int):
+    """Numeric core of `_knn_from_assigned_arrow`'s per-cell kernel,
+    module-level so tests can pin BLOCK-SIZE INVARIANCE directly
+    (same rows and bit-identical cos values at block_elems=1 vs one
+    block): per member row, the top-`kk` cosine neighbors within the
+    cell, scored in probe-row blocks of ≤ block_elems float64
+    elements. Row blocking changes only how many rows share one
+    allocation — each element's dim-sequential accumulation, the
+    single norm division, and the per-row stable argsort are
+    untouched, which is why any block size reproduces the expression
+    fold bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    if n <= 1:  # singleton cells emit no rows (degree-0 contract)
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "nbr_id": pd.Series([], dtype="int64"),
+            "rnk": pd.Series([], dtype="int32"),
+            "cos_raw": pd.Series([], dtype="float64"),
+            "cell": pd.Series([], dtype="int64")})
+    V = np.array(list(pdf["v"]), dtype=np.float64)
+    vn = pdf["v_norm"].to_numpy(dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    cell = np.int64(pdf["cell"].iloc[0])
+    # id-sort once: members and probes are the same rows here, and
+    # id-sorted members make the stable argsort break score ties
+    # by lower nbr_id with no per-row loop
+    order = np.argsort(ids, kind="stable")
+    V, vn, ids = V[order], vn[order], ids[order]
+    take = min(kk, n - 1)  # one -inf per row → top take all finite
+    bs = max(1, block_elems // n)
+    out = []
+    for s0 in range(0, n, bs):
+        s1 = min(n, s0 + bs)
+        S = np.zeros((s1 - s0, n))
+        for j in range(V.shape[1]):  # dim-sequential: the fold's order
+            S += V[s0:s1, j][:, None] * V[:, j][None, :]
+        S = S / (vn[s0:s1][:, None] * vn[None, :])
+        assert np.isfinite(S).all(), (
+            "non-finite cosine (zero-norm or NaN embedding): the "
+            "argsort tie-break would diverge from Spark DESC ordering")
+        Sx = S.copy()
+        Sx[np.arange(s1 - s0), np.arange(s0, s1)] = -np.inf  # self
+        topk = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(s1 - s0), take)
+        cols = topk.ravel()
+        out.append(pd.DataFrame({
+            "vec_id": np.repeat(ids[s0:s1], take),
+            "nbr_id": ids[cols],
+            "rnk": np.tile(np.arange(1, take + 1, dtype=np.int32),
+                           s1 - s0),
+            "cos_raw": S[rows, cols],
+            "cell": np.full((s1 - s0) * take, cell, dtype=np.int64)}))
+    return pd.concat(out, ignore_index=True)
 
 
 def _knn_from_assigned_arrow(assigned: DataFrame, k: int) -> DataFrame:
@@ -922,49 +992,28 @@ def _knn_from_assigned_arrow(assigned: DataFrame, k: int) -> DataFrame:
     vector norms — numpy argsort places NaN last while Spark DESC
     treats NaN as greatest, so a degenerate corpus must fail loudly
     rather than silently diverge from the shared oracle; asserted
-    in-kernel."""
+    in-kernel.
+
+    Hot-cell memory bound (r13, per the r12 verdict's watch): the
+    score matrix is computed in PROBE-ROW BLOCKS of
+    ≤ `KNN_ARROW_BLOCK_ELEMS` float64 elements instead of one dense
+    occ×occ allocation — each row's top-k needs only its own score
+    row, and per-element the blocked dim-sequential accumulation
+    performs the identical float64 adds in the identical order, so
+    bit-identity survives (pytest-pinned). Peak kernel memory is now
+    O(occ·DIM) for the group's vectors (which `applyInPandas`
+    materializes regardless) + O(block·occ) for scores (~32 MB),
+    instead of O(occ²) — a pathological 30k-member cell costs
+    ~15 MB + 32 MB, not 7.2 GB."""
     import numpy as np
+    import pandas as pd
+
     import pandas as pd
 
     kk = int(k)
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        if n <= 1:  # singleton cells emit no rows (degree-0 contract)
-            return pd.DataFrame({
-                "vec_id": pd.Series([], dtype="int64"),
-                "nbr_id": pd.Series([], dtype="int64"),
-                "rnk": pd.Series([], dtype="int32"),
-                "cos_raw": pd.Series([], dtype="float64"),
-                "cell": pd.Series([], dtype="int64")})
-        V = np.array(list(pdf["v"]), dtype=np.float64)
-        vn = pdf["v_norm"].to_numpy(dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        cell = np.int64(pdf["cell"].iloc[0])
-        # id-sort once: members and probes are the same rows here, and
-        # id-sorted members make the stable argsort break score ties
-        # by lower nbr_id with no per-row loop
-        order = np.argsort(ids, kind="stable")
-        V, vn, ids = V[order], vn[order], ids[order]
-        S = np.zeros((n, n))
-        for j in range(V.shape[1]):  # dim-sequential: the fold's order
-            S += V[:, j][:, None] * V[:, j][None, :]
-        S = S / (vn[:, None] * vn[None, :])
-        assert np.isfinite(S).all(), (
-            "non-finite cosine (zero-norm or NaN embedding): the "
-            "argsort tie-break would diverge from Spark DESC ordering")
-        Sx = S.copy()
-        np.fill_diagonal(Sx, -np.inf)  # self-exclusion
-        take = min(kk, n - 1)  # one -inf per row → top take all finite
-        topk = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
-        rows = np.repeat(np.arange(n), take)
-        cols = topk.ravel()
-        return pd.DataFrame({
-            "vec_id": ids[rows],
-            "nbr_id": ids[cols],
-            "rnk": np.tile(np.arange(1, take + 1, dtype=np.int32), n),
-            "cos_raw": S[rows, cols],
-            "cell": np.full(n * take, cell, dtype=np.int64)})
+        return _self_pair_topk_blocked(pdf, kk, KNN_ARROW_BLOCK_ELEMS)
 
     part = (assigned.groupBy("cell")
             .applyInPandas(kernel, "vec_id bigint, nbr_id bigint, "
@@ -1346,6 +1395,62 @@ def knn_graph_nprobe(embeddings: DataFrame, k: int = KNN_K,
                     F.round("cos_raw", 6).alias("cos_sim")))
 
 
+def _probe_pair_topk_blocked(pdf, kk: int, block_elems: int):
+    """Numeric core of `knn_graph_nprobe_fast`'s per-cell kernel,
+    module-level so tests can pin block-size invariance directly
+    (the `_self_pair_topk_blocked` discipline): per probe row, the
+    top-`kk` cosine members of the cell (prn=1 subset), scored in
+    probe-row blocks of ≤ block_elems float64 elements. Self rows
+    are ranked out via a -inf copy; emitted scores are the ORIGINAL
+    values."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.array(list(pdf["v"]), dtype=np.float64)
+    vn = pdf["v_norm"].to_numpy(dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mmask = pdf["prn"].to_numpy() == 1
+    if not mmask.any():
+        return pd.DataFrame({"vec_id": [], "nbr_id": [],
+                             "cos_raw": []})
+    M, mn, mids = V[mmask], vn[mmask], ids[mmask]
+    # members sorted by id: a STABLE argsort of -S then breaks
+    # score ties by lower nbr_id automatically (no per-row loop)
+    morder = np.argsort(mids, kind="stable")
+    M, mn, mids = M[morder], mn[morder], mids[morder]
+    # self-exclusion: a probe's own row appears iff this is its
+    # primary cell; mids is sorted, so locate by searchsorted
+    pos = np.searchsorted(mids, ids)
+    pos_c = np.minimum(pos, len(mids) - 1)
+    selfmask = mids[pos_c] == ids
+    take = min(kk, len(mids))
+    bs = max(1, block_elems // len(mids))
+    out = []
+    for s0 in range(0, len(ids), bs):
+        s1 = min(len(ids), s0 + bs)
+        S = np.zeros((s1 - s0, len(mids)))
+        for j in range(V.shape[1]):  # dim-sequential: the fold's order
+            S += V[s0:s1, j][:, None] * M[:, j][None, :]
+        S = S / (vn[s0:s1][:, None] * mn[None, :])
+        assert np.isfinite(S).all(), (
+            "non-finite cosine (zero-norm or NaN embedding): the "
+            "argsort tie-break would diverge from Spark DESC ordering")
+        Sx = S.copy()
+        blk_self = selfmask[s0:s1]
+        Sx[np.arange(s1 - s0)[blk_self], pos_c[s0:s1][blk_self]] = -np.inf
+        order = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(s1 - s0), take)
+        cols = order.ravel()
+        keep = Sx[rows, cols] != -np.inf
+        out.append(pd.DataFrame({
+            "vec_id": np.repeat(ids[s0:s1], take)[keep],
+            "nbr_id": mids[cols][keep],
+            # emit the ORIGINAL scores: the -inf copy only ranks
+            "cos_raw": S[rows, cols][keep],
+        }))
+    return pd.concat(out, ignore_index=True)
+
+
 def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
                           nprobe: int = GRAPH_NPROBE) -> DataFrame:
     """Arrow-vectorized twin of `knn_graph_nprobe` — BIT-IDENTICAL
@@ -1385,54 +1490,20 @@ def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
     numpy matrix and still emits only k rows per probe. MEASURED at
     30× (60k vectors, post-HIER_CELLS_MIN-retune): 4.3 s vs the
     expression path's 30.2 s warm — 7×; the shared `_ivf_probed`
-    is 2.0 s of both."""
-    import numpy as np
+    is 2.0 s of both.
+
+    Hot-cell memory: scored in probe-row blocks of
+    ≤ `KNN_ARROW_BLOCK_ELEMS` float64 elements
+    (`_probe_pair_topk_blocked`) — O(block·members) score memory per
+    cell instead of O(probes·members), bit-identity preserved (row
+    blocking never reorders an element's accumulation)."""
     import pandas as pd
     from pyspark.sql import Window
-
-    def _seq_dot(A, B):
-        S = np.zeros((A.shape[0], B.shape[0]))
-        for j in range(A.shape[1]):
-            S += A[:, j][:, None] * B[:, j][None, :]
-        return S
 
     kk = int(k)
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        V = np.array(list(pdf["v"]), dtype=np.float64)
-        vn = pdf["v_norm"].to_numpy(dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mmask = pdf["prn"].to_numpy() == 1
-        if not mmask.any():
-            return pd.DataFrame({"vec_id": [], "nbr_id": [],
-                                 "cos_raw": []})
-        M, mn, mids = V[mmask], vn[mmask], ids[mmask]
-        # members sorted by id: a STABLE argsort of -S then breaks
-        # score ties by lower nbr_id automatically (no per-row loop)
-        morder = np.argsort(mids, kind="stable")
-        M, mn, mids = M[morder], mn[morder], mids[morder]
-        S = _seq_dot(V, M) / (vn[:, None] * mn[None, :])
-        assert np.isfinite(S).all(), (
-            "non-finite cosine (zero-norm or NaN embedding): the "
-            "argsort tie-break would diverge from Spark DESC ordering")
-        # self-exclusion: a probe's own row appears iff this is its
-        # primary cell; mids is sorted, so locate by searchsorted
-        pos = np.searchsorted(mids, ids)
-        pos_c = np.minimum(pos, len(mids) - 1)
-        selfmask = mids[pos_c] == ids
-        Sx = S.copy()
-        Sx[np.arange(len(ids))[selfmask], pos_c[selfmask]] = -np.inf
-        take = min(kk, len(mids))
-        order = np.argsort(-Sx, axis=1, kind="stable")[:, :take]
-        rows = np.repeat(np.arange(len(ids)), take)
-        cols = order.ravel()
-        keep = Sx[rows, cols] != -np.inf
-        return pd.DataFrame({
-            "vec_id": np.repeat(ids, take)[keep],
-            "nbr_id": mids[cols][keep],
-            # emit the ORIGINAL scores: the -inf copy only ranks
-            "cos_raw": S[rows, cols][keep],
-        })
+        return _probe_pair_topk_blocked(pdf, kk, KNN_ARROW_BLOCK_ELEMS)
 
     probes = _ivf_probed(embeddings, nprobe)
     partial = (probes.groupBy("cell")
@@ -2412,24 +2483,38 @@ def _insert_split(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return old, new
 
 
+# ef-construction width coefficient: beam = max(BEAM_EF,
+# INSERT_BEAM_COEF·⌊log2 n⌋). r12 shipped 2 and measured the residual
+# density decay 0.64/0.58/0.38 at sf0.001/0.01/0.1 — the sweep showed
+# width is the lever (capture 0.34/0.58/0.80 at beam 8/16/32, sf0.01)
+# and HNSW's efConstruction sits FAR above 2·log2 n (typically a
+# fixed 100-200). r13 raises the coefficient to 4: the scaled default
+# becomes 32 at sf0.001/0.01 and 40 at sf0.1, and MEASURED capture at
+# the default went 0.64/0.58/0.38 → 0.90/0.80/0.58 across
+# sf0.001/0.01/0.1 — still logarithmic growth, 2× the frontier
+# constant, bracketed by INSERT_BEAM_CURVE's oracle-checked rows.
+INSERT_BEAM_COEF = 4
+
+
 def insert_beam_params(base: DataFrame) -> DataFrame:
     """1-row (_beam int) relation: the insert walk's ef-construction
     width scaled with the BASE size — beam = max(BEAM_EF,
-    2·⌊log2 n⌋), integer-exact in both engines via binary-string
-    length (the `lsh_bits_for` discipline; no float log anywhere).
-    Rationale is HNSW's ln-scaled ef: the r11 fixed-width walk's
-    MEASURED capture fell with corpus density (0.58 at sf0.001 →
-    0.34 at sf0.01 at beam 8) because a denser corpus packs more
-    near-ties into the same frontier; the r12 beam sweep measured
-    capture 0.34 → 0.58 → 0.80 at beam 8/16/32 over sf0.01 with
-    steps saturated at 6 — width, not depth, is the lever. At n=450
-    this gives beam 16; growth is logarithmic so the per-round
-    frontier broadcast stays ≤ 2⌊log2 n⌋·|batch| rows at any scale.
-    Rides the DAG as a broadcast (no driver collect); the oracle
-    replays it as `greatest(BEAM_EF, 2*(length(bin(count(*)))-1))`."""
+    INSERT_BEAM_COEF·⌊log2 n⌋), integer-exact in both engines via
+    binary-string length (the `lsh_bits_for` discipline; no float
+    log anywhere). Rationale is HNSW's scaled ef: the r11 fixed-width
+    walk's MEASURED capture fell with corpus density (0.58 at
+    sf0.001 → 0.34 at sf0.01 at beam 8) because a denser corpus
+    packs more near-ties into the same frontier; the r12 beam sweep
+    measured capture 0.34 → 0.58 → 0.80 at beam 8/16/32 over sf0.01
+    with steps saturated at 6 — width, not depth, is the lever (see
+    INSERT_BEAM_COEF for the r13 coefficient calibration). Growth is
+    logarithmic so the per-round frontier broadcast stays ≤
+    COEF·⌊log2 n⌋·|batch| rows at any scale. Rides the DAG as a
+    broadcast (no driver collect); the oracle replays it as
+    `greatest(BEAM_EF, COEF*(length(bin(count(*)))-1))`."""
     bl = F.length(F.bin(F.expr("count(1)"))) - F.lit(1)
     return base.agg(
-        F.greatest(F.lit(BEAM_EF), F.lit(2) * bl)
+        F.greatest(F.lit(BEAM_EF), F.lit(INSERT_BEAM_COEF) * bl)
          .cast("int").alias("_beam"))
 
 
@@ -2497,7 +2582,8 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
     src — the walk stays rounds × linear either way).
 
     `beam=None` (the default) scales the frontier width with the
-    base size (`insert_beam_params`: max(BEAM_EF, 2·⌊log2 n⌋) as a
+    base size (`insert_beam_params`: max(BEAM_EF,
+    INSERT_BEAM_COEF·⌊log2 n⌋) as a
     1-row broadcast) — the r12 fix for the r11-measured capture
     decay at fixed width (see `insert_beam_params` for the measured
     sweep); an explicit int pins the width (the walk-budget debug
@@ -2509,6 +2595,14 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
             f"beam ({beam}) must be >= k ({k}): the frontier holds at "
             "most beam rows per inserted node, so beam < k would "
             "silently emit fewer than k edges per node")
+    if beam is None and BEAM_EF < k:
+        # the scaled default's floor is BEAM_EF (insert_beam_params:
+        # greatest(BEAM_EF, INSERT_BEAM_COEF·⌊log2 n⌋)); enforce the
+        # same invariant on the default path so a future KNN_K bump
+        # past BEAM_EF fails loudly instead of silently under-emitting
+        raise ValueError(
+            f"scaled-default beam floor BEAM_EF ({BEAM_EF}) must be "
+            f">= k ({k})")
     old, new = _insert_split(embeddings)
     edges = _beam_nav_edges(old)
     newq = _vecs(new).select(F.col("vec_id").alias("query_id"),
@@ -2548,7 +2642,8 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
     same asymptotic cost. The r12 sweep isolated WIDTH as the lever
     (beam 8/16/32 → 0.34/0.58/0.80 at sf0.01; steps saturate at 6;
     seeding alone moved nothing at fixed width) — the scaled default
-    (`insert_beam_params`) spends 2·⌊log2 n⌋, and the residual
+    (`insert_beam_params`) spends INSERT_BEAM_COEF·⌊log2 n⌋ (4·, raised
+    from r12's 2· — see INSERT_BEAM_COEF), and the residual
     density decay is the honest record of what logarithmic width
     buys (a deployment wanting flat capture pays a larger constant —
     beam 48 measured 0.64 at sf0.1)."""
@@ -2586,8 +2681,11 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
 
 
 # fixed ef-construction widths for the insert curve — brackets the
-# log2-scaled default (16 at sf0.001's 450-vector base, 24 at sf0.01)
-INSERT_BEAM_CURVE = (8, 16, 32)
+# log2-scaled default (with INSERT_BEAM_COEF=4: 32 at sf0.001/0.01's
+# 450-vector bases, 40 at sf0.1's 1800); 48 joined in r13 so the
+# deployment-scale width has an oracle-checked capture row ABOVE the
+# default, not just below it
+INSERT_BEAM_CURVE = (8, 16, 32, 48)
 
 
 def knn_graph_insert_curve(embeddings: DataFrame, k: int = KNN_K,
@@ -2787,9 +2885,20 @@ def _beam_pq_frontier(embeddings: DataFrame, steps: int,
     return cur
 
 
+# The PQ-domain SERVING width — the measured crossover from
+# `ann_beam_pq_curve`: pq recall@5 15/25/32/42 per 50 at beam
+# 8/16/32/64 (sf0.01), crossing the exact ef=8 walk's 41/50 exactly
+# at 64 — where DiskANN's default L (64-128) says compressed routing
+# lands. The serving pair (this op + its streaming twin) defaults
+# here; BEAM_EF stays the exact-domain width (that curve saturates at
+# 4-8) and the recall/curve relations keep their explicit ef=8 floor
+# rows as measurements.
+PQ_SERVE_BEAM = 64
+
+
 def ann_beam_pq_topk(embeddings: DataFrame, k: int = TOP_K,
                      steps: int = GS_STEPS, n_queries: int = N_QUERIES,
-                     beam: int = BEAM_EF,
+                     beam: int = PQ_SERVE_BEAM,
                      und: DataFrame | None = None,
                      queries: DataFrame | None = None,
                      index=None) -> DataFrame:
@@ -2813,7 +2922,13 @@ def ann_beam_pq_topk(embeddings: DataFrame, k: int = TOP_K,
     `queries` (raw embedding schema) + `index` (from `pq_walk_index`)
     are the streaming serving twin's parameters: arriving micro-batch
     rows walk the PREBUILT index — construction never re-runs per
-    batch."""
+    batch.
+
+    Serves at `PQ_SERVE_BEAM` (=64) by default — the width its own
+    curve (`ann_beam_pq_curve`) measured as the crossover where
+    PQ-domain recall (42/50) first meets the exact ef=8 walk's
+    (41/50); `ann_beam_pq_recall` keeps the explicit ef=8 row as the
+    routing-bias floor measurement."""
     from pyspark.sql import Window
 
     if beam < k:

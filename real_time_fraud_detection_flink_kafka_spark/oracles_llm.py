@@ -2771,16 +2771,18 @@ def _beam_pq_sql(beam: int | None = None) -> str:
     Code positions are DENSE per-subspace ranks (row_number over
     code) because Lloyd can drop codes — both engines index the
     lookup arrays through the same (sub, code) ordering. `beam`
-    parameterizes the frontier width (the PQ-domain ef curve)."""
+    parameterizes the frontier width (the PQ-domain ef curve);
+    None = PQ_SERVE_BEAM, the serving default (the measured
+    crossover width — ann_beam_pq_curve's conclusion)."""
     from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
-        BEAM_EF,
         GS_STEPS,
         PQ_M,
         PQ_SCALE,
+        PQ_SERVE_BEAM,
     )
 
     if beam is None:
-        beam = BEAM_EF
+        beam = PQ_SERVE_BEAM
 
     pq, cb = _pq_ctes()  # defines e, s, pc{PQ_ITERS}
     # replace the plain `e` with the MATERIALIZED one the walk reuses
@@ -2864,7 +2866,13 @@ WHERE rn <= {TOP_K}""")
 def _beam_pq_recall_sql() -> str:
     """ann_beam_pq_recall's oracle: one labeled set-recall@k row for
     the exact-scored beam serve and one for the PQ-scored walk +
-    exact rerank, both vs the exact ranking."""
+    exact rerank, both vs the exact ranking — BOTH at the shared ef=8
+    (the floor measurement; the serving default lives at
+    PQ_SERVE_BEAM and is what `ann_beam_pq_topk`'s own oracle
+    replays)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+    )
     def row(method: str, rel: str) -> str:
         return f"""
 SELECT '{method}' AS method,
@@ -2883,7 +2891,7 @@ SELECT '{method}' AS method,
 
     return f"""
 WITH g AS MATERIALIZED ({_beam_topk_sql()}),
-f AS MATERIALIZED ({_beam_pq_sql()}),
+f AS MATERIALIZED ({_beam_pq_sql(BEAM_EF)}),
 ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 xk AS (
   SELECT query_id, neighbor_id FROM (
@@ -2974,6 +2982,7 @@ def _graph_insert_sql(beam: int | None = None) -> str:
         BEAM_EF,
         GRAPH_NPROBE,
         GS_STEPS,
+        INSERT_BEAM_COEF,
         KNN_K,
     )
 
@@ -3032,7 +3041,8 @@ qprobe AS (
 minm AS (SELECT cell, min(vec_id) AS node FROM hassigned GROUP BY cell),
 seeds AS (SELECT query_id, node FROM qprobe JOIN minm USING (cell)
           UNION SELECT query_id, CAST(0 AS BIGINT) AS node FROM qs),
-bm AS (SELECT greatest({BEAM_EF}, 2 * (length(bin(count(*))) - 1)) AS b
+bm AS (SELECT greatest({BEAM_EF},
+                       {INSERT_BEAM_COEF} * (length(bin(count(*))) - 1)) AS b
        FROM e),
 c0 AS MATERIALIZED (
   SELECT q.query_id, s.node, {_cos_sql('q.qv', 'e.v')} AS cur_cos
@@ -3905,14 +3915,73 @@ FROM span_after WHERE n_after > 0"""
 
 
 def _multimodal_oracles() -> dict[str, str]:
-    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import FRAME_INTERVAL
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        AUDIO_RATES,
+        AUDIO_SAMPLES_PER_BYTE,
+        FRAME_INTERVAL,
+        PHASH_CELLS,
+        PHASH_COLS,
+        PHASH_HAMMING_MAX,
+        PHASH_MIN_LEN,
+        PHASH_TWIN_MOD,
+        PHASH_TWIN_OFFSET,
+    )
 
     mod_case = "".join(
         f" WHEN {i} THEN '{m}'" for i, m in enumerate(MODALITIES)
     )
     video_idx = MODALITIES.index("video")
+    image_idx = MODALITIES.index("image")
+    audio_idx = MODALITIES.index("audio")
     nb = "CAST(octet_length(encode(text)) AS INTEGER)"
+    C, W = PHASH_CELLS, PHASH_COLS - 1
     return {
+        # dHash perceptual near-dup: the oracle is the QUADRATIC
+        # contract (all image pairs with hamming <= max) — equality
+        # with Spark's banded join IS the pigeonhole completeness
+        # check (<=3 differing bits leave >=1 of 4 bands equal).
+        # Integer pooling over ascii codes mirrors
+        # multimodal.image_phash_signatures exactly (ASCII corpus:
+        # DuckDB ord == Spark ascii per byte).
+        "dedup_image_phash": f"""
+WITH imgs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {len(MODALITIES)} = {image_idx}
+    AND length(text) >= {PHASH_MIN_LEN}
+),
+allimgs AS (
+  SELECT doc_id, text FROM imgs
+  UNION ALL
+  SELECT doc_id + {PHASH_TWIN_OFFSET},
+         substr(text, 1, length(text) // 2 - 1) || 'x'
+           || substr(text, length(text) // 2 + 1)
+  FROM imgs WHERE doc_id % {PHASH_TWIN_MOD} = 0
+),
+cells AS (
+  SELECT doc_id, i,
+         list_sum(list_transform(
+           generate_series(1 + (i * length(text)) // {C},
+                           ((i + 1) * length(text)) // {C}),
+           p -> ord(substr(text, p, 1))))
+         // (((i + 1) * length(text)) // {C}
+             - (i * length(text)) // {C}) AS cv
+  FROM allimgs, (SELECT unnest(generate_series(0, {C - 1})) AS i) g
+),
+sig AS (
+  SELECT c1.doc_id,
+         CAST(sum(CASE WHEN c2.cv > c1.cv
+              THEN (CAST(1 AS BIGINT)
+                    << ((c1.i // {PHASH_COLS}) * {W} + (c1.i % {PHASH_COLS})))
+              ELSE 0 END) AS BIGINT) AS phash
+  FROM cells c1
+  JOIN cells c2 ON c2.doc_id = c1.doc_id AND c2.i = c1.i + 1
+  WHERE c1.i % {PHASH_COLS} < {W}
+  GROUP BY c1.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}""",
         "multimodal_meta": f"""
 SELECT doc_id,
        (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,
@@ -3920,6 +3989,25 @@ SELECT doc_id,
        {nb} AS n_bytes,
        md5(text) AS content_md5
 FROM documents""",
+        # audio segmentation: 1 s windows at the stub sample rate,
+        # 50% hop, truncated tail — integer arithmetic end to end
+        # (all AUDIO_RATES even, so hop = sr // 2 is exact)
+        "multimodal_segment_audio": f"""
+WITH au AS (
+  SELECT doc_id, {nb} AS n_bytes,
+         CAST([{", ".join(str(r) for r in AUDIO_RATES)}]
+              [({nb} % {len(AUDIO_RATES)}) + 1] AS INTEGER) AS sr,
+         CAST({nb} AS BIGINT) * {AUDIO_SAMPLES_PER_BYTE} AS n_samples
+  FROM documents
+  WHERE doc_id % {len(MODALITIES)} = {audio_idx}
+)
+SELECT doc_id, sr, n_samples,
+       CAST(k AS INTEGER) AS seg_idx,
+       CAST(k * (sr // 2) AS BIGINT) AS seg_start,
+       CAST(least(CAST(sr AS BIGINT),
+                  n_samples - k * (sr // 2)) AS BIGINT) AS seg_len
+FROM au, LATERAL unnest(generate_series(0, (n_samples - 1) // (sr // 2)))
+     AS g(k)""",
         "multimodal_frame_sample": f"""
 SELECT doc_id, {nb} AS n_bytes, ({nb} % 120) + 1 AS n_frames,
        CAST(unnest(generate_series(0, ({nb} % 120), {FRAME_INTERVAL})) AS INTEGER) AS frame_idx

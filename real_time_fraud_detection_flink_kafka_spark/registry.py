@@ -246,6 +246,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": lambda s, d: multimodal.multimodal_decode(load_table(s, d, "documents")),
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
+    "dedup_image_phash": lambda s, d: multimodal.dedup_image_phash(load_table(s, d, "documents")),
+    "multimodal_segment_audio": lambda s, d: multimodal.multimodal_segment_audio(load_table(s, d, "documents")),
     "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
     "decontaminate": lambda s, d: pipeline_ops.decontaminate(load_table(s, d, "documents")),
     "decontaminate_fuzzy": lambda s, d: pipeline_ops.decontaminate_fuzzy(load_table(s, d, "documents")),
@@ -1046,12 +1048,16 @@ DRIVER_WINDOW: list[str] = [
     # the beam SERVING rung (ann_beam_topk — construction +
     # navigation + top-k serving in one row, the r11 investment's
     # capstone and the query shape a deployed graph index actually
-    # answers) a driver-checked representative. The TPC-H family
-    # keeps 5 window rows + 17 §2b entries; q10/q18/q19 stay
-    # oracle-parity-gated past the window (q18/q19 also on the
-    # headline bench).
+    # answers) a driver-checked representative. q5_local_supplier
+    # yielded its slot in r13 to give the exact-complete dedup SCALE
+    # path (dedup_ppjoin — prefix-filtered all-pairs Jaccard, the
+    # production replacement for the window's quadratic-baseline
+    # dedup_ngram_jaccard and the 100× scale curve's worst row) a
+    # driver-checked representative. The TPC-H family keeps 4 window
+    # rows + 18 §2b entries; q5/q10/q18/q19 stay oracle-parity-gated
+    # past the window (q5/q18/q19 also on the headline bench).
     "q1_pricing_summary", "q2_top_supplier_per_nation",
-    "q3_shipping_priority", "q5_local_supplier", "q6_forecast_revenue",
+    "q3_shipping_priority", "dedup_ppjoin", "q6_forecast_revenue",
     "merge_upsert", "knn_graph",
     "ann_pq_rerank", "ann_beam_topk",
     # event analytics

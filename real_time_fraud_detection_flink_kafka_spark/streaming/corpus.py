@@ -640,6 +640,13 @@ def run_beam_serve_stream(spark, sf_dir: str,
          .option("checkpointLocation", os.path.join(base, "_chk"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    if not os.path.exists(out_dir):
+        # serve() skips empty batches, so a query stream that never
+        # yields a non-empty batch leaves no sink — the drain of an
+        # empty stream is zero answers, not an AnalysisException
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rnk int, "
+                "cos_sim double")
     return spark.read.parquet(out_dir)
 
 
@@ -697,6 +704,13 @@ def run_beam_pq_serve_stream(spark, sf_dir: str,
          .option("checkpointLocation", os.path.join(base, "_chk"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    if not os.path.exists(out_dir):
+        # serve() skips empty batches — same guard as the exact-walk
+        # twin and run_weighted_sample_stream: an all-empty query
+        # stream drains to zero answers, not an AnalysisException
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rnk int, "
+                "cos_sim double")
     return spark.read.parquet(out_dir)
 
 

@@ -620,3 +620,74 @@ def test_ppjoin_clique_expansion(spark):
     assert row["n_verified"] == 6
     assert (row["n_verified"]
             == row["clique_pairs"] + 3 * row["n_verified_reps"])
+
+
+def test_image_phash_banding_is_complete(spark, sf_dir):
+    """dedup_image_phash's banded candidate join must find EVERY pair
+    at hamming <= 3 — the pigeonhole guarantee (<=3 differing bits
+    leave >=1 of the 4 15-bit bands equal), checked against the
+    quadratic brute force over the same signatures. Also pins the
+    fixture: every injected twin pairs with its original (one changed
+    byte moves <=1 pooled cell -> <=2 flipped dHash bits)."""
+    from itertools import combinations
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        PHASH_TWIN_MOD,
+        PHASH_TWIN_OFFSET,
+        dedup_image_phash,
+        image_phash_signatures,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = {r["doc_id"]: r["phash"]
+            for r in image_phash_signatures(docs).collect()}
+    brute = {(a, b) for a, b in combinations(sorted(sigs), 2)
+             if bin(sigs[a] ^ sigs[b]).count("1") <= PHASH_HAMMING_MAX}
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in dedup_image_phash(docs).collect()}
+    assert banded == brute
+    twins = [d for d in sigs if d >= PHASH_TWIN_OFFSET]
+    assert twins, "fixture must inject at least one twin"
+    for t in twins:
+        orig = t - PHASH_TWIN_OFFSET
+        assert orig % PHASH_TWIN_MOD == 0
+        assert bin(sigs[orig] ^ sigs[t]).count("1") <= 2, (
+            "a one-byte twin must stay within 2 dHash bits")
+        assert (orig, t) in banded
+
+
+def test_audio_segmentation_covers_every_sample(spark, sf_dir):
+    """multimodal_segment_audio's window contract: windows tile each
+    audio doc with 50% hop — consecutive seg_starts differ by sr/2,
+    the first starts at 0, no window starts at/past the end, the tail
+    is truncated (never zero or negative), and the union of windows
+    covers [0, n_samples)."""
+    from collections import defaultdict
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        multimodal_segment_audio,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    rows = multimodal_segment_audio(
+        load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        per[r["doc_id"]].append(r)
+    for segs in per.values():
+        segs.sort(key=lambda r: r["seg_idx"])
+        sr, n = segs[0]["sr"], segs[0]["n_samples"]
+        hop = sr // 2
+        assert [s["seg_idx"] for s in segs] == list(range(len(segs)))
+        assert segs[0]["seg_start"] == 0
+        for s in segs:
+            assert s["seg_start"] == s["seg_idx"] * hop < n
+            assert 0 < s["seg_len"] <= sr
+            assert s["seg_start"] + s["seg_len"] <= n
+        # coverage: each next window starts inside the previous one
+        assert all(b["seg_start"] <= a["seg_start"] + a["seg_len"]
+                   for a, b in zip(segs, segs[1:]))
+        assert segs[-1]["seg_start"] + segs[-1]["seg_len"] == n

@@ -1012,3 +1012,118 @@ def test_knn_graph_nprobe_fast_is_bit_identical(spark, sf_dir):
          .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
     assert a.shape == b.shape
     assert (a.values == b.values).all()
+
+
+def test_pair_kernel_block_size_invariance():
+    """The r13 hot-cell fix: the pair-stage Arrow kernels score in
+    probe-row blocks (KNN_ARROW_BLOCK_ELEMS) so a pathological cell
+    costs O(block·occ) score memory, not O(occ²). Row blocking must
+    be INVISIBLE — the 1-row-block extreme (block_elems=1 forces
+    bs=1) must reproduce the single-block run bit-for-bit, rows AND
+    cos values, for both kernels. That invariance is what lets the
+    bounded kernel keep the expression twins' value oracles."""
+    import numpy as np
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        _probe_pair_topk_blocked,
+        _self_pair_topk_blocked,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 47, 8
+
+    self_pdf = pd.DataFrame({
+        "cell": np.zeros(n, dtype=np.int64),
+        "vec_id": np.arange(n, dtype=np.int64),
+        "v": [rng.randn(dim).tolist() for _ in range(n)],
+    })
+    self_pdf["v_norm"] = [float(np.sqrt(np.dot(v, v)))
+                          for v in self_pdf["v"]]
+    one_row = _self_pair_topk_blocked(self_pdf, 5, 1)
+    one_block = _self_pair_topk_blocked(self_pdf, 5, 10**12)
+    assert one_row.shape == one_block.shape
+    assert (one_row.values == one_block.values).all()
+
+    # probe kernel: 30 members (prn=1) + the same ids re-appearing as
+    # probes of this cell (prn=2) + 17 foreign probes — covers the
+    # self-exclusion rows and the keep-mask path in every block
+    mem_ids = np.arange(30, dtype=np.int64)
+    probe_ids = np.arange(17, dtype=np.int64) + 100
+    ids = np.concatenate([mem_ids, mem_ids, probe_ids])
+    prn = np.concatenate([np.ones(30, dtype=np.int64),
+                          np.full(30 + 17, 2, dtype=np.int64)])
+    vecs = [rng.randn(dim).tolist() for _ in range(30)]
+    vecs = vecs + vecs + [rng.randn(dim).tolist() for _ in range(17)]
+    probe_pdf = pd.DataFrame({"vec_id": ids, "prn": prn, "v": vecs})
+    probe_pdf["v_norm"] = [float(np.sqrt(np.dot(v, v)))
+                           for v in probe_pdf["v"]]
+    one_row = _probe_pair_topk_blocked(probe_pdf, 5, 1)
+    one_block = _probe_pair_topk_blocked(probe_pdf, 5, 10**12)
+    assert one_row.shape == one_block.shape
+    assert (one_row.values == one_block.values).all()
+
+
+def test_knn_graph_arrow_hot_cell_bounded(spark, sf_dir):
+    """Adversarial assignment skew: EVERY vector in one cell (occ = n,
+    ≥10× the auto assignment's average occupancy) must still match
+    the expression path row-for-row — and because the kernel scores
+    in ≤ KNN_ARROW_BLOCK_ELEMS-element row blocks (invariance pinned
+    above), its peak score allocation in this worst case is
+    O(block·occ), not the occ² matrix the r12 kernel materialized."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        KNN_K,
+        _knn_from_assigned,
+        _knn_from_assigned_arrow,
+        _vecs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    hot = _vecs(emb).withColumn("cell", F.lit(0).cast("int"))
+    a = (_knn_from_assigned(hot, KNN_K).toPandas()
+         .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+    b = (_knn_from_assigned_arrow(hot, KNN_K).toPandas()
+         .sort_values(["vec_id", "rnk"]).reset_index(drop=True))
+    assert len(a) == n * KNN_K  # every vector emits k edges
+    assert a.shape == b.shape and list(a.columns) == list(b.columns)
+    assert (a.values == b.values).all()
+
+
+def test_insert_scaled_default_enforces_beam_floor(spark, sf_dir):
+    """The scaled-default path (beam=None) floors at BEAM_EF, so a k
+    above BEAM_EF must fail loudly instead of silently emitting fewer
+    than k edges per inserted node (the explicit-int path already
+    raises; r13 extends the guard to the default path)."""
+    import pytest
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        knn_graph_insert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="BEAM_EF"):
+        knn_graph_insert(emb, k=BEAM_EF + 1)
+
+
+def test_pq_serving_default_is_curve_crossover():
+    """The DiskANN serving pair (ann_beam_pq_topk + its streaming
+    twin) must default to PQ_SERVE_BEAM — the width its own curve
+    measured as the crossover with the exact ef=8 walk (42/50 vs
+    41/50 at sf0.01) — while the recall relation keeps BEAM_EF as
+    the floor measurement."""
+    import inspect
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.similarity import (
+        BEAM_EF,
+        PQ_BEAM_CURVE,
+        PQ_SERVE_BEAM,
+        ann_beam_pq_recall,
+        ann_beam_pq_topk,
+    )
+
+    assert PQ_SERVE_BEAM in PQ_BEAM_CURVE and PQ_SERVE_BEAM > BEAM_EF
+    assert (inspect.signature(ann_beam_pq_topk).parameters["beam"].default
+            == PQ_SERVE_BEAM)
+    assert (inspect.signature(ann_beam_pq_recall).parameters["beam"].default
+            == BEAM_EF)
