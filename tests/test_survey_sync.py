@@ -39,3 +39,22 @@ def test_render_is_total_on_sparse_artifacts():
         {"value": 1.0, "sf": 0.1, "reps": 1, "queries": {"q": 1.0}})
     assert bench.SURVEY_BEGIN in block and bench.SURVEY_END in block
     assert "1.0 s / 1 queries" in block
+
+
+def test_survey_2a_table_order_matches_driver_window():
+    """SURVEY §2a's slot numbers must equal the REGISTRY order (==
+    the driver's CORRECTNESS key order) — the r12 verdict caught the
+    table listing a different (same-set) order. Parse every §2a
+    table row of the form `| <n> | \\`name\\` |` and assert the name
+    sequence is exactly registry.DRIVER_WINDOW with slots 1..50."""
+    import re
+
+    from real_time_fraud_detection_flink_kafka_spark.registry import DRIVER_WINDOW
+
+    survey = (ROOT / "SURVEY.md").read_text()
+    sec = survey[survey.index("### §2a"):survey.index("### §2b")]
+    rows = re.findall(r"^\| (\d+) \| `([a-z0-9_]+)`", sec, re.M)
+    assert [n for _, n in rows] == DRIVER_WINDOW, (
+        "SURVEY §2a table order has drifted from registry.DRIVER_WINDOW")
+    assert [int(i) for i, _ in rows] == list(range(1, 51)), (
+        "SURVEY §2a slot numbers must run 1..50 in order")
