@@ -740,6 +740,23 @@ def _stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("stream_pii_scrub", _stream_pii, _LLM_ORACLES["pii_scrub"])
 
 
+def _stream_segment_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_segment_audio_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_segment_audio_stream(
+        spark, sf_dir, query_name=f"segment_audio_stream_{_STREAM_COUNTER['n']}")
+
+
+# media preprocessing at intake: stateless modality routing + window
+# synthesis (filter/sequence/explode), append mode — drained stream
+# must equal batch multimodal_segment_audio — same oracle
+register("stream_segment_audio", _stream_segment_audio,
+         _LLM_ORACLES["multimodal_segment_audio"])
+
+
 def _stream_lm_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
         run_lm_score_stream_update,

@@ -765,3 +765,25 @@ def run_weighted_sample_stream(spark, sf_dir: str,
         return spark.createDataFrame(
             [], "doc_id bigint, w_tokens bigint, rnk int, es_key double")
     return es_ranked(es_topk(spark.read.parquet(out_dir)))
+
+
+def run_segment_audio_stream(spark, sf_dir: str,
+                             query_name: str = "segment_audio_stream"
+                             ) -> DataFrame:
+    """Audio segmentation ON the ingest path: modality routing and
+    per-row window synthesis are stateless row-local expressions
+    (filter + sequence + explode — `multimodal_segment_audio`
+    verbatim over the stream), so append mode streams segment rows
+    straight through with ZERO state; the drained result equals the
+    batch segmentation exactly (shared oracle — the
+    stream_span_corruption/stream_pii_scrub twin discipline)."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        multimodal_segment_audio,
+    )
+
+    ensure_session_confs(spark)
+    out = multimodal_segment_audio(_documents_stream(spark, sf_dir))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
