@@ -239,8 +239,7 @@ def main() -> None:
 
     from real_time_fraud_detection_flink_kafka_spark.cache import release_caches
 
-    def run_suite(names, data_dir, reps=1, tolerate_failures=False,
-                  gc_between=False):
+    def run_suite(names, data_dir, reps=1, tolerate_failures=False):
         """Per-query wall time; with reps > 1 the MIN over reps is
         reported — the stable estimator under transient host load (a
         co-tenant burst once produced a phantom 1.7× 'regression'
@@ -286,17 +285,6 @@ def main() -> None:
                     continue
                 finally:
                     release_caches()  # nothing persisted leaks into the next timing
-                    if gc_between:
-                        # scale passes only (r13, the r12 verdict's
-                        # persist-lifetime audit): shuffle files are
-                        # freed by ContextCleaner only after a GC
-                        # notices dead RDD refs, so a one-shot pass
-                        # running heavyweights back-to-back inherits
-                        # the prior query's spill + heap pressure —
-                        # measured 2.6× in-pass vs isolated on
-                        # dedup_minhash_lsh_fast at 100× (r12). GC
-                        # runs AFTER dt is taken, outside the timing.
-                        spark.sparkContext._jvm.System.gc()
                 if name not in best or dt < best[name]:
                     best[name] = dt
         out = {name: round(t, 3) for name, t in best.items()}
@@ -433,9 +421,27 @@ def main() -> None:
             spark.catalog.clearCache()
             subset = (SCALE_SUBSET_BIG if replicas >= BIG_FACTOR
                       else SCALE_SUBSET)
-            stimes, sfails = run_suite(subset, out_dir,
-                                       tolerate_failures=True,
-                                       gc_between=True)
+            # min-of-2 reps (r13): the one-shot pass conflated
+            # first-run-in-pass costs (codegen compile + cold page
+            # cache — measured 22.0 s first vs 8.0 s warm for
+            # knn_graph at 100×) and transient host noise with real
+            # ratios; an interleaved second pass and the min washes
+            # both out, the same estimator the headline suite uses.
+            # PRESSURE SOURCE, measured (the r12 verdict's audit ask):
+            # the in-pass/isolated gaps cluster on the rows FOLLOWING
+            # the exact-complete dedup drains — their shuffle/spill
+            # aftermath (page-cache eviction + cleanup I/O) taxes the
+            # next queries. Forcing System.gc() between queries was
+            # TRIED in r13 and made it WORSE: the GC kicks
+            # ContextCleaner's ASYNC shuffle-file deletion, which
+            # disk-contends with the following query (knn_graph_hier
+            # read 28.5 s in-pass with it vs 12.6 s isolated; r12
+            # without it read 12.3 in-pass). So: GC only at factor
+            # boundaries, min-of-2 in-pass, and isolated re-timing
+            # (RETIME_RATIO) as the auditable corrector.
+            sreps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+            stimes, sfails = run_suite(subset, out_dir, reps=sreps,
+                                       tolerate_failures=True)
             # isolated re-timing of outliers — the window-pass
             # discipline applied to the scale curve: the pass is
             # one-shot (reps=1) and runs queries back-to-back, so a
@@ -449,7 +455,8 @@ def main() -> None:
             # asymmetric correction that could only lower the curve);
             # both readings land in the artifact ("retimed") so the
             # correction is auditable.
-            RETIME_RATIO = 0.3
+            RETIME_RATIO = 0.25  # r13: 0.3 let the 0.26-0.28-ratio
+            # post-dedup pressure readings through un-audited
             outliers = [
                 n for n in subset if n in stimes and n in base_times
                 and stimes[n] / max(base_times[n], 1e-9) / replicas
