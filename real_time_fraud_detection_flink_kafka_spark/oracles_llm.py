@@ -61,6 +61,63 @@ _pp_nd = _pp_n + _pp_d
 # containment join's rational (same relaxation, its own tau)
 _ct_n, _ct_d = _pp_rational(_CONTAIN_T)
 
+# simhash signature CTE chain — sig(doc_id, simhash) — shared by the
+# dedup_simhash pair oracle and the simhash_stats occupancy audit
+_SIMHASH_SIG_CTES = f"""toks AS (
+  SELECT doc_id, tok, count(*) AS tf, {md5_int60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, b.bit, h, tf
+  FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM bits GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM per_bit GROUP BY 1
+)"""
+
+
+def _band_stats_sql(sig_ctes: str, sig_col: str, n_bands: int,
+                    hamming_max: int) -> str:
+    """simhash_stats / phash_stats oracle: per-band bucket occupancy
+    (n_buckets, max_occ, band_cand_pairs = Σ C(occ,2) before the
+    cross-band distinct) + global candidate/verified counts over a
+    CTE chain ending in sig(doc_id, {sig_col}) — mirrors
+    operators/dedup._hamming_band_stats column for column."""
+    return f"""WITH {sig_ctes},
+bands AS (
+  SELECT doc_id, {sig_col} AS s, j AS band_idx,
+         ({sig_col} >> (15 * j)) & 32767 AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {n_bands - 1})) AS j) t
+),
+occ AS (
+  SELECT band_idx, band_key, count(*) AS occ FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.s AS s_a, b.s AS s_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       CAST((SELECT count(*) FROM sig) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(occ) AS INTEGER) AS max_occ,
+       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS band_cand_pairs,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM cand
+             WHERE bit_count(xor(s_a, s_b)) <= {hamming_max}) AS BIGINT)
+         AS n_verified
+FROM occ GROUP BY band_idx"""
+
 _SHINGLE_CTE = f"""w AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
 ),
@@ -467,26 +524,10 @@ SELECT CAST((SELECT sum(m) FROM grp) AS BIGINT) AS n_sets,
         # verified-LSH output == exact output at this data's dup
         # profile (r=2/b=8 band curve; see operators/dedup.py docs)
         "dedup_minhash_lsh": _JACCARD_SQL,
+        "simhash_stats": _band_stats_sql(_SIMHASH_SIG_CTES, "simhash",
+                                         SIMHASH_BANDS, HAMMING_MAX),
         "dedup_simhash": f"""
-WITH toks AS (
-  SELECT doc_id, tok, count(*) AS tf, {md5_int60_sql('tok')} AS h
-  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)
-  GROUP BY doc_id, tok
-),
-bits AS (
-  SELECT doc_id, b.bit, h, tf
-  FROM toks, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
-),
-per_bit AS (
-  SELECT doc_id, bit,
-         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
-  FROM bits GROUP BY 1, 2
-),
-sig AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-  FROM per_bit GROUP BY 1
-),
+WITH {_SIMHASH_SIG_CTES},
 bands AS (
   SELECT doc_id, simhash, j AS band_idx, (simhash >> (15 * j)) & 32767 AS band_key
   FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS j) t
@@ -3919,6 +3960,7 @@ def _multimodal_oracles() -> dict[str, str]:
         AUDIO_RATES,
         AUDIO_SAMPLES_PER_BYTE,
         FRAME_INTERVAL,
+        PHASH_BANDS,
         PHASH_CELLS,
         PHASH_COLS,
         PHASH_HAMMING_MAX,
@@ -3935,16 +3977,12 @@ def _multimodal_oracles() -> dict[str, str]:
     audio_idx = MODALITIES.index("audio")
     nb = "CAST(octet_length(encode(text)) AS INTEGER)"
     C, W = PHASH_CELLS, PHASH_COLS - 1
-    return {
-        # dHash perceptual near-dup: the oracle is the QUADRATIC
-        # contract (all image pairs with hamming <= max) — equality
-        # with Spark's banded join IS the pigeonhole completeness
-        # check (<=3 differing bits leave >=1 of 4 bands equal).
-        # Integer pooling over ascii codes mirrors
-        # multimodal.image_phash_signatures exactly (ASCII corpus:
-        # DuckDB ord == Spark ascii per byte).
-        "dedup_image_phash": f"""
-WITH imgs AS (
+    # dHash signature CTE chain — sig(doc_id, phash) — shared by the
+    # dedup_image_phash pair oracle and the phash_stats occupancy
+    # audit. Integer pooling over ascii codes mirrors
+    # multimodal.image_phash_signatures exactly (ASCII corpus: DuckDB
+    # ord == Spark ascii per byte).
+    phash_sig_ctes = f"""imgs AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id % {len(MODALITIES)} = {image_idx}
     AND length(text) >= {PHASH_MIN_LEN}
@@ -3977,11 +4015,20 @@ sig AS (
   JOIN cells c2 ON c2.doc_id = c1.doc_id AND c2.i = c1.i + 1
   WHERE c1.i % {PHASH_COLS} < {W}
   GROUP BY c1.doc_id
-)
+)"""
+    return {
+        # dHash perceptual near-dup: the oracle is the QUADRATIC
+        # contract (all image pairs with hamming <= max) — equality
+        # with Spark's banded join IS the pigeonhole completeness
+        # check (<=3 differing bits leave >=1 of 4 bands equal).
+        "dedup_image_phash": f"""
+WITH {phash_sig_ctes}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}""",
+        "phash_stats": _band_stats_sql(phash_sig_ctes, "phash",
+                                       PHASH_BANDS, PHASH_HAMMING_MAX),
         "multimodal_meta": f"""
 SELECT doc_id,
        (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,

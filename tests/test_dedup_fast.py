@@ -691,3 +691,50 @@ def test_audio_segmentation_covers_every_sample(spark, sf_dir):
         assert all(b["seg_start"] <= a["seg_start"] + a["seg_len"]
                    for a, b in zip(segs, segs[1:]))
         assert segs[-1]["seg_start"] + segs[-1]["seg_len"] == n
+
+
+def test_band_stats_invariants(spark, sf_dir):
+    """simhash_stats / phash_stats internal consistency against their
+    own dedup operators: one row per band; n_docs equals the
+    signature count on every row; per-band candidate contributions
+    bound the global distinct-candidate count from above (a pair can
+    collide in several bands) and from below via the densest bucket;
+    n_verified equals the dedup operator's emitted pair count."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        dedup_simhash,
+        simhash_signatures,
+        simhash_stats,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        PHASH_BANDS,
+        dedup_image_phash,
+        image_phash_signatures,
+        phash_stats,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for stats_fn, sig_fn, dedup_fn, n_bands in (
+            (simhash_stats, simhash_signatures, dedup_simhash,
+             SIMHASH_BANDS),
+            (phash_stats, image_phash_signatures, dedup_image_phash,
+             PHASH_BANDS)):
+        rows = sorted(stats_fn(docs).collect(), key=lambda r: r["band_idx"])
+        assert [r["band_idx"] for r in rows] == list(range(n_bands))
+        n_docs = sig_fn(docs).count()
+        assert all(r["n_docs"] == n_docs for r in rows)
+        for r in rows:
+            assert 1 <= r["n_buckets"] <= min(n_docs, 1 << 15)
+            assert 1 <= r["max_occ"] <= n_docs
+            assert (r["band_cand_pairs"]
+                    >= r["max_occ"] * (r["max_occ"] - 1) // 2)
+        total_band_pairs = sum(r["band_cand_pairs"] for r in rows)
+        n_cand = rows[0]["n_candidates"]
+        assert all(r["n_candidates"] == n_cand for r in rows)
+        assert (max(r["band_cand_pairs"] for r in rows)
+                <= n_cand <= total_band_pairs)
+        n_ver = rows[0]["n_verified"]
+        assert all(r["n_verified"] == n_ver for r in rows)
+        assert n_ver <= n_cand
+        assert n_ver == dedup_fn(docs).count()
