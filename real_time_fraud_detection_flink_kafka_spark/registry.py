@@ -247,6 +247,8 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": lambda s, d: multimodal.multimodal_resize(load_table(s, d, "documents")),
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
     "dedup_image_phash": lambda s, d: multimodal.dedup_image_phash(load_table(s, d, "documents")),
+    "phash_stats": lambda s, d: multimodal.phash_stats(load_table(s, d, "documents")),
+    "simhash_stats": lambda s, d: dedup.simhash_stats(load_table(s, d, "documents")),
     "multimodal_segment_audio": lambda s, d: multimodal.multimodal_segment_audio(load_table(s, d, "documents")),
     "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
     "decontaminate": lambda s, d: pipeline_ops.decontaminate(load_table(s, d, "documents")),
@@ -1091,8 +1093,15 @@ DRIVER_WINDOW: list[str] = [
     "token_count", "quality_score", "lang_id_ngram", "doc_fingerprint",
     # LLM-data-pipeline: multimodal (frame_sample yielded its slot in
     # r6 to give the new non-equi range-join / graph family a
-    # driver-checked representative; it stays §2b-gated)
-    "multimodal_meta", "multimodal_resize", "coincident_events",
+    # driver-checked representative; it stays §2b-gated).
+    # multimodal_meta yielded its slot in r14 to give the family's
+    # newest capability — perceptual payload dedup (dedup_image_phash,
+    # the r12 verdict's thinnest-family ask) — a driver-checked
+    # representative; meta's extraction logic stays driver-checked
+    # through multimodal_resize's chained decode→resize lineage and
+    # stays §2b oracle-parity-gated itself (the same argument as
+    # fraud_alerts → §2b in r7).
+    "dedup_image_phash", "multimodal_resize", "coincident_events",
     # LLM-data-pipeline: corpus ops
     "vocab_topk", "chunk_documents", "bpe_merges", "distinct_users_kmv",
     "corpus_to_packs",
