@@ -2684,8 +2684,12 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
 # log2-scaled default (with INSERT_BEAM_COEF=4: 32 at sf0.001/0.01's
 # 450-vector bases, 40 at sf0.1's 1800); 48 joined in r13 so the
 # deployment-scale width has an oracle-checked capture row ABOVE the
-# default, not just below it
-INSERT_BEAM_CURVE = (8, 16, 32, 48)
+# default, not just below it; 64 joined in r14 (the r13 verdict's
+# task 5) to extend the sf0.1 capture-vs-width relation PAST the
+# 48 bracket — whether the log-width law saturates or keeps paying
+# at deployment densities is now a measured point, not a question
+# (the bench's insert_capture section records the curve at sf0.1)
+INSERT_BEAM_CURVE = (8, 16, 32, 48, 64)
 
 
 def knn_graph_insert_curve(embeddings: DataFrame, k: int = KNN_K,
