@@ -376,6 +376,78 @@ def dedup_minhash_lsh_fast(documents: DataFrame,
     return _minhash_lsh_pipeline(documents, minhash_signatures_arrow, threshold)
 
 
+def minhash_band_stats(documents: DataFrame,
+                       threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Band-bucket occupancy audit for the MinHash-LSH candidate join
+    — the third member of the stats discipline (`ppjoin_stats`,
+    `simhash_stats`/`phash_stats`), closing it over every banded
+    family in the catalog. One row per LSH band: bucket count, max
+    occupancy, exact candidate-pair contribution (Σ C(occ,2) per
+    bucket, counted BEFORE the cross-band distinct), plus the global
+    distinct-candidate and verified-rep-pair counts.
+
+    What it measures is the CONVERSE of the hamming audits: minhash
+    band keys are two fused 60-bit minima (domain ~P², effectively
+    unbounded), so occupancy is driven by the corpus's SIMILARITY
+    STRUCTURE — near-dup groups and the all-``P`` sentinel bucket of
+    sub-shingle-length docs — not by key-space exhaustion the way
+    fixed 15-bit hamming bands fill up. Concretely: `max_occ` tracks
+    the largest near-dup/short-doc group, `band_cand_pairs` vs
+    `n_candidates` shows how often true pairs collide in several
+    bands (recall margin), and `n_candidates` vs `n_verified_reps`
+    is the false-candidate rate the r=2 curve admits. A growing
+    corpus whose max_occ stays flat is the healthy case; max_occ
+    tracking corpus size means a dominant clone group (or a flood of
+    sub-3-word docs all hashing to the sentinel bucket) and predicts
+    the candidate join's densest task.
+
+    Measured over one representative per distinct text (the same md5
+    collapse the pipeline shuffles, so the numbers describe the join
+    the operator actually runs). Scale shape: signatures row-local;
+    occupancy one map-side-combinable groupBy on the band key (the
+    operator's own exchange); candidates/verification rerun the
+    banded join once — an audit-time measurement rung."""
+    reps = (documents.select("doc_id", F.md5("text").alias("text_md5"))
+            .groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    sig = tracked_persist(minhash_signatures(
+        documents.join(F.broadcast(reps), "doc_id")))
+    e = _band_rows(sig)
+    occ = (e.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("occ")))
+    per_band = occ.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("max_occ"),
+        F.sum(F.expr("occ * (occ - 1) div 2")).alias("band_cand_pairs"))
+    cand = lsh_candidates(sig)
+    sets = sig.select("doc_id", "sh_set")
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sh_set").alias("set_b"))
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    jac = inter / (F.size("set_a") + F.size("set_b") - inter)
+    c_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
+    c_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    c_ver = (j.where(F.round(jac, 6) >= threshold)
+              .agg(F.count(F.lit(1)).alias("n_verified_reps")))
+    return (per_band
+            .crossJoin(F.broadcast(c_docs))
+            .crossJoin(F.broadcast(c_cand))
+            .crossJoin(F.broadcast(c_ver))
+            .select(F.col("band_idx").cast("int").alias("band_idx"),
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    F.col("max_occ").cast("int").alias("max_occ"),
+                    F.col("band_cand_pairs").cast("bigint")
+                     .alias("band_cand_pairs"),
+                    F.col("n_candidates").cast("bigint")
+                     .alias("n_candidates"),
+                    F.col("n_verified_reps").cast("bigint")
+                     .alias("n_verified_reps")))
+
+
 CLUSTER_MAX_ITERS = 20  # safety bound; convergence check exits earlier
 
 

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+
 MODALITIES = ["image", "audio", "video"]
 
 DECODE_SCHEMA = ("doc_id bigint, modality string, n_bytes int, "
@@ -148,6 +150,7 @@ PHASH_HAMMING_MAX = 3                # pigeonhole-complete at 4 bands
 PHASH_MIN_LEN = PHASH_CELLS          # ≥1 byte per pooled cell
 PHASH_TWIN_MOD = 5                   # every 5th image doc gets a twin
 PHASH_TWIN_OFFSET = 1 << 42          # distinct from DIFF_ADD_OFFSET
+PHASH_DELTA_MOD = 7                  # every 7th image doc → the increment
 
 
 def _phash_corpus(documents: DataFrame) -> DataFrame:
@@ -191,6 +194,16 @@ def image_phash_signatures(documents: DataFrame) -> DataFrame:
     char_length(text)); the oracle is unchanged. Row-local, zero
     shuffles — at 100 TB the signature stage is a pure map over the
     scan."""
+    return _phash_corpus(documents).select(
+        "doc_id", F.expr(phash_expr()).alias("phash"))
+
+
+def phash_expr() -> str:
+    """The dHash SQL expression over a `text` column (see
+    `image_phash_signatures` for the shape and let-binding rationale)
+    — factored out so the STREAMING intake can signature arriving
+    rows with the identical expression without `_phash_corpus`'s
+    batch-side twin union."""
     C, W = PHASH_CELLS, PHASH_COLS - 1
     cells = (
         f"transform(sequence(0, {C - 1}), i -> "
@@ -199,7 +212,7 @@ def image_phash_signatures(documents: DataFrame) -> DataFrame:
         f"(acc, p) -> acc + ascii(element_at(chs, cast(p as int)))) "
         f"div (((i + 1) * size(chs)) div {C} "
         f"- (i * size(chs)) div {C}))")
-    phash = (
+    return (
         f"transform(array(split(text, '')), chs -> "
         f"transform(array({cells}), cells -> "
         f"aggregate(sequence(0, {PHASH_BITS - 1}), 0L, (acc, b) -> "
@@ -207,8 +220,6 @@ def image_phash_signatures(documents: DataFrame) -> DataFrame:
         f"+ (b % {W}) + 2 as int)) > element_at(cells, cast((b div {W}) "
         f"* {PHASH_COLS} + (b % {W}) + 1 as int)), "
         f"shiftleft(1L, b), 0L)))[0])[0]")
-    return _phash_corpus(documents).select(
-        "doc_id", F.expr(phash).alias("phash"))
 
 
 def dedup_image_phash(documents: DataFrame,
@@ -228,15 +239,7 @@ def dedup_image_phash(documents: DataFrame,
     choice) — and per-band occupancy is MEASURED by `phash_stats`
     (the ppjoin_stats discipline), so a low-entropy corpus shows up
     as a number before it shows up as a blown-out shuffle."""
-    sig = image_phash_signatures(documents)
-    bands = F.array(*[
-        F.struct(F.lit(j).alias("band_idx"),
-                 F.shiftright(F.col("phash"), 15 * j)
-                  .bitwiseAND((1 << 15) - 1).alias("band_key"))
-        for j in range(PHASH_BANDS)])
-    e = (sig.select("doc_id", "phash", F.explode(bands).alias("b"))
-         .select("doc_id", "phash", F.col("b.band_idx").alias("band_idx"),
-                 F.col("b.band_key").alias("band_key")))
+    e = phash_band_rows(image_phash_signatures(documents))
     a, b = e.alias("a"), e.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -264,6 +267,86 @@ def phash_stats(documents: DataFrame,
 
     return _hamming_band_stats(image_phash_signatures(documents), "phash",
                                PHASH_BANDS, hamming_max)
+
+
+def phash_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, phash, band_idx, band_key) — one row per 15-bit band
+    per signed image, the exploded relation both the self-join
+    (`dedup_image_phash`) and the delta-vs-corpus intake join key on."""
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("band_idx"),
+                 F.shiftright(F.col("phash"), 15 * j)
+                  .bitwiseAND((1 << 15) - 1).alias("band_key"))
+        for j in range(PHASH_BANDS)])
+    return (sig.select("doc_id", "phash", F.explode(bands).alias("b"))
+            .select("doc_id", "phash",
+                    F.col("b.band_idx").alias("band_idx"),
+                    F.col("b.band_key").alias("band_key")))
+
+
+def _phash_is_delta():
+    """The increment predicate over SIGNED image ids: every
+    PHASH_DELTA_MOD-th original image doc (twins — ids past
+    PHASH_TWIN_OFFSET — always stay corpus-side, so the injected
+    near-dups are things the increment can FIND, and multiples of
+    lcm(PHASH_TWIN_MOD, PHASH_DELTA_MOD)·|MODALITIES| give the delta
+    a guaranteed near-dup hit while the rest mix near/new)."""
+    return ((F.col("doc_id") < PHASH_TWIN_OFFSET)
+            & (F.expr(f"(doc_id div {len(MODALITIES)}) "
+                      f"% {PHASH_DELTA_MOD}") == 0))
+
+
+def dedup_phash_incremental(documents: DataFrame,
+                            hamming_max: int = PHASH_HAMMING_MAX
+                            ) -> DataFrame:
+    """Perceptual dedup at INTAKE — `dedup_incremental`'s
+    delta-vs-corpus shape for the image payload column: a new
+    increment of images is judged against the existing corpus index,
+    never corpus-vs-corpus. One row per delta image:
+    (doc_id, status, n_same_hash, n_near) where n_same_hash = corpus
+    images with the IDENTICAL 60-bit dHash, n_near = corpus images
+    within hamming ≤ hamming_max (superset of same-hash), status =
+    'same_hash' | 'near_dup' | 'new' by that priority.
+
+    Scale shape (the asymmetric twin of `dedup_image_phash`): the
+    corpus side collapses to its banded signature index — the
+    relation a production pipeline persists between increments —
+    and the delta's band rows probe it with one equi-join on
+    (band_idx, band_key); candidate volume is O(delta × bands ×
+    occupancy), never corpus². Pigeonhole completeness carries over
+    unchanged (≤ hamming_max differing bits leave ≥ 1 of the 4 bands
+    equal), so the banded probe finds every qualifying corpus image
+    — the oracle is the quadratic delta×corpus contract, and parity
+    IS the completeness proof. `phash_stats` measures the occupancy
+    this probe inherits."""
+    sig = tracked_persist(image_phash_signatures(documents))
+    dsig = sig.where(_phash_is_delta())
+    csig = sig.where(~_phash_is_delta())
+    d, c = phash_band_rows(dsig).alias("d"), phash_band_rows(csig).alias("c")
+    cand = (d.join(c, (F.col("d.band_idx") == F.col("c.band_idx"))
+                   & (F.col("d.band_key") == F.col("c.band_key")))
+            .select(F.col("d.doc_id").alias("doc_id"),
+                    F.col("c.doc_id").alias("c_id"),
+                    F.col("d.phash").alias("ph_d"),
+                    F.col("c.phash").alias("ph_c"))
+            .distinct())
+    hamming = F.bit_count(F.col("ph_d").bitwiseXOR(F.col("ph_c")))
+    hits = (cand.where(hamming <= hamming_max)
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("ph_d") == F.col("ph_c"), 1)
+                        .otherwise(0)).alias("n_same_hash"),
+                 F.count(F.lit(1)).alias("n_near")))
+    return (dsig.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.coalesce("n_same_hash", F.lit(0)) > 0,
+                           F.lit("same_hash"))
+                     .when(F.coalesce("n_near", F.lit(0)) > 0,
+                           F.lit("near_dup"))
+                     .otherwise(F.lit("new")).alias("status"),
+                    F.coalesce("n_same_hash", F.lit(0)).cast("bigint")
+                     .alias("n_same_hash"),
+                    F.coalesce("n_near", F.lit(0)).cast("bigint")
+                     .alias("n_near")))
 
 
 # --- audio segmentation -------------------------------------------------

@@ -160,6 +160,70 @@ def decontaminate_fuzzy(documents: DataFrame, eval_mod: int = EVAL_MOD,
              .orderBy("train_doc_id"))
 
 
+# --- leakage-safe train/val split -------------------------------------------
+
+VAL_PCT = 10  # % of GROUPS (not docs) assigned to the held-out split
+
+
+def leakage_safe_split(documents: DataFrame,
+                       threshold: float = JACCARD_THRESHOLD,
+                       val_pct: int = VAL_PCT) -> DataFrame:
+    """Group-aware train/val split: every document is assigned to
+    `train` or `val` such that NO exact or near-duplicate pair
+    (shingle Jaccard ≥ threshold) crosses the split — the standard
+    guard against evaluation leakage when a held-out set is carved
+    from the same crawl as the training corpus (a random doc-level
+    split puts one copy of a duplicated page in train and its twin in
+    val, and the val loss silently measures memorization).
+
+    Unit of assignment is the near-dup GROUP: connected components
+    over the verified pair graph, with the minimum doc_id as the
+    group id; the split decision is a deterministic hash of the group
+    id (the same md5 bucket `dataset_split` applies per-doc — that
+    operator keeps a doc's split stable across reruns, this one
+    additionally keeps every duplicate of it on the SAME side), so
+    the assignment is stable under recomputation and corpus growth
+    only moves NEW groups.
+
+    Scale shape — the group graph is built at REP level, never doc
+    level: exact duplicates collapse first (md5 groupBy, the one
+    corpus-wide shuffle, on a 32-byte key), near-dup pairs are mined
+    between unique texts only (`dedup_minhash_lsh_fast` — banded
+    candidates, Arrow signatures), and components run on that
+    rep-level pair relation, which is duplication-independent: the
+    quadratic-under-duplication doc-level pair expansion is never
+    materialized, membership rides the md5 collapse back out as one
+    broadcast join. Output: (doc_id, group_id, split) for EVERY
+    document; singletons are their own group.
+
+    Oracle: DuckDB recursive-CTE closure over the exact rep-level
+    Jaccard pairs + the same md5 split hash."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    members = documents.select("doc_id", F.md5("text").alias("text_md5"))
+    reps = (members.groupBy("text_md5")
+                   .agg(F.min("doc_id").alias("rep_id")))
+    members = members.join(F.broadcast(reps), "text_md5")
+    rep_docs = documents.join(
+        F.broadcast(reps.select(F.col("rep_id").alias("doc_id"))), "doc_id")
+    rep_pairs = dedup_minhash_lsh_fast(rep_docs, threshold)
+    labels = (min_label_components(rep_pairs)
+              .select(F.col("id").alias("rep_id"),
+                      F.col("label").alias("group_label")))
+    assign = (members.join(F.broadcast(labels), "rep_id", "left")
+              .select("doc_id",
+                      F.coalesce("group_label", "rep_id").alias("group_id")))
+    is_val = F.pmod(md5_int60(F.col("group_id").cast("string")),
+                    F.lit(100)) < val_pct
+    return assign.select(
+        F.col("doc_id"),
+        F.col("group_id").cast("bigint").alias("group_id"),
+        F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
+         .alias("split"))
+
+
 # --- vocabulary mining ------------------------------------------------------
 
 VOCAB_K = 100

@@ -7,6 +7,7 @@ from __future__ import annotations
 from real_time_fraud_detection_flink_kafka_spark.functions.hashing import (
     N_PERM,
     P,
+    PERMS,
     md5_int60_sql,
     rolling_hash_sql,
 )
@@ -526,6 +527,84 @@ SELECT CAST((SELECT sum(m) FROM grp) AS BIGINT) AS n_sets,
         "dedup_minhash_lsh": _JACCARD_SQL,
         "simhash_stats": _band_stats_sql(_SIMHASH_SIG_CTES, "simhash",
                                          SIMHASH_BANDS, HAMMING_MAX),
+        # mirrors dedup.minhash_band_stats: full minhash replay (md5
+        # collapse → distinct 3-gram shingles → 60-bit md5 bases →
+        # the SAME LCG (a·h+b) mod P permutation constants baked in →
+        # per-band fused m_{2j}·P + m_{2j+1} keys, the all-P sentinel
+        # for sub-shingle-length docs included), then the identical
+        # occupancy/candidate/verified accounting as the hamming
+        # audits. Verified = candidate rep pairs at exact Jaccard ≥
+        # threshold over the 60-bit shingle-hash sets (empty-set docs
+        # have no hset row, matching Spark's null-Jaccard drop).
+        "minhash_band_stats": f"""
+WITH rep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+w AS (
+  SELECT d.doc_id, string_split(trim(d.text), ' ') AS ws
+  FROM documents d JOIN rep USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, len(ws) - {SHINGLE_N - 1})) AS i
+  FROM w
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+  FROM ex
+),
+shh AS (
+  SELECT doc_id, {md5_int60_sql('shingle')} AS h,
+         {md5_int60_sql('shingle')} % {P} AS base
+  FROM sh
+),
+perms(i, a, b) AS (VALUES {", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERMS))}),
+mins AS (
+  SELECT s.doc_id, p.i, min((p.a * s.base + p.b) % {P}) AS mv
+  FROM shh s CROSS JOIN perms p GROUP BY 1, 2
+),
+sigm AS (
+  SELECT r.doc_id, p.i, coalesce(m.mv, {P}) AS mv
+  FROM rep r CROSS JOIN perms p
+  LEFT JOIN mins m ON m.doc_id = r.doc_id AND m.i = p.i
+),
+bands AS (
+  SELECT e.doc_id, CAST(e.i // 2 AS INTEGER) AS band_idx,
+         e.mv * {P} + o.mv AS band_key
+  FROM sigm e JOIN sigm o ON o.doc_id = e.doc_id AND o.i = e.i + 1
+  WHERE e.i % 2 = 0
+),
+occ AS (
+  SELECT band_idx, band_key, count(*) AS occ FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, list(DISTINCT h) AS hset FROM shh GROUP BY 1),
+ver AS (
+  SELECT count(*) AS n_verified_reps
+  FROM cand c
+  JOIN hs a ON a.doc_id = c.doc_a
+  JOIN hs b ON b.doc_id = c.doc_b
+  WHERE round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+              / (len(a.hset) + len(b.hset)
+                 - len(list_intersect(a.hset, b.hset))), 6)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       CAST((SELECT count(*) FROM rep) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(occ) AS INTEGER) AS max_occ,
+       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS band_cand_pairs,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT n_verified_reps FROM ver) AS BIGINT)
+         AS n_verified_reps
+FROM occ GROUP BY band_idx""",
         "dedup_simhash": f"""
 WITH {_SIMHASH_SIG_CTES},
 bands AS (
@@ -925,6 +1004,7 @@ def _pipeline_oracles() -> dict[str, str]:
         SPAN_RATE_PCT,
         SPLIT_TRAIN_PCT,
         SPLIT_VAL_PCT,
+        VAL_PCT,
         TEMP_ALPHA,
         TEMP_WEIGHT_SCALE,
         PACK_BUDGET,
@@ -993,6 +1073,43 @@ pairs AS (
 SELECT train_doc_id, count(*) AS n_eval_docs, max(jaccard) AS max_jaccard
 FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 GROUP BY 1 ORDER BY 1""",
+        # mirrors pipeline.leakage_safe_split: md5 collapse → exact
+        # rep-level Jaccard pairs (the verified-LSH path equals the
+        # exact join under the dedup_minhash_lsh band-curve argument)
+        # → recursive-CTE components (min reachable rep) → the same
+        # md5 group-hash split; singleton reps are their own group
+        "leakage_safe_split": f"""
+WITH RECURSIVE grp_rep AS (
+  SELECT md5(text) AS m, min(doc_id) AS rep_id FROM documents GROUP BY 1
+),
+mem AS (
+  SELECT d.doc_id, r.rep_id FROM documents d
+  JOIN grp_rep r ON md5(d.text) = r.m
+),
+rp AS (
+  SELECT doc_a, doc_b FROM ({_JACCARD_SQL}) q
+  WHERE doc_a IN (SELECT rep_id FROM grp_rep)
+    AND doc_b IN (SELECT rep_id FROM grp_rep)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM rp
+  UNION ALL
+  SELECT doc_b, doc_a FROM rp
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+lab AS (SELECT id, min(r) AS g FROM reach GROUP BY 1),
+assign AS (
+  SELECT m.doc_id, coalesce(l.g, m.rep_id) AS group_id
+  FROM mem m LEFT JOIN lab l ON l.id = m.rep_id
+)
+SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+       CASE WHEN {md5_int60_sql("CAST(group_id AS VARCHAR)")} % 100
+                 < {VAL_PCT} THEN 'val' ELSE 'train' END AS split
+FROM assign""",
         "vocab_topk": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
@@ -3963,6 +4080,7 @@ def _multimodal_oracles() -> dict[str, str]:
         PHASH_BANDS,
         PHASH_CELLS,
         PHASH_COLS,
+        PHASH_DELTA_MOD,
         PHASH_HAMMING_MAX,
         PHASH_MIN_LEN,
         PHASH_TWIN_MOD,
@@ -4029,6 +4147,39 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}""",
         "phash_stats": _band_stats_sql(phash_sig_ctes, "phash",
                                        PHASH_BANDS, PHASH_HAMMING_MAX),
+        # delta-vs-corpus quadratic contract: every PHASH_DELTA_MOD-th
+        # original image doc (twins stay corpus-side) LEFT-joined
+        # against ALL corpus signatures by brute-force hamming —
+        # equality with Spark's banded probe IS the pigeonhole
+        # completeness proof for the intake path too
+        "dedup_phash_incremental": f"""
+WITH {phash_sig_ctes},
+d AS (
+  SELECT doc_id, phash FROM sig
+  WHERE doc_id < {PHASH_TWIN_OFFSET}
+    AND (doc_id // {len(MODALITIES)}) % {PHASH_DELTA_MOD} = 0
+),
+c AS (
+  SELECT doc_id, phash FROM sig
+  WHERE NOT (doc_id < {PHASH_TWIN_OFFSET}
+             AND (doc_id // {len(MODALITIES)}) % {PHASH_DELTA_MOD} = 0)
+),
+hits AS (
+  SELECT d.doc_id,
+         coalesce(sum(CASE WHEN c.phash = d.phash THEN 1 ELSE 0 END), 0)
+           AS n_same_hash,
+         count(c.doc_id) AS n_near
+  FROM d LEFT JOIN c
+    ON bit_count(xor(d.phash, c.phash)) <= {PHASH_HAMMING_MAX}
+  GROUP BY 1
+)
+SELECT doc_id,
+       CASE WHEN n_same_hash > 0 THEN 'same_hash'
+            WHEN n_near > 0 THEN 'near_dup'
+            ELSE 'new' END AS status,
+       CAST(n_same_hash AS BIGINT) AS n_same_hash,
+       CAST(n_near AS BIGINT) AS n_near
+FROM hits""",
         "multimodal_meta": f"""
 SELECT doc_id,
        (CASE (doc_id % {len(MODALITIES)}){mod_case} END) AS modality,

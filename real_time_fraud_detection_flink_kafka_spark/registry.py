@@ -248,7 +248,9 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": lambda s, d: multimodal.multimodal_frame_sample(load_table(s, d, "documents")),
     "dedup_image_phash": lambda s, d: multimodal.dedup_image_phash(load_table(s, d, "documents")),
     "phash_stats": lambda s, d: multimodal.phash_stats(load_table(s, d, "documents")),
+    "dedup_phash_incremental": lambda s, d: multimodal.dedup_phash_incremental(load_table(s, d, "documents")),
     "simhash_stats": lambda s, d: dedup.simhash_stats(load_table(s, d, "documents")),
+    "minhash_band_stats": lambda s, d: dedup.minhash_band_stats(load_table(s, d, "documents")),
     "multimodal_segment_audio": lambda s, d: multimodal.multimodal_segment_audio(load_table(s, d, "documents")),
     "dedup_minhash_lsh_fast": lambda s, d: dedup.dedup_minhash_lsh_fast(load_table(s, d, "documents")),
     "decontaminate": lambda s, d: pipeline_ops.decontaminate(load_table(s, d, "documents")),
@@ -275,6 +277,7 @@ _LLM_BUILDERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corruption": lambda s, d: pipeline_ops.span_corruption(load_table(s, d, "documents")),
     "contrastive_pairs": lambda s, d: pipeline_ops.contrastive_pairs(load_table(s, d, "documents")),
     "dataset_split": lambda s, d: pipeline_ops.dataset_split(load_table(s, d, "documents")),
+    "leakage_safe_split": lambda s, d: pipeline_ops.leakage_safe_split(load_table(s, d, "documents")),
     "quality_percentile_gate": lambda s, d: pipeline_ops.quality_percentile_gate(load_table(s, d, "documents")),
     "quality_calibrate_by_source": lambda s, d: pipeline_ops.quality_calibrate_by_source(load_table(s, d, "documents")),
     "dedup_rate_by_source": lambda s, d: pipeline_ops.dedup_rate_by_source(load_table(s, d, "documents")),
@@ -790,6 +793,25 @@ def _stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts — same oracle as batch dedup_incremental
 register("stream_dedup_incremental", _stream_dedup_incremental,
          _LLM_ORACLES["dedup_incremental"])
+
+
+def _stream_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_phash_dedup_stream,
+    )
+
+    _STREAM_COUNTER["n"] += 1
+    return run_phash_dedup_stream(
+        spark, sf_dir, query_name=f"phash_dedup_{_STREAM_COUNTER['n']}")
+
+
+# perceptual image dedup at intake: image-increment-as-a-stream vs
+# the static banded dHash index (stream-static broadcast band join,
+# stateless first-common-band dedup, row-local hamming verify) drains
+# to the same per-delta-image verdicts — same oracle as the batch
+# dedup_phash_incremental (the quadratic delta×corpus contract)
+register("stream_dedup_phash", _stream_dedup_phash,
+         _LLM_ORACLES["dedup_phash_incremental"])
 register("stream_alert_router", _stream_router, _FRAUD_ORACLES["fraud_alerts"])
 # Broker-free exercise of the Kafka wire contract (SURVEY §2 #13):
 # stage → stream → from_json-deserialize roundtrips the events table.

@@ -398,6 +398,105 @@ def run_dedup_incremental_stream(spark, sf_dir: str,
     return spark.table(query_name)
 
 
+def run_phash_dedup_stream(spark, sf_dir: str,
+                           query_name: str = "phash_dedup_stream"
+                           ) -> DataFrame:
+    """STREAMING twin of `multimodal.dedup_phash_incremental` —
+    perceptual image dedup ON the ingest path: the image increment
+    arrives as a file stream and is judged against the STATIC
+    corpus's banded dHash index (batch-built and persisted — what a
+    production media pipeline keeps between increments). Same output
+    contract, same oracle: (doc_id, status, n_same_hash, n_near) per
+    delta image.
+
+    Plan shape mirrors `run_dedup_incremental_stream`: the signature
+    is a row-local expression over arriving rows (`phash_expr` —
+    identical to the batch expression, no twin union on the stream
+    side since injected twins are corpus-side by construction); band
+    explode → stream-static broadcast join on (band_idx, band_key);
+    cross-band duplicate candidates removed ROW-LOCALLY by the
+    first-common-band predicate over both sides' band-key arrays
+    (banding's `distinct()` as a stateless filter); hamming verify
+    row-local; one streaming groupBy(doc_id) folds hit/self rows into
+    the counts — the single stateful op (complete-mode bounded
+    drain; production uses update mode + an upsert sink).
+
+    Band explode is posexplode_OUTER — the `dedup.shingles` lesson in
+    streaming form: plain posexplode plants an implicit
+    `size(bands) > 0` pre-filter containing the WHOLE inlined phash
+    expression, and the streaming microbatch planner pushed that
+    predicate below the length(text) guard — evaluating the pooling
+    on short rows, where the empty-cell sequence() DESCENDS through
+    index 0 (INVALID_INDEX_OF_ZERO, measured r14). The outer variant
+    has no pre-filter; the band array is always 4-long so no null
+    rows appear."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        MODALITIES,
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        PHASH_MIN_LEN,
+        _phash_is_delta,
+        image_phash_signatures,
+        phash_expr,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    ensure_session_confs(spark)
+
+    def band_arr():
+        return F.array(*[
+            F.shiftright(F.col("phash"), 15 * j).bitwiseAND((1 << 15) - 1)
+            for j in range(PHASH_BANDS)])
+
+    batch_sig = image_phash_signatures(load_table(spark, sf_dir, "documents"))
+    c_index = tracked_persist(
+        batch_sig.where(~_phash_is_delta())
+        .withColumn("c_bands", band_arr())
+        .select(F.col("phash").alias("ph_c"), "c_bands",
+                F.posexplode_outer("c_bands").alias("band_idx", "band_key")))
+
+    img_idx = MODALITIES.index("image")
+    delta = (_documents_stream(spark, sf_dir)
+             .where((F.col("doc_id") % len(MODALITIES) == img_idx)
+                    & (F.length("text") >= PHASH_MIN_LEN)
+                    & _phash_is_delta())
+             .select("doc_id", F.expr(phash_expr()).alias("phash")))
+    d = (delta.withColumn("d_bands", band_arr())
+         .select("doc_id", F.col("phash").alias("ph_d"), "d_bands",
+                 F.posexplode_outer("d_bands").alias("band_idx", "band_key")))
+    cand = d.join(F.broadcast(c_index), ["band_idx", "band_key"])
+    first_match = F.when(F.col("band_idx") == 0, F.lit(True)).otherwise(
+        F.size(F.filter(
+            F.sequence(F.lit(0), F.col("band_idx") - 1),
+            lambda j: F.element_at(F.col("d_bands"), j + 1)
+            == F.element_at(F.col("c_bands"), j + 1))) == 0)
+    hamming = F.bit_count(F.col("ph_d").bitwiseXOR(F.col("ph_c")))
+    hits = (cand.where(first_match).where(hamming <= PHASH_HAMMING_MAX)
+            .select("doc_id",
+                    F.when(F.col("ph_d") == F.col("ph_c"), 1)
+                     .otherwise(0).alias("same"),
+                    F.lit(1).alias("near")))
+    self_rows = delta.select("doc_id", F.lit(0).alias("same"),
+                             F.lit(0).alias("near"))
+    counts = (hits.unionByName(self_rows)
+              .groupBy("doc_id")
+              .agg(F.sum("same").alias("s"), F.sum("near").alias("n")))
+    out = counts.select(
+        "doc_id",
+        F.when(F.col("s") > 0, F.lit("same_hash"))
+         .when(F.col("n") > 0, F.lit("near_dup"))
+         .otherwise(F.lit("new")).alias("status"),
+        F.col("s").cast("bigint").alias("n_same_hash"),
+        F.col("n").cast("bigint").alias("n_near"))
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_pq_encode_stream(spark, sf_dir: str,
                          query_name: str = "pq_encode_stream") -> DataFrame:
     """STREAM-STATIC serving path for the PQ index: codebooks trained

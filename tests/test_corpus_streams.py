@@ -176,3 +176,30 @@ def test_weighted_sample_stream_equals_batch_and_merges(spark, sf_dir):
         (r["doc_id"], r["w_tokens"], r["rnk"], r["es_key"])
         for r in es_ranked(merged).collect())
     assert via_parts == want
+
+
+def test_phash_dedup_stream_equals_batch(spark, sf_dir):
+    """The perceptual-dedup intake twin drains to exactly the batch
+    delta-vs-corpus verdicts (same contract, shared oracle): one row
+    per delta image, identical (status, n_same_hash, n_near). The
+    fixture's injected twins are corpus-side by construction, so the
+    increment must FIND at least one near/same hit and also contain
+    genuinely new images."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.multimodal import (
+        dedup_phash_incremental,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+    from real_time_fraud_detection_flink_kafka_spark.streaming.corpus import (
+        run_phash_dedup_stream,
+    )
+
+    batch = {r["doc_id"]: (r["status"], r["n_same_hash"], r["n_near"])
+             for r in dedup_phash_incremental(
+                 load_table(spark, sf_dir, "documents")).collect()}
+    drained = {r["doc_id"]: (r["status"], r["n_same_hash"], r["n_near"])
+               for r in run_phash_dedup_stream(
+                   spark, sf_dir, query_name="phash_dedup_t").collect()}
+    assert drained == batch
+    statuses = {s for s, _, _ in batch.values()}
+    assert "new" in statuses
+    assert statuses & {"near_dup", "same_hash"}

@@ -738,3 +738,39 @@ def test_band_stats_invariants(spark, sf_dir):
         assert all(r["n_verified"] == n_ver for r in rows)
         assert n_ver <= n_cand
         assert n_ver == dedup_fn(docs).count()
+
+
+def test_minhash_band_stats_invariants(spark, sf_dir):
+    """minhash_band_stats internal consistency against the LSH
+    pipeline's own stages: one row per band; n_docs equals the
+    distinct-text count (the md5 collapse the pipeline shuffles);
+    n_candidates equals lsh_candidates' distinct-pair count over the
+    same signature relation; per-band Σ C(occ,2) bounds the global
+    distinct count from above (a pair can collide in several bands)
+    and the densest band from below; verified ≤ candidates."""
+    from pyspark.sql import functions as F
+
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_band_stats,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(minhash_band_stats(docs).collect(),
+                  key=lambda r: r["band_idx"])
+    assert [r["band_idx"] for r in rows] == list(range(H.N_BANDS))
+    n_reps = docs.select(F.md5("text")).distinct().count()
+    assert all(r["n_docs"] == n_reps for r in rows)
+    reps = (docs.groupBy(F.md5("text").alias("m"))
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    sig = minhash_signatures(docs.join(F.broadcast(reps), "doc_id"))
+    n_cand = lsh_candidates(sig).count()
+    assert all(r["n_candidates"] == n_cand for r in rows)
+    total_band_pairs = sum(r["band_cand_pairs"] for r in rows)
+    assert (max(r["band_cand_pairs"] for r in rows)
+            <= n_cand <= total_band_pairs)
+    for r in rows:
+        assert 1 <= r["max_occ"] <= n_reps
+        assert r["band_cand_pairs"] >= r["max_occ"] * (r["max_occ"] - 1) // 2
+        assert 0 <= r["n_verified_reps"] <= r["n_candidates"]

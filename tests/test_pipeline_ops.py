@@ -1304,3 +1304,43 @@ def test_weighted_sample_es_contract(spark, sf_dir):
         F.avg(F.size(F.split(F.trim("text"), " ")) + 1).alias("m"))
         .collect()[0]["m"])
     assert mean_w_sample > mean_w_corpus
+
+
+def test_leakage_safe_split_guarantee(spark, sf_dir):
+    """The property the operator exists for: NO exact or near-dup
+    pair crosses the split. Exact twins share md5 → same rep → same
+    group; near-dup pairs come from the verified doc-level pair
+    relation (dedup_minhash_lsh) and must land on one side. Also:
+    total coverage (every doc assigned exactly once), group_id is the
+    component minimum (so group_id <= doc_id, with equality defining
+    the canonical member), and both splits are non-empty at this
+    corpus's VAL_PCT."""
+    from real_time_fraud_detection_flink_kafka_spark.operators.dedup import (
+        dedup_minhash_lsh_fast,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.operators.pipeline import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = leakage_safe_split(docs).collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert all(r["group_id"] <= r["doc_id"] for r in rows)
+    assert {r["split"] for r in rows} == {"train", "val"}
+    # exact duplicates: same text md5 -> same group and split
+    for grp in (docs.groupBy(F.md5("text"))
+                    .agg(F.collect_list("doc_id").alias("ids"))
+                    .where(F.size("ids") > 1).collect()):
+        splits = {by_doc[i]["split"] for i in grp["ids"]}
+        groups = {by_doc[i]["group_id"] for i in grp["ids"]}
+        assert len(splits) == 1 and len(groups) == 1
+    # verified near-dup pairs (doc level, clique-expanded): never
+    # split-crossing, always same group
+    pairs = dedup_minhash_lsh_fast(docs).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        a, b = by_doc[p["doc_a"]], by_doc[p["doc_b"]]
+        assert a["split"] == b["split"]
+        assert a["group_id"] == b["group_id"]
