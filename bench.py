@@ -264,6 +264,20 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # snapshot the PRIOR round's artifact BEFORE the first emit: the
+    # r14 per-section flush rewrites BENCH_DETAIL.json after the
+    # headline section, so the window/stream regression gates (which
+    # compare against the prior round) would otherwise read the
+    # current run's own partial artifact and silently gate against
+    # nothing (measured in the r14 opt round: regressions [] and
+    # median_drift None on a run with real 1.3x in-pass drift)
+    global _PRIOR_DETAIL
+    try:
+        _PRIOR_DETAIL = json.loads(
+            (Path(__file__).resolve().parent / "BENCH_DETAIL.json")
+            .read_text())
+    except Exception:
+        _PRIOR_DETAIL = {}
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -604,12 +618,23 @@ def main() -> None:
     spark.stop()
 
 
+_PRIOR_DETAIL: dict | None = None
+
+
 def _prior_detail(*keys: str) -> dict[str, float]:
-    """Walk `keys` into the committed BENCH_DETAIL.json (empty dict if
-    absent/unreadable — first run)."""
-    p = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    """Walk `keys` into the PRIOR round's BENCH_DETAIL.json (empty
+    dict if absent/unreadable — first run). Reads the snapshot main()
+    takes before its first emit — the file itself is rewritten
+    per-section during the run, so reading it lazily here would
+    compare the run against itself (always-empty gates)."""
+    d = _PRIOR_DETAIL
+    if d is None:
+        p = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        try:
+            d = json.loads(p.read_text())
+        except Exception:
+            return {}
     try:
-        d = json.loads(p.read_text())
         for k in keys:
             d = d.get(k, {})
         return d

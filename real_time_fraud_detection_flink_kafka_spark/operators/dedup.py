@@ -533,8 +533,13 @@ def components_twostar(pairs: DataFrame, col_a: str = "doc_a",
     round as one propagation step, on an edge relation that only
     SHRINKS (toward the star (child, root) fixpoint). Convergence is
     the standard driver-side control loop: stop when the small-star
-    pass leaves the edge set unchanged (checked as a count of
-    departures, exceptAll on the bounded edge relation).
+    pass leaves the edge set unchanged — checked as ONE
+    symmetric-difference job (±1-tagged union, groupBy(u, v), any
+    non-zero sum = changed; both inputs are checkpointed so the scan
+    is cache-local). r14 opt, guide §1.2: the check was two separate
+    `exceptAll` actions per round — two extra shuffle jobs whose cost
+    was pure driver-loop overhead (multiset equality is what both
+    forms test; labels pytest-pinned identical).
 
     Each round's edge relation is localCheckpoint'ed, not just
     persisted: one round references its predecessor ~16× (union+swap
@@ -575,8 +580,10 @@ def components_twostar(pairs: DataFrame, col_a: str = "doc_a",
                            .select("u", F.col("m").alias("v")))
                  .where(F.col("u") != F.col("v")).distinct()
                  .localCheckpoint(eager=True))
-        changed = (small.exceptAll(edges).limit(1).count()
-                   + edges.exceptAll(small).limit(1).count())
+        changed = (edges.select("u", "v", F.lit(1).alias("_s"))
+                   .unionAll(small.select("u", "v", F.lit(-1).alias("_s")))
+                   .groupBy("u", "v").agg(F.sum("_s").alias("_d"))
+                   .where(F.col("_d") != 0).limit(1).count())
         edges = small
         if changed == 0:
             labels = nodes.join(

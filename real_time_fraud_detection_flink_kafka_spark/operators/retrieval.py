@@ -113,6 +113,15 @@ def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
     1-row relation, never collected (the `bpe_merges` chained-winner
     discipline; the oracle replays every round as chained CTEs).
 
+    Each round's 1-row winner is localCheckpoint'ed (r14 opt, guide
+    §7.2 'duplicated subtrees'): round r's candidate set references
+    the union of ALL previous winners, and each winner's own tree
+    embeds its predecessors — uncut, the analyzed plan doubles per
+    round (2^k pool subtrees by round 5; the `ann_graph_search`
+    lineage lesson at k=5 instead of steps=6). Five eager 1-row jobs
+    replace the exponential re-analysis: measured 8.3 s → 1.6 s at
+    sf0.1, output identical (the checkpoint only truncates lineage).
+
     Scale shape: ONE corpus scan against the broadcast query vector,
     truncated to `pool_n` via orderBy+limit (TakeOrderedAndProject —
     per-partition heaps, no global sort); everything after operates
@@ -174,7 +183,8 @@ def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
                          F.col("w.vec_id").alias("vec_id"),
                          F.col("w.rel_fp").alias("rel_fp"),
                          F.col("w.mmr_fp").alias("mmr_fp"))
-                 .where(F.col("vec_id").isNotNull()))
+                 .where(F.col("vec_id").isNotNull())
+                 .localCheckpoint(eager=True))
         rounds.append(w)
         selected = w if selected is None else selected.unionAll(w)
 

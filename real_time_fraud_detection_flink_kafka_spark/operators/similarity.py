@@ -706,7 +706,20 @@ def kmeans_cells(embeddings: DataFrame, k: int = KM_K,
     (`max_by` on struct(cos, -cell)), and the centroid update is a
     per-dimension FIXED-POINT mean (sum of round(v*1e6) ints / n), so
     partial-aggregation order cannot change the result and the DuckDB
-    oracle replays the identical iterations as chained CTEs."""
+    oracle replays the identical iterations as chained CTEs.
+
+    Centroid-update shape (r14 opt, guide §1.2 'per-task work'): the
+    update is posexplode(v) → ONE narrow groupBy(cell, dim) sum →
+    array_sort(collect_list(struct(dim, val))) reassembly, instead of
+    DIM separate sum(round(v[i]·1e6)) aggregate expressions. The wide
+    form made Catalyst plan + codegen O(DIM) expression trees PER
+    ITERATION (measured 3.7 s → 1.27 s for the 2-iteration job at
+    sf0.1, bit-identical output); the narrow form's per-element work
+    is one hash-agg probe — same O(n·DIM) element pass with map-side
+    partials either way, and the exchange still carries only
+    k·DIM summary rows at any corpus size. dim is unique per cell so
+    the struct sort is total; the division (s/1e6)/n reproduces the
+    wide form's float64 token sequence exactly."""
     scale = 1_000_000
     e = _vecs(embeddings)
     cents = e.where(F.col("vec_id") < k).select(
@@ -720,12 +733,16 @@ def kmeans_cells(embeddings: DataFrame, k: int = KM_K,
                      .groupBy("vec_id")
                      .agg(F.expr("max_by(cell, struct(cos_c, -cell))").alias("cell"),
                           F.first("v").alias("v")))
-        sums = [F.sum(F.round(F.col("v")[i] * scale).cast("bigint")).alias(f"s{i}")
-                for i in range(DIM)]
-        upd = assigned.groupBy("cell").agg(*sums, F.count(F.lit(1)).alias("n"))
-        cents = upd.select("cell", F.array(*[
-            (F.col(f"s{i}") / float(scale)) / F.col("n") for i in range(DIM)
-        ]).alias("cv"))
+        upd = (assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+               .groupBy("cell", "dim")
+               .agg(F.sum(F.round(F.col("x") * scale).cast("bigint")).alias("s"),
+                    F.count(F.lit(1)).alias("n")))
+        val = (F.col("s") / F.lit(float(scale))) / F.col("n")
+        cents = (upd.select("cell",
+                            F.struct(F.col("dim"), val.alias("val")).alias("p"))
+                 .groupBy("cell")
+                 .agg(F.expr("transform(array_sort(collect_list(p)), "
+                             "q -> q.val)").alias("cv")))
     return cents
 
 
@@ -1682,7 +1699,8 @@ def _beam_frontier(embeddings: DataFrame, steps: int,
 
 def ann_beam_search(embeddings: DataFrame, steps: int = GS_STEPS,
                     n_queries: int = N_QUERIES,
-                    beam: int = BEAM_B) -> DataFrame:
+                    beam: int = BEAM_B,
+                    edges: DataFrame | None = None) -> DataFrame:
     """Deterministic BEAM graph-walk ANN — `ann_graph_search`'s greedy
     hill-climb generalized to a width-`beam` frontier (what HNSW's
     ef-search parameter buys, Malkov & Yashunin 2018 §4), walking the
@@ -1712,7 +1730,7 @@ def ann_beam_search(embeddings: DataFrame, steps: int = GS_STEPS,
     oracle replays each round as a chained materialized CTE."""
     from pyspark.sql import Window
 
-    cur = _beam_frontier(embeddings, steps, n_queries, beam)
+    cur = _beam_frontier(embeddings, steps, n_queries, beam, edges=edges)
     wbest = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
                                                    F.asc("node"))
     return (cur.withColumn("_rn", F.row_number().over(wbest))
@@ -1818,11 +1836,21 @@ def ann_beam_recall(embeddings: DataFrame, steps: int = GS_STEPS,
     exact = tracked_persist(ann_topk(embeddings).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"),
         "rnk"))
+    # ONE graph construction shared by both walks (r14 opt, guide
+    # §1.2/§2.4: the comparison is about frontier WIDTH over the SAME
+    # graph, so building the multi-probe edge relation per walk was
+    # pure duplicate work — construction is the dominant cost at
+    # every scale; measured 11.1 s → 8.7 s at sf0.1). `_beam_nav_edges`
+    # is tracked_persist'ed, so both walks read the same cached
+    # relation; results are bit-identical (same edges either way).
+    edges = _beam_nav_edges(embeddings, und=tracked_persist(
+        _nprobe_und(embeddings)))
     greedy = _walk_recall(
-        ann_beam_search(embeddings, steps, n_queries, beam=1),
+        ann_beam_search(embeddings, steps, n_queries, beam=1, edges=edges),
         exact, "greedy")
     beamr = _walk_recall(
-        ann_beam_search(embeddings, steps, n_queries, beam), exact, "beam")
+        ann_beam_search(embeddings, steps, n_queries, beam, edges=edges),
+        exact, "beam")
     return greedy.unionByName(beamr)
 
 
@@ -1848,10 +1876,16 @@ def ann_beam_curve(embeddings: DataFrame, steps: int = GS_STEPS,
     exact = tracked_persist(ann_topk(embeddings).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"),
         "rnk"))
+    # one shared graph construction for every width row (r14 opt —
+    # same move as ann_beam_recall; len(beams) builds of the same
+    # deterministic relation collapse to one)
+    edges = _beam_nav_edges(embeddings, und=tracked_persist(
+        _nprobe_und(embeddings)))
     out = None
     for b in beams:
         row = (_walk_recall(
-            ann_beam_search(embeddings, steps, n_queries, beam=b),
+            ann_beam_search(embeddings, steps, n_queries, beam=b,
+                            edges=edges),
             exact, str(b))
             .select(F.lit(int(b)).alias("beam"),
                     "n_queries", "n_top1", "n_topk",
@@ -2038,7 +2072,12 @@ def knn_diversity_sample(documents: DataFrame,
         # the measured flat-vs-hier story)
         graph = knn_graph(embeddings, k)
     strong = graph.where(F.col("cos_sim") >= tau)
-    pairs = (strong.select(
+    # pairs feeds THREE scans (deg, and components_twostar's nodes +
+    # edges checkpoints) — unpersisted, each scan re-ran the whole
+    # knn_graph construction (r14 opt, guide §5 'caching is worth it
+    # when a DataFrame is reused and recomputing is expensive':
+    # measured 8.6 s → 6.2 s at sf0.1, output identical)
+    pairs = tracked_persist(strong.select(
         F.least("vec_id", "nbr_id").alias("doc_a"),
         F.greatest("vec_id", "nbr_id").alias("doc_b")).distinct())
     deg = (pairs.select(F.col("doc_a").alias("id"))
@@ -2160,14 +2199,23 @@ def pq_codebooks_rel(embeddings: DataFrame, k: int = PQ_K,
                    F.col("sv").alias("cv")))
     for _ in range(iters):
         assigned = _pq_assign(e, cb)
-        sums = [F.sum(F.round(F.col("sv")[i] * PQ_SCALE).cast("bigint"))
-                 .alias(f"s{i}") for i in range(PQ_SUB)]
-        upd = assigned.groupBy("sub", "code").agg(
-            *sums, F.count(F.lit(1)).alias("n"))
-        cb = upd.select("sub", "code", F.array(*[
-            (F.col(f"s{i}") / float(PQ_SCALE)) / F.col("n")
-            for i in range(PQ_SUB)
-        ]).alias("cv"))
+        # narrow centroid update (r14 opt — the kmeans_cells move):
+        # posexplode(sv) → one groupBy(sub, code, dim) sum → sorted
+        # reassembly, instead of PQ_SUB aggregate expressions whose
+        # plan/codegen grows O(PQ_SUB) per iteration; (s/1e6)/n is the
+        # identical float64 token sequence, output bit-identical
+        upd = (assigned.select("sub", "code",
+                               F.posexplode("sv").alias("dim", "x"))
+               .groupBy("sub", "code", "dim")
+               .agg(F.sum(F.round(F.col("x") * PQ_SCALE).cast("bigint"))
+                    .alias("s"),
+                    F.count(F.lit(1)).alias("n")))
+        val = (F.col("s") / F.lit(float(PQ_SCALE))) / F.col("n")
+        cb = (upd.select("sub", "code",
+                         F.struct(F.col("dim"), val.alias("val")).alias("p"))
+              .groupBy("sub", "code")
+              .agg(F.expr("transform(array_sort(collect_list(p)), "
+                          "q -> q.val)").alias("cv")))
     return cb
 
 
