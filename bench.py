@@ -603,9 +603,12 @@ def main() -> None:
     # round count is the component DIAMETER, two-star contraction's is
     # O(log n) — time both on deep-path graphs so the crossover depth
     # documented in dedup.py is a measurement, not an argument. Runs
-    # LAST: the propagation engine's expected deep-graph failure (heap
-    # OOM from analyzer-tree growth) must not perturb other timings.
-    # Disable with SPARK_GRAFT_ENGINES=0.
+    # LAST as a defensive posture (r8-r13 the propagation engine heap-
+    # OOM'd at depth 16 from per-round analyzer-tree doubling; r14
+    # fixed that with per-round localCheckpoint, so the shoot-out now
+    # measures the honest round-count crossover — the failure handling
+    # below stays in case a regression re-introduces it). Disable with
+    # SPARK_GRAFT_ENGINES=0.
     if os.environ.get("SPARK_GRAFT_ENGINES", "1") != "0":
         if remaining() > 90:
             result["components_engines"] = _bench_components_engines(spark)

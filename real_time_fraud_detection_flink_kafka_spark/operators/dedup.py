@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from real_time_fraud_detection_flink_kafka_spark.cache import (
     tracked_persist,
-    untrack_unpersist,
 )
 from real_time_fraud_detection_flink_kafka_spark.functions import hashing as H
 from real_time_fraud_detection_flink_kafka_spark.functions.partitioning import spread
@@ -464,35 +463,39 @@ def min_label_components(pairs: DataFrame, col_a: str = "doc_a",
     same). Raises rather than return wrong labels if `max_iters` is
     hit un-converged.
 
-    SHALLOW GRAPHS ONLY (the dedup regime: observed diameters ≤ 3).
-    Each round's persist truncates execution but not the analyzed
-    logical plan, so the tree grows per round — the r8 bench
-    (bench.py `_bench_components_engines`, 64-chain path graphs)
-    measured: depth 4 this engine wins (2.9 s vs two-star's 3.2 s —
-    cheap rounds beat fewer-but-heavier ones while the diameter is
-    small), depth 16 it OOMs an 8 GiB driver outright while
-    `components_twostar` stays flat through depth 64 (5.6 s / 8.3 s).
-    Measured crossover: depth 16. Deep or unknown-diameter graphs:
-    use `components_twostar` (same output contract)."""
+    SHALLOW GRAPHS preferred (the dedup regime: observed diameters
+    ≤ 3) — rounds = component diameter, so a deep graph pays one
+    join+agg round per hop and `components_twostar`'s O(log n)
+    heavier rounds win past the measured crossover (bench.py
+    `_bench_components_engines`). Each round's label relation is
+    localCheckpoint'ed (r14 opt): `new` references `labels` twice
+    (the neighbor join and the update join) and the convergence
+    count a third time, so a persist-only round DOUBLED the analyzed
+    logical plan per round — 2^rounds copies of the upstream pair
+    subtree in Catalyst (persist truncates execution, never
+    analysis). That growth was measured as ~18 s of pure planning
+    for a 33-pair graph under `semantic_canonicalize` at sf0.1, and
+    as the r8 heap OOM at path depth 16 in the engine shoot-out;
+    the checkpoint truncates the tree to a leaf per round, exactly
+    the `components_twostar` discipline."""
     edges = tracked_persist(pairs.select(col_a, col_b))
     adj = (edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
            .unionAll(edges.select(F.col(col_b).alias("src"),
                                   F.col(col_a).alias("dst"))))
-    labels = tracked_persist(
-        adj.select(F.col("src").alias("id")).distinct()
-           .select("id", F.col("id").alias("label")))
+    labels = (adj.select(F.col("src").alias("id")).distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iters):
         nb = (adj.join(labels.withColumnRenamed("id", "src"), "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.min("label").alias("nb_min")))
-        new = tracked_persist(
-            labels.join(nb, "id", "left")
-                  .select("id", F.least(
-                      "label", F.coalesce("nb_min", "label")).alias("label")))
+        new = (labels.join(nb, "id", "left")
+               .select("id", F.least(
+                   "label", F.coalesce("nb_min", "label")).alias("label"))
+               .localCheckpoint(eager=True))
         changed = (new.withColumnRenamed("label", "new_label")
                    .join(labels, "id")
                    .where(F.col("new_label") != F.col("label")).count())
-        untrack_unpersist(labels)
         labels = new
         if changed == 0:
             return labels
@@ -548,10 +551,11 @@ def components_twostar(pairs: DataFrame, col_a: str = "doc_a",
     the stack around round 4 even though the cached data is tiny —
     persist truncates execution, never the analyzed tree. Truncating
     lineage per round is exactly what GraphX/production CC jobs do
-    (reliable checkpoints there; local here). min_label_components
-    gets away with persist because near-dup graphs converge in ≤3
-    rounds; this engine exists for DEEP graphs, so it must survive
-    round counts in the tens."""
+    (reliable checkpoints there; local here). Since r14
+    min_label_components checkpoints per round too (its 2×-per-round
+    reference pattern was the same disease at a slower doubling
+    rate); the engines now differ only in round COUNT — diameter
+    there, O(log n) here."""
     e = pairs.select(F.col(col_a).cast("bigint").alias("u"),
                      F.col(col_b).cast("bigint").alias("v"))
     nodes = (e.select(F.col("u").alias("id"))

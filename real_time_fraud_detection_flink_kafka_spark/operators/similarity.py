@@ -1469,7 +1469,8 @@ def _probe_pair_topk_blocked(pdf, kk: int, block_elems: int):
 
 
 def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
-                          nprobe: int = GRAPH_NPROBE) -> DataFrame:
+                          nprobe: int = GRAPH_NPROBE,
+                          probes: DataFrame | None = None) -> DataFrame:
     """Arrow-vectorized twin of `knn_graph_nprobe` — BIT-IDENTICAL
     output (the ann_topk_fast discipline: dim-SEQUENTIAL numpy
     accumulation reproduces the expression fold's float64 op
@@ -1522,7 +1523,12 @@ def knn_graph_nprobe_fast(embeddings: DataFrame, k: int = KNN_K,
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         return _probe_pair_topk_blocked(pdf, kk, KNN_ARROW_BLOCK_ELEMS)
 
-    probes = _ivf_probed(embeddings, nprobe)
+    # `probes` (r14 opt): reuse an already-built `_ivf_probed`
+    # relation — the insert rung derives BOTH its base graph and its
+    # seed membership from one persisted probe relation instead of
+    # re-running the two-level assignment per consumer
+    if probes is None:
+        probes = _ivf_probed(embeddings, nprobe)
     partial = (probes.groupBy("cell")
                .applyInPandas(kernel,
                               "vec_id bigint, nbr_id bigint, cos_raw double"))
@@ -1576,15 +1582,18 @@ def nav_graph_stats(embeddings: DataFrame, k: int = KNN_K,
 
 
 def _nprobe_und(embeddings: DataFrame, k: int = KNN_K,
-                nprobe: int = GRAPH_NPROBE) -> DataFrame:
+                nprobe: int = GRAPH_NPROBE,
+                probes: DataFrame | None = None) -> DataFrame:
     """The bidirected distinct multi-probe edge set (src, nbr_id) —
     graph CONSTRUCTION, the expensive part, factored out so
     compositions that walk the same graph twice (exact-scored vs
-    PQ-scored in `ann_beam_pq_recall`) build it once."""
+    PQ-scored in `ann_beam_pq_recall`) build it once. `probes`
+    forwards a prebuilt `_ivf_probed` relation (r14 opt — the insert
+    rung shares it with seed selection)."""
     # the Arrow twin is BIT-IDENTICAL (pytest-pinned at base SFs and
     # verified at 30×) and 7× faster at scale, so every beam-walk
     # consumer rides it; oracles are unaffected by construction
-    g = knn_graph_nprobe_fast(embeddings, k, nprobe).select(
+    g = knn_graph_nprobe_fast(embeddings, k, nprobe, probes=probes).select(
         "vec_id", "nbr_id")
     return (g.unionAll(g.select(F.col("nbr_id").alias("vec_id"),
                                 F.col("vec_id").alias("nbr_id")))
@@ -1800,6 +1809,36 @@ def ann_beam_topk_recall(embeddings: DataFrame, k: int = TOP_K,
                      .cast("bigint").alias("recall_ppm")))
 
 
+def _concurrent_build(builders):
+    """Construct independent walk/recall chains on a small driver
+    thread pool (guide §2.6 'overlap independent jobs'): each chain's
+    eager per-round localCheckpoint jobs are tiny and driver-
+    sequential, so running two-to-five independent chains from
+    threads lets the scheduler back-fill idle cores with the next
+    chain's rounds instead of idling between jobs. Returns the built
+    DataFrames in builder order. Plans and results are unchanged —
+    the same DAGs are constructed, only their eager construction jobs
+    overlap (measured: ann_beam_pq_recall 12.4 s → 8.2 s at sf0.1,
+    output identical). Shared PERSISTED inputs must be materialized
+    before forking so the chains read the cache instead of racing to
+    fill it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(builders) == 1:
+        return [builders[0]()]
+    with ThreadPoolExecutor(max_workers=min(4, len(builders))) as pool:
+        futures = [pool.submit(b) for b in builders]
+        return [f.result() for f in futures]
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Force a persisted relation into cache NOW (noop sink — full
+    computation, no driver collect) so concurrently-built consumers
+    read it instead of computing it."""
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
 def _walk_recall(found: DataFrame, exact: DataFrame,
                  method: str) -> DataFrame:
     """One labeled recall row for a graph-walk result vs the exact
@@ -1843,14 +1882,16 @@ def ann_beam_recall(embeddings: DataFrame, steps: int = GS_STEPS,
     # every scale; measured 11.1 s → 8.7 s at sf0.1). `_beam_nav_edges`
     # is tracked_persist'ed, so both walks read the same cached
     # relation; results are bit-identical (same edges either way).
-    edges = _beam_nav_edges(embeddings, und=tracked_persist(
-        _nprobe_und(embeddings)))
-    greedy = _walk_recall(
-        ann_beam_search(embeddings, steps, n_queries, beam=1, edges=edges),
-        exact, "greedy")
-    beamr = _walk_recall(
-        ann_beam_search(embeddings, steps, n_queries, beam, edges=edges),
-        exact, "beam")
+    edges = _materialize(_beam_nav_edges(embeddings, und=tracked_persist(
+        _nprobe_und(embeddings))))
+    greedy, beamr = _concurrent_build([
+        lambda: _walk_recall(
+            ann_beam_search(embeddings, steps, n_queries, beam=1,
+                            edges=edges), exact, "greedy"),
+        lambda: _walk_recall(
+            ann_beam_search(embeddings, steps, n_queries, beam,
+                            edges=edges), exact, "beam"),
+    ])
     return greedy.unionByName(beamr)
 
 
@@ -1878,19 +1919,22 @@ def ann_beam_curve(embeddings: DataFrame, steps: int = GS_STEPS,
         "rnk"))
     # one shared graph construction for every width row (r14 opt —
     # same move as ann_beam_recall; len(beams) builds of the same
-    # deterministic relation collapse to one)
-    edges = _beam_nav_edges(embeddings, und=tracked_persist(
-        _nprobe_und(embeddings)))
-    out = None
-    for b in beams:
-        row = (_walk_recall(
-            ann_beam_search(embeddings, steps, n_queries, beam=b,
+    # deterministic relation collapse to one), materialized before
+    # the width walks are built CONCURRENTLY (_concurrent_build)
+    edges = _materialize(_beam_nav_edges(embeddings, und=tracked_persist(
+        _nprobe_und(embeddings))))
+    rows = _concurrent_build([
+        (lambda bb: lambda: _walk_recall(
+            ann_beam_search(embeddings, steps, n_queries, beam=bb,
                             edges=edges),
-            exact, str(b))
-            .select(F.lit(int(b)).alias("beam"),
+            exact, str(bb))
+            .select(F.lit(int(bb)).alias("beam"),
                     "n_queries", "n_top1", "n_topk",
-                    "top1_ppm", "topk_ppm"))
-        out = row if out is None else out.unionByName(row)
+                    "top1_ppm", "topk_ppm"))(b)
+        for b in beams])
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 
@@ -1951,18 +1995,17 @@ def semantic_canonicalize(documents: DataFrame,
 
     - pairs: `dedup_embedding_blocked` (candidates bounded per cell);
     - components: `dedup.min_label_components` (per-round join +
-      min-agg, persisted labels, convergence-checked). Fallback
+      min-agg, checkpointed labels, convergence-checked). Fallback
       contract: near-dup graphs are shallow (diameter ≤ 3 observed),
-      which is the ONLY regime propagation is safe in — its logical
-      plan grows per round (persist truncates execution, not the
-      analyzed tree) and the r8 bench measured it winning at path
-      depth 4 (2.9 s vs 3.2 s) but OOMing an 8 GiB driver at depth
-      16, while `dedup.components_twostar` stayed flat through depth
-      64 (5.6 s / 8.3 s) — measured crossover: depth 16. If cluster
-      diameters can exceed a handful of hops (entity/link graphs,
-      chained paraphrases), swap in `dedup_clusters_twostar` /
-      `components_twostar` — same (id, label) contract, same oracle,
-      pytest-pinned equivalence;
+      where propagation's cheap rounds win; rounds = diameter, so if
+      cluster diameters can exceed a handful of hops (entity/link
+      graphs, chained paraphrases), swap in `dedup_clusters_twostar`
+      / `components_twostar` — same (id, label) contract, same
+      oracle, pytest-pinned equivalence. (The r8-measured depth-16
+      driver OOM in the propagation engine was per-round analyzer-
+      tree doubling — fixed r14 by per-round localCheckpoint, see
+      min_label_components; the engine shoot-out in bench.py
+      re-measures the round-count crossover each clean run);
     - canonical: one `max_by(doc_id, struct(quality, -doc_id))`
       aggregate per cluster — quality is the 6dp-rounded score, so
       the argmax compares identical doubles in both engines.
@@ -2567,7 +2610,8 @@ def insert_beam_params(base: DataFrame) -> DataFrame:
 
 
 def _insert_seeds(old: DataFrame, newq: DataFrame,
-                  nprobe: int = GRAPH_NPROBE) -> DataFrame:
+                  nprobe: int = GRAPH_NPROBE,
+                  members: DataFrame | None = None) -> DataFrame:
     """(query_id, node): per arriving vector, its walk ENTRY points —
     the minimum-id PRIMARY member of each of the vector's `nprobe`
     best BASE cells (the coarse structure the index already
@@ -2589,7 +2633,11 @@ def _insert_seeds(old: DataFrame, newq: DataFrame,
         old, newq.select(F.col("query_id").alias("vec_id"),
                          F.col("qv").alias("v"),
                          F.col("q_norm").alias("v_norm")), nprobe)
-    members = _ivf_assigned_auto(old).select("vec_id", "cell")
+    if members is None:
+        # `members` (r14 opt): callers holding a persisted
+        # `_ivf_probed(old)` pass its prn=1 slice — bit-identical to
+        # this assignment (pytest-pinned) without re-running it
+        members = _ivf_assigned_auto(old).select("vec_id", "cell")
     minm = members.groupBy("cell").agg(F.min("vec_id").alias("node"))
     return (probes.select(F.col("vec_id").alias("query_id"), "cell")
             .join(minm, "cell").select("query_id", "node")
@@ -2652,15 +2700,25 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
             f"scaled-default beam floor BEAM_EF ({BEAM_EF}) must be "
             f">= k ({k})")
     old, new = _insert_split(embeddings)
-    edges = _beam_nav_edges(old)
+    # ONE persisted multi-probe relation feeds BOTH the base-graph
+    # construction and the seed membership (r14 opt, guide §1.2: the
+    # prn=1 slice IS the coarse assignment, pytest-pinned bit-equal,
+    # so the two-level assignment over the base ran twice for
+    # nothing; measured 15.8 s → 8.3 s contended / 10.5 → ~7 s clean
+    # at sf0.1, output identical)
+    probes_old = tracked_persist(_ivf_probed(old))
+    edges = _beam_nav_edges(old, und=_nprobe_und(old, probes=probes_old))
     newq = _vecs(new).select(F.col("vec_id").alias("query_id"),
                              F.col("v").alias("qv"),
                              F.col("v_norm").alias("q_norm"))
     beam_rel = (tracked_persist(insert_beam_params(old))
                 if beam is None else None)
+    seeds = _insert_seeds(
+        old, newq,
+        members=probes_old.where(F.col("prn") == 1).select("vec_id", "cell"))
     cur = _beam_frontier(old, steps, 0, beam if beam is not None else 0,
                          queries=newq, edges=edges,
-                         seeds=_insert_seeds(old, newq),
+                         seeds=seeds,
                          beam_rel=beam_rel)
     w = Window.partitionBy("query_id").orderBy(F.desc("cur_cos"),
                                                F.asc("node"))
@@ -2755,14 +2813,19 @@ def knn_graph_insert_curve(embeddings: DataFrame, k: int = KNN_K,
 
     Scale shape: each width re-runs the full insert chain exactly as
     the oracle's self-contained blocks do — a measurement rung run
-    at tuning time, never in the serving path."""
-    out = None
-    for b in INSERT_BEAM_CURVE:
-        r = (knn_graph_insert_recall(embeddings, k, steps, beam=b,
-                                     n_sample=n_sample)
-             .select(F.lit(int(b)).cast("int").alias("beam"),
-                     "n_inserted", "k", "n_hits", "recall_ppm"))
-        out = r if out is None else out.unionByName(r)
+    at tuning time, never in the serving path. The chains are fully
+    independent (each builds its own persisted base graph), so they
+    are constructed concurrently (r14 opt, _concurrent_build)."""
+    rows = _concurrent_build([
+        (lambda bb: lambda:
+            knn_graph_insert_recall(embeddings, k, steps, beam=bb,
+                                    n_sample=n_sample)
+            .select(F.lit(int(bb)).cast("int").alias("beam"),
+                    "n_inserted", "k", "n_hits", "recall_ppm"))(b)
+        for b in INSERT_BEAM_CURVE])
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
     return out
 
 
@@ -3055,14 +3118,19 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
     # about SCORING, so sharing the structure is the honest setup;
     # it also removes the duplicate construction, which is noise at
     # toy scale (walks+training dominate) but the dominant cost at
-    # scale (knn_graph_nprobe is the curve's heaviest builder)
-    und = tracked_persist(_nprobe_und(embeddings))
-    ex = row("exact_walk",
-             ann_beam_topk(embeddings, k, steps, n_queries, beam,
-                           edges=_beam_nav_edges(embeddings, und=und)))
-    pq = row("pq_walk",
-             ann_beam_pq_topk(embeddings, k, steps, n_queries, beam,
-                              index=pq_walk_index(embeddings, und)))
+    # scale (knn_graph_nprobe is the curve's heaviest builder).
+    # Materialized before the two walk chains are built CONCURRENTLY
+    # (r14 opt, _concurrent_build — 12.4 s → 8.2 s, identical rows).
+    und = _materialize(tracked_persist(_nprobe_und(embeddings)))
+    ex, pq = _concurrent_build([
+        lambda: row("exact_walk",
+                    ann_beam_topk(embeddings, k, steps, n_queries, beam,
+                                  edges=_beam_nav_edges(embeddings,
+                                                        und=und))),
+        lambda: row("pq_walk",
+                    ann_beam_pq_topk(embeddings, k, steps, n_queries, beam,
+                                     index=pq_walk_index(embeddings, und))),
+    ])
     return ex.unionByName(pq)
 
 
@@ -3123,16 +3191,23 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
                         F.expr(f"n_hits * 1000000 div (n_queries * {int(k)})")
                          .cast("bigint").alias("recall_ppm")))
 
-    und = tracked_persist(_nprobe_und(embeddings))
+    und = _materialize(tracked_persist(_nprobe_und(embeddings)))
     index = pq_walk_index(embeddings, und)
-    out = row("exact_walk", BEAM_EF,
-              ann_beam_topk(embeddings, k, steps, n_queries, BEAM_EF,
-                            edges=_beam_nav_edges(embeddings, und=und)))
-    for b in PQ_BEAM_CURVE:
-        out = out.unionByName(
-            row("pq_walk", b,
-                ann_beam_pq_topk(embeddings, k, steps, n_queries, b,
-                                 index=index)))
+    _materialize(index[2])  # the code-carrying edge relation: the one
+    # persisted input every concurrent width walk scans per round
+    rows = _concurrent_build(
+        [lambda: row("exact_walk", BEAM_EF,
+                     ann_beam_topk(embeddings, k, steps, n_queries, BEAM_EF,
+                                   edges=_beam_nav_edges(embeddings,
+                                                         und=und)))]
+        + [(lambda bb: lambda: row("pq_walk", bb,
+                                   ann_beam_pq_topk(embeddings, k, steps,
+                                                    n_queries, bb,
+                                                    index=index)))(b)
+           for b in PQ_BEAM_CURVE])
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
     return out
 
 
