@@ -2706,16 +2706,21 @@ def knn_graph_insert(embeddings: DataFrame, k: int = KNN_K,
     # so the two-level assignment over the base ran twice for
     # nothing; measured 15.8 s → 8.3 s contended / 10.5 → ~7 s clean
     # at sf0.1, output identical)
-    probes_old = tracked_persist(_ivf_probed(old))
+    probes_old = _materialize(tracked_persist(_ivf_probed(old)))
     edges = _beam_nav_edges(old, und=_nprobe_und(old, probes=probes_old))
     newq = _vecs(new).select(F.col("vec_id").alias("query_id"),
                              F.col("v").alias("qv"),
                              F.col("v_norm").alias("q_norm"))
     beam_rel = (tracked_persist(insert_beam_params(old))
                 if beam is None else None)
-    seeds = _insert_seeds(
+    seeds = tracked_persist(_insert_seeds(
         old, newq,
-        members=probes_old.where(F.col("prn") == 1).select("vec_id", "cell"))
+        members=probes_old.where(F.col("prn") == 1).select("vec_id", "cell")))
+    # the base edge relation and the seed relation are independent
+    # given the shared probe relation — overlap their builds (guide
+    # §2.6; measured 8.2 → 7.0 s, output identical)
+    _concurrent_build([lambda: _materialize(edges),
+                       lambda: _materialize(seeds)])
     cur = _beam_frontier(old, steps, 0, beam if beam is not None else 0,
                          queries=newq, edges=edges,
                          seeds=seeds,
@@ -3119,9 +3124,17 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
     # it also removes the duplicate construction, which is noise at
     # toy scale (walks+training dominate) but the dominant cost at
     # scale (knn_graph_nprobe is the curve's heaviest builder).
-    # Materialized before the two walk chains are built CONCURRENTLY
-    # (r14 opt, _concurrent_build — 12.4 s → 8.2 s, identical rows).
-    und = _materialize(tracked_persist(_nprobe_und(embeddings)))
+    # r14 opt (guide §2.6, two layers of overlap, results identical):
+    # graph construction and PQ training are independent, so their
+    # materializations run concurrently; then the two walk chains'
+    # eagerly-checkpointed rounds are built concurrently. Measured
+    # 12.4 → 8.2 s (chains) → 7.2 s (+input overlap) at sf0.1.
+    und = tracked_persist(_nprobe_und(embeddings))
+    cbp = tracked_persist(_pq_cb_pos(pq_codebooks_rel(embeddings)))
+    pa = tracked_persist(_pq_pos_arrays(embeddings, cbp))
+    _concurrent_build([lambda: _materialize(und),
+                       lambda: _materialize(pa)])
+    index = (cbp, pa, _beam_pq_edges(und, pa))
     ex, pq = _concurrent_build([
         lambda: row("exact_walk",
                     ann_beam_topk(embeddings, k, steps, n_queries, beam,
@@ -3129,7 +3142,7 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
                                                         und=und))),
         lambda: row("pq_walk",
                     ann_beam_pq_topk(embeddings, k, steps, n_queries, beam,
-                                     index=pq_walk_index(embeddings, und))),
+                                     index=index)),
     ])
     return ex.unionByName(pq)
 
@@ -3191,10 +3204,15 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
                         F.expr(f"n_hits * 1000000 div (n_queries * {int(k)})")
                          .cast("bigint").alias("recall_ppm")))
 
-    und = _materialize(tracked_persist(_nprobe_und(embeddings)))
-    index = pq_walk_index(embeddings, und)
-    _materialize(index[2])  # the code-carrying edge relation: the one
-    # persisted input every concurrent width walk scans per round
+    # overlap the two independent input builds (graph vs PQ training —
+    # the ann_beam_pq_recall move), then materialize the code-carrying
+    # edge relation every concurrent width walk scans per round
+    und = tracked_persist(_nprobe_und(embeddings))
+    cbp = tracked_persist(_pq_cb_pos(pq_codebooks_rel(embeddings)))
+    pa = tracked_persist(_pq_pos_arrays(embeddings, cbp))
+    _concurrent_build([lambda: _materialize(und),
+                       lambda: _materialize(pa)])
+    index = (cbp, pa, _materialize(_beam_pq_edges(und, pa)))
     rows = _concurrent_build(
         [lambda: row("exact_walk", BEAM_EF,
                      ann_beam_topk(embeddings, k, steps, n_queries, BEAM_EF,
