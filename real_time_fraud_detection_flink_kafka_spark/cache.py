@@ -15,6 +15,17 @@ materialization so storage memory never accumulates across queries.
 Loop-internal relations whose lifetime ends INSIDE the builder
 (per-round label frontiers in `dedup_clusters`) are freed early with
 `untrack_unpersist()`.
+
+`localCheckpoint(eager=True)` (the iterative engines' per-round
+lineage cut) persists INTERNAL RDDs that no DataFrame-level
+`unpersist()` reaches — left alone they accumulate across a
+long-lived session until JVM GC + ContextCleaner get around to them.
+`release_caches()` therefore also sweeps the context's remaining
+persistent RDDs. That makes release STRICTLY a between-queries
+operation: a checkpointed result CANNOT be re-materialized after
+release (its lineage is truncated to the freed blocks) — every
+caller (bench reps, oracle sim, pytest) rebuilds the query from the
+registry instead of re-running a released DataFrame.
 """
 
 from __future__ import annotations
@@ -41,9 +52,11 @@ def untrack_unpersist(df: DataFrame) -> None:
 
 
 def release_caches(blocking: bool = False) -> int:
-    """Unpersist every tracked relation; returns how many were freed.
-    Safe to call with dead SparkSessions in the list (errors ignored:
-    an unpersist on a stopped session has nothing to free)."""
+    """Unpersist every tracked relation, then sweep localCheckpoint
+    residue (see module docstring); returns how many TRACKED
+    relations were freed. Safe to call with dead SparkSessions in the
+    list (errors ignored: an unpersist on a stopped session has
+    nothing to free)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -52,4 +65,14 @@ def release_caches(blocking: bool = False) -> int:
             n += 1
         except Exception:
             pass
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            jmap = sc._jsc.getPersistentRDDs()
+            for k in list(jmap.keys()):
+                jmap[k].unpersist(blocking)
+    except Exception:
+        pass
     return n

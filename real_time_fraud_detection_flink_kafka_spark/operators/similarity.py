@@ -1274,7 +1274,7 @@ def ann_graph_recall(embeddings: DataFrame, steps: int = GS_STEPS,
     exact = ann_topk(embeddings).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"),
         "rnk")
-    j = found.join(exact, (F.col("query_id") == F.col("eq"))
+    j = found.join(F.broadcast(exact), (F.col("query_id") == F.col("eq"))
                    & (F.col("found_id") == F.col("en")), "left")
     return j.agg(
         F.count(F.lit(1)).cast("int").alias("n_queries"),
@@ -1796,7 +1796,7 @@ def ann_beam_topk_recall(embeddings: DataFrame, k: int = TOP_K,
     exact = ann_topk(embeddings, k=k, n_queries=n_queries).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en"))
     hit = found.join(
-        exact, (F.col("query_id") == F.col("eq"))
+        F.broadcast(exact), (F.col("query_id") == F.col("eq"))
         & (F.col("neighbor_id") == F.col("en")), "left_semi")
     n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     n_q = found.agg(
@@ -1843,7 +1843,7 @@ def _walk_recall(found: DataFrame, exact: DataFrame,
                  method: str) -> DataFrame:
     """One labeled recall row for a graph-walk result vs the exact
     top-k ranking (shared by ann_beam_recall's method rows)."""
-    j = found.join(exact, (F.col("query_id") == F.col("eq"))
+    j = found.join(F.broadcast(exact), (F.col("query_id") == F.col("eq"))
                    & (F.col("found_id") == F.col("en")), "left")
     return j.agg(
         F.count(F.lit(1)).cast("int").alias("n_queries"),
@@ -2778,9 +2778,9 @@ def knn_graph_insert_recall(embeddings: DataFrame, k: int = KNN_K,
                .where(F.col("rnk") <= k)
                .select(F.col("sid").alias("eq"),
                        F.col("vec_id").alias("en")))
-    got = ins.join(exact.select("eq").distinct(),
+    got = ins.join(F.broadcast(exact.select("eq").distinct()),
                    ins["vec_id"] == F.col("eq"), "left_semi")
-    hit = got.join(exact, (F.col("vec_id") == F.col("eq"))
+    hit = got.join(F.broadcast(exact), (F.col("vec_id") == F.col("eq"))
                    & (F.col("nbr_id") == F.col("en")), "left_semi")
     n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     n_s = got.agg(F.countDistinct("vec_id").cast("int").alias("n_inserted"))
@@ -3107,7 +3107,7 @@ def ann_beam_pq_recall(embeddings: DataFrame, k: int = TOP_K,
                 F.col("neighbor_id").alias("en")))
 
     def row(method: str, found: DataFrame) -> DataFrame:
-        hit = found.join(exact, (F.col("query_id") == F.col("eq"))
+        hit = found.join(F.broadcast(exact), (F.col("query_id") == F.col("eq"))
                          & (F.col("neighbor_id") == F.col("en")),
                          "left_semi")
         n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
@@ -3190,7 +3190,7 @@ def ann_beam_pq_curve(embeddings: DataFrame, k: int = TOP_K,
                 F.col("neighbor_id").alias("en")))
 
     def row(method: str, beam: int, found: DataFrame) -> DataFrame:
-        hit = found.join(exact, (F.col("query_id") == F.col("eq"))
+        hit = found.join(F.broadcast(exact), (F.col("query_id") == F.col("eq"))
                          & (F.col("neighbor_id") == F.col("en")),
                          "left_semi")
         n_hits = hit.agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
@@ -3551,7 +3551,7 @@ def ann_ivf_ndcg(embeddings: DataFrame, k: int = TOP_K,
     w = F.lit(None).cast("bigint")
     for i, wf in enumerate(w_fp, start=1):
         w = F.when(F.col("rnk") == i, F.lit(wf)).otherwise(w)
-    j = (appr.join(exact, ["query_id", "neighbor_id"], "left")
+    j = (appr.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
              .select("query_id",
                      (F.coalesce("gain", F.lit(0)) * w).alias("gw")))
     per = j.groupBy("query_id").agg(
