@@ -700,19 +700,27 @@ def _lm_fixture_metrics(name: str, scored: DataFrame) -> DataFrame:
     scored = tracked_persist(scored)
     fix = (scored.where(F.col("doc_id") >= LM_FIX_OFF)
            .select(F.col("doc_id").alias("fid"), F.col("score").alias("fs")))
-    npop = scored.agg(F.count(F.lit(1)).alias("n_pop"))
-    below = (scored.crossJoin(F.broadcast(fix))
-             .where((F.col("score") < F.col("fs"))
-                    | ((F.col("score") == F.col("fs"))
-                       & (F.col("doc_id") < F.col("fid"))))
-             .groupBy("fid").agg(F.count(F.lit(1)).alias("rnk")))
-    fr = (fix.join(below, "fid", "left")
-          .select("fid", "fs", F.coalesce("rnk", F.lit(0)).alias("rnk")))
+    # ONE pass over the scored population (r14 opt): the crossJoin
+    # against the broadcast ≤2·LM_FIX_N fixture rows yields exactly
+    # n_pop rows per fid, so counting ALL rows per fid gives n_pop in
+    # the same aggregate that counts the below-rank rows — the
+    # separate population-count scan (and the left join that patched
+    # rank-0 fixtures back in) folds away; every fid is present with
+    # rnk = 0 when nothing ranks below it, identical values.
+    below_cond = ((F.col("score") < F.col("fs"))
+                  | ((F.col("score") == F.col("fs"))
+                     & (F.col("doc_id") < F.col("fid"))))
+    fr = (scored.crossJoin(F.broadcast(fix))
+          .groupBy("fid")
+          .agg(F.first("fs").alias("fs"),
+               F.count(F.lit(1)).alias("n_pop_f"),
+               F.sum(F.when(below_cond, 1).otherwise(0)).alias("rnk")))
     sums = fr.agg(
         F.sum(F.when(F.col("fid") % 4 == 1, F.col("rnk"))).alias("sum_rf"),
         F.sum(F.when(F.col("fid") % 4 == 3, F.col("rnk"))).alias("sum_rg"),
         F.sum(F.when(F.col("fid") % 4 == 1, 1).otherwise(0)).alias("n_f"),
-        F.sum(F.when(F.col("fid") % 4 == 3, 1).otherwise(0)).alias("n_g"))
+        F.sum(F.when(F.col("fid") % 4 == 3, 1).otherwise(0)).alias("n_g"),
+        F.max("n_pop_f").alias("n_pop"))
     fl = fr.where(F.col("fid") % 4 == 1).select(F.col("fs").alias("s_f"))
     gb = fr.where(F.col("fid") % 4 == 3).select(F.col("fs").alias("s_g"))
     pairs = fl.crossJoin(F.broadcast(gb)).agg(
@@ -720,7 +728,6 @@ def _lm_fixture_metrics(name: str, scored: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("s_f") > F.col("s_g"), 1).otherwise(0))
          .alias("correct_pairs"))
     return (pairs.crossJoin(F.broadcast(sums))
-                 .crossJoin(F.broadcast(npop))
                  .select(
         F.lit(name).alias("scorer"),
         F.col("n_pop").cast("int").alias("n_pop"),

@@ -1687,7 +1687,13 @@ def _beam_frontier(embeddings: DataFrame, steps: int,
         # the value itself in both engines. localCheckpoint per round
         # cuts the doubled lineage exactly as the greedy walk does
         # (measured 2^steps Catalyst re-analysis otherwise).
+        # repartition by query_id FIRST (r14 opt, guide §2.4): hash
+        # partitioning on query_id satisfies both the (query_id,
+        # cand_id) dedup grouping AND the ranking window's
+        # distribution, so the round runs ONE exchange instead of two
+        # — the same candidate rows cross the wire once either way.
         ranked = (moved.unionByName(stay)
+                  .repartition("query_id")
                   .groupBy("query_id", "cand_id")
                   .agg(F.max("cos_raw").alias("cos_raw"),
                        F.first("qv").alias("qv"),
@@ -2992,7 +2998,10 @@ def _beam_pq_frontier(embeddings: DataFrame, steps: int,
         stay = cur.select("query_id", "tabs",
                           F.col("node").alias("cand_id"),
                           F.col("cur_fp").alias("fp_raw"))
+        # one exchange per round: hash(query_id) satisfies the dedup
+        # grouping and the ranking window (see _beam_frontier)
         cur = (moved.unionByName(stay)
+               .repartition("query_id")
                .groupBy("query_id", "cand_id")
                .agg(F.max("fp_raw").alias("fp_raw"),
                     F.first("tabs").alias("tabs"))

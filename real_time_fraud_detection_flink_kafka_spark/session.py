@@ -40,6 +40,20 @@ def get_spark(app_name: str = "rtfd-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow shuffled hash join where a per-partition build side
+        # fits (guide §3.1/§9): sort-merge pays a sort of BOTH sides
+        # on every corpus-sized equi-join; the AQE threshold converts
+        # SMJ→SHJ only from measured post-shuffle sizes (64 MB per
+        # partition — per-PARTITION state, so the setting is
+        # scale-safe on a cluster, where partition sizing is governed
+        # by AQE advisory sizing either way). SPARK_GRAFT_SHJ=0
+        # restores the r13 planner for A/B.
+        .config("spark.sql.join.preferSortMergeJoin",
+                "false" if os.environ.get("SPARK_GRAFT_SHJ", "1") != "0"
+                else "true")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m" if os.environ.get("SPARK_GRAFT_SHJ", "1") != "0"
+                else "0")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata parquet uses TIMESTAMP(NANOS): read as long ns,
