@@ -551,11 +551,17 @@ def main() -> None:
             # in-pass vs 60 s isolated at 100×, purely from running
             # after the 420 s ppjoin drain). Any query whose ratio
             # exceeds RETIME_RATIO gets ONE clean re-run after a GC,
-            # and the ISOLATED time replaces the in-pass one in BOTH
-            # directions (r11, was min(in-pass, isolated) — an
-            # asymmetric correction that could only lower the curve);
-            # both readings land in the artifact ("retimed") so the
-            # correction is auditable.
+            # and the reported time is min(in-pass, isolated) — the
+            # same stable-estimator-under-transient-load rule as the
+            # interleaved reps (r14; r11 briefly replaced in BOTH
+            # directions, but the isolated re-run follows a forced
+            # System.gc() whose async shuffle-file deletion can
+            # disk-contend with it — EXACTLY the r13 inter-query
+            # pathology — and one r14 clean run recorded ppjoin 100×
+            # at 179.9 s isolated vs 97.9 in-pass, with two fresh
+            # isolated probes reading 95.7/88.5: the in-pass number
+            # was the truth). Both readings land in the artifact
+            # ("retimed") so the correction is auditable either way.
             # r14: the audit threshold is env-tunable — 0.5 for
             # unattended runs (fewer isolated re-runs, fits the
             # driver budget), 0.25 for the builder's clean benches
@@ -575,7 +581,7 @@ def main() -> None:
                                        tolerate_failures=True)
                 for n, t in retimes.items():
                     retimed[n] = {"inpass": stimes[n], "isolated": t}
-                    stimes[n] = t
+                    stimes[n] = min(stimes[n], t)
             entry = {
                 "replicas": replicas,
                 "build_seconds": build_s,

@@ -95,6 +95,25 @@ MMR_K = 5          # greedy selections emitted
 MMR_FP = 10 ** 6   # fixed-point scale for cosines
 
 
+def _mmr_pool(embeddings: DataFrame, pool_n: int = MMR_POOL) -> DataFrame:
+    """The MMR relevance pool: one corpus scan against the broadcast
+    query vector, truncated to `pool_n` via orderBy+limit — plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Factored out of `mmr_rerank` so the plan pytest can assert the
+    heap shape directly: since the greedy rounds localCheckpoint, the
+    full query's final plan only shows checkpointed leaves."""
+    e = _vecs(embeddings)
+    qid = embeddings.agg(F.min("vec_id").alias("_qid"))
+    q = (e.join(F.broadcast(qid), F.col("vec_id") == F.col("_qid"))
+          .select(F.col("v").alias("qv"), F.col("v_norm").alias("qn"),
+                  F.col("vec_id").alias("_q")))
+    cos_q = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("v_norm"))
+    scored = (e.join(F.broadcast(q), F.col("vec_id") != F.col("_q"))
+               .select("vec_id", "v", "v_norm",
+                       F.round(cos_q * MMR_FP).cast("bigint").alias("rel_fp")))
+    return scored.orderBy(F.desc("rel_fp"), F.asc("vec_id")).limit(pool_n)
+
+
 def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
                pool_n: int = MMR_POOL) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
@@ -130,17 +149,7 @@ def mmr_rerank(embeddings: DataFrame, k: int = MMR_K,
     independent of corpus size by construction."""
     from real_time_fraud_detection_flink_kafka_spark.cache import tracked_persist
 
-    e = _vecs(embeddings)
-    qid = embeddings.agg(F.min("vec_id").alias("_qid"))
-    q = (e.join(F.broadcast(qid), F.col("vec_id") == F.col("_qid"))
-          .select(F.col("v").alias("qv"), F.col("v_norm").alias("qn"),
-                  F.col("vec_id").alias("_q")))
-    cos_q = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("v_norm"))
-    scored = (e.join(F.broadcast(q), F.col("vec_id") != F.col("_q"))
-               .select("vec_id", "v", "v_norm",
-                       F.round(cos_q * MMR_FP).cast("bigint").alias("rel_fp")))
-    pool = tracked_persist(
-        scored.orderBy(F.desc("rel_fp"), F.asc("vec_id")).limit(pool_n))
+    pool = tracked_persist(_mmr_pool(embeddings, pool_n))
     pa = pool.select("vec_id", F.col("v").alias("va"),
                      F.col("v_norm").alias("na"))
     pb = pool.select(F.col("vec_id").alias("sel_id"),

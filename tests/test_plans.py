@@ -535,11 +535,21 @@ def test_mmr_rerank_no_cartesian_pool_bounded(spark, sf_dir):
     CartesianProduct or a SortMergeJoin anywhere means a corpus-sized
     relation leaked into the greedy loop. The relevance pool itself
     must come from per-partition heaps (TakeOrderedAndProject), not a
-    global sort."""
+    global sort — asserted on the pool relation directly (`_mmr_pool`)
+    because the greedy rounds localCheckpoint since r14, so the full
+    query's final plan only shows checkpointed leaves."""
     plan = _plan(spark, sf_dir, "mmr_rerank")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
-    assert "TakeOrderedAndProject" in plan
+    from real_time_fraud_detection_flink_kafka_spark.operators.retrieval import (
+        _mmr_pool,
+    )
+    from real_time_fraud_detection_flink_kafka_spark.sources.files import load_table
+
+    pool_plan = _mmr_pool(load_table(spark, sf_dir, "embeddings"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in pool_plan, pool_plan[:3000]
+    assert "CartesianProduct" not in pool_plan
 
 
 def test_knn_diversity_sample_no_cartesian(spark, sf_dir):
