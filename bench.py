@@ -8,8 +8,12 @@ driver keeps only the last ~2000 chars of stdout, see emit()):
             "worst_ratio": [name, r]}, ...],
  "detail": "BENCH_DETAIL.json"}
 The FULL result (per-slot window times, per-query scale times and
-ratio_per_replica per factor) is written to BENCH_DETAIL.json at the
-repo root on every run.
+ratio_per_replica per factor) is written to the repo root on every
+run: to the COMMITTED BENCH_DETAIL.json (+ SURVEY.md generated-block
+resync) only when SPARK_GRAFT_SYNC=1 — the builder's clean-bench
+recipe — and to the gitignored BENCH_DETAIL.run.json otherwise, so
+driver/judge/experiment runs never dirty the work tree (r15, per the
+r14 verdict).
 
 Each query is forced end-to-end with a noop sink (full computation,
 no driver collect).
@@ -448,33 +452,6 @@ def main() -> None:
         }
         emit(result)
 
-    # insert-capture curve at the bench SF (r14, the r13 verdict's
-    # task 5): capture-vs-ef-width for incremental graph insertion,
-    # measured where density actually bites (sf0.1's 1800-vector base
-    # vs the parity suite's sf0.001). One full insert+recall chain per
-    # INSERT_BEAM_CURVE width + the shipped log2-scaled default — the
-    # §2c numbers that extend the capture law past the r13 bracket.
-    # Disable with SPARK_GRAFT_INSERT_CURVE=0.
-    if (os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0"
-            and remaining() > 180):
-        t0 = time.monotonic()
-        curve = QUERIES["knn_graph_insert_curve"](spark, sf_dir).collect()
-        dflt = QUERIES["knn_graph_insert_recall"](spark, sf_dir).collect()[0]
-        release_caches()
-        result["insert_capture"] = {
-            "sec": round(time.monotonic() - t0, 3),
-            "rows": [
-                {"beam": int(r["beam"]), "n_inserted": int(r["n_inserted"]),
-                 "k": int(r["k"]), "n_hits": int(r["n_hits"]),
-                 "capture": round(r["recall_ppm"] / 1e6, 3)}
-                for r in sorted(curve, key=lambda r: r["beam"])],
-            "default": {"n_hits": int(dflt["n_hits"]),
-                        "capture": round(dflt["recall_ppm"] / 1e6, 3)},
-        }
-        emit(result)
-    elif os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0":
-        result.setdefault("budget_skipped", []).append("insert_capture")
-
     factors = [int(r) for r in
                os.environ.get("SPARK_GRAFT_SCALE", "10,30,100").split(",")
                if int(r) > 1]
@@ -498,12 +475,35 @@ def main() -> None:
                 result["base_failed"] = bfails
 
         result["scale"] = []
+        # per-factor wall estimates, recalibrated r15 from measured
+        # runs (the r14 8/replica guess made the driver skip the 100×
+        # point — BENCH_r14 budget_skipped:["scale100"] — though the
+        # actual BIG-subset pass cost ~280-360 s): full 27-query
+        # subset ≈ 8 s/replica (driver r14 measured 96 s at 10×,
+        # 224 s at 30× on the 8-core host), the 12-query BIG subset
+        # ≈ 4 s/replica (builder r14 measured 277 s at 100× on 32
+        # cores, +margin for the 8-core pass), + 60 s fixed for the
+        # marker-checked build and GC boundaries.
+        def _scale_estimate(replicas: int, big: bool) -> float:
+            return 60 + (4 if big else 8) * replicas
+
         for replicas in factors:
-            # budget gate (r14): a factor only starts when the
-            # remaining budget plausibly covers its build + pass
-            # (~8 s/replica measured across r12/r13 one-shot runs,
-            # +60 s fixed) — skipping is recorded, never silent.
-            if remaining() < 60 + 8 * replicas:
+            subset = (SCALE_SUBSET_BIG if replicas >= BIG_FACTOR
+                      else SCALE_SUBSET)
+            narrowed = False
+            # budget gates (r14, recalibrated r15): a factor only
+            # starts when the remaining budget plausibly covers its
+            # build + pass. The 100-TB claim rides the curve's SHAPE,
+            # so rather than dropping a factor outright, a tight
+            # budget first narrows it to the one-query-per-family BIG
+            # subset (recorded, never silent) and only then skips.
+            if (subset is not SCALE_SUBSET_BIG
+                    and remaining() < _scale_estimate(replicas, False)
+                    and remaining() >= _scale_estimate(replicas, True)):
+                subset = SCALE_SUBSET_BIG
+                narrowed = True
+            if remaining() < _scale_estimate(
+                    replicas, subset is SCALE_SUBSET_BIG):
                 result.setdefault("budget_skipped", []).append(
                     f"scale{replicas}")
                 continue
@@ -515,8 +515,6 @@ def main() -> None:
             # cold caches: the scaled pass must not inherit the prior
             # pass's persisted/LRU state or ratios are flattered
             spark.catalog.clearCache()
-            subset = (SCALE_SUBSET_BIG if replicas >= BIG_FACTOR
-                      else SCALE_SUBSET)
             # min-of-2 reps (r13): the one-shot pass conflated
             # first-run-in-pass costs (codegen compile + cold page
             # cache — measured 22.0 s first vs 8.0 s warm for
@@ -594,6 +592,8 @@ def main() -> None:
                              / replicas, 3)
                     for n in subset if n in stimes and n in base_times},
             }
+            if narrowed:  # no silent caps: the narrowing is printed
+                entry["narrowed_to_big_subset"] = True
             if sfails:  # no silent caps: dropped coverage is printed
                 entry["failed"] = sfails
             result["scale"].append(entry)
@@ -604,6 +604,37 @@ def main() -> None:
             # run accumulated 18 GB of session shuffle before the
             # 100× pass even started
             spark.sparkContext._jvm.System.gc()
+
+    # insert-capture curve at the bench SF (r14, the r13 verdict's
+    # task 5): capture-vs-ef-width for incremental graph insertion,
+    # measured where density actually bites (sf0.1's 1800-vector base
+    # vs the parity suite's sf0.001). One full insert+recall chain per
+    # INSERT_BEAM_CURVE width + the shipped log2-scaled default — the
+    # §2c numbers that extend the capture law past the r13 bracket.
+    # Runs AFTER the scale curve since r15 (r14 verdict task 2): the
+    # scale factors carry the 100-TB claim, this section is §2b/§2c
+    # observability — under a tight budget the curve must lose first
+    # (the r14 driver run spent the budget here and skipped scale100).
+    # Disable with SPARK_GRAFT_INSERT_CURVE=0.
+    if (os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0"
+            and remaining() > 180):
+        t0 = time.monotonic()
+        curve = QUERIES["knn_graph_insert_curve"](spark, sf_dir).collect()
+        dflt = QUERIES["knn_graph_insert_recall"](spark, sf_dir).collect()[0]
+        release_caches()
+        result["insert_capture"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "rows": [
+                {"beam": int(r["beam"]), "n_inserted": int(r["n_inserted"]),
+                 "k": int(r["k"]), "n_hits": int(r["n_hits"]),
+                 "capture": round(r["recall_ppm"] / 1e6, 3)}
+                for r in sorted(curve, key=lambda r: r["beam"])],
+            "default": {"n_hits": int(dflt["n_hits"]),
+                        "capture": round(dflt["recall_ppm"] / 1e6, 3)},
+        }
+        emit(result)
+    elif os.environ.get("SPARK_GRAFT_INSERT_CURVE", "1") != "0":
+        result.setdefault("budget_skipped", []).append("insert_capture")
 
     # connected-components engine shoot-out (r8): label propagation's
     # round count is the component DIAMETER, two-star contraction's is
@@ -807,6 +838,11 @@ def render_bench_block(result: dict) -> str:
                  for s in scale if s.get("failed")}
         if fails:
             L.append(f"Failed at scale: {fails}.")
+        narrowed = [s["replicas"] for s in scale
+                    if s.get("narrowed_to_big_subset")]
+        if narrowed:
+            L.append("Factors narrowed to the one-query-per-family BIG "
+                     f"subset by the wall-clock budget: {narrowed}.")
     if result.get("budget_skipped"):
         L.append(f"Sections skipped by the wall-clock budget "
                  f"({result.get('budget_sec')} s): "
@@ -842,9 +878,20 @@ STDOUT_BUDGET = 1900
 
 
 def emit(result: dict) -> None:
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # SPARK_GRAFT_SYNC=1 (exported by the committed clean-bench recipe
+    # only) rewrites the COMMITTED artifacts (BENCH_DETAIL.json +
+    # SURVEY.md's generated block). Every other run — grading driver,
+    # judge, A/B experiments — writes the full detail to a gitignored
+    # sibling so `python bench.py` leaves git status clean (r14: the
+    # driver's own runs dirtied the tree and one experiment artifact
+    # briefly leaked into a commit). Prior-round regression gates read
+    # the committed BENCH_DETAIL.json either way (_prior_detail).
+    sync = os.environ.get("SPARK_GRAFT_SYNC", "0") == "1"
+    detail_name = "BENCH_DETAIL.json" if sync else "BENCH_DETAIL.run.json"
+    detail_path = Path(__file__).resolve().parent / detail_name
     detail_path.write_text(json.dumps(result, indent=1) + "\n")
-    sync_survey(result)
+    if sync:
+        sync_survey(result)
 
     compact = {
         "metric": result["metric"],
@@ -883,6 +930,8 @@ def emit(result: dict) -> None:
             # the compact line must still print (that IS the artifact)
             row["median_ratio"] = ratios[len(ratios) // 2][1]
             row["worst_ratio"] = list(ratios[-1])
+        if s.get("narrowed_to_big_subset"):
+            row["narrowed"] = True
         if s.get("failed"):
             row["failed"] = sorted(s["failed"])
         compact.setdefault("scale", []).append(row)
